@@ -1,0 +1,65 @@
+"""Medoid (argmin of pairwise-distance sums) without materializing N x N.
+
+The reference computes `torch.cdist(P.T, P.T).sum(axis=0).argmin()` per mask
+(src/nuscenes/2d_to_3d.py:116-119) — an O(K^2) matrix it materializes in full,
+per mask, in a Python loop. Here: batched over masks, distance sums
+accumulated in row-chunks via `lax.scan` so peak memory is O(M * CHUNK * K),
+with exact first-index argmin tie-breaking (same as torch.argmin).
+
+A Pallas tiled kernel (cm3d_tpu.kernels.medoid_pallas) provides the
+high-K fast path; this module is the portable reference implementation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_CHUNK = 128
+
+
+def medoid_index(points: jax.Array, valid: jax.Array) -> jax.Array:
+    """Index of the medoid of a single point set.
+
+    Args:
+      points: [K, 3] coordinates (padding rows arbitrary).
+      valid: [K] bool; invalid rows are excluded from sums and argmin.
+
+    Returns scalar int32 index of the medoid (first-minimum tie-break).
+    """
+    return masked_medoid(points[None], valid[None])[0]
+
+
+def masked_medoid(points: jax.Array, valid: jax.Array) -> jax.Array:
+    """Batched medoid. points [M, K, 3], valid [M, K] -> [M] int32.
+
+    For each m: argmin_i sum_j valid_j * ||p_i - p_j||_2 over valid i.
+    Distances use direct coordinate differences (not the |a|^2+|b|^2-2ab
+    matmul trick) to avoid catastrophic cancellation on ~1e3-magnitude
+    global-frame coordinates.
+    """
+    m, k, _ = points.shape
+    chunk = min(_CHUNK, k)
+    n_chunks = -(-k // chunk)
+    pad_k = n_chunks * chunk
+    if pad_k != k:
+        points = jnp.pad(points, ((0, 0), (0, pad_k - k), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_k - k)))
+
+    pts_f32 = points.astype(jnp.float32)
+    validf = valid.astype(jnp.float32)
+
+    def body(carry, i_chunk):
+        # rows [M, chunk, 3] of this chunk vs all columns [M, K, 3]
+        start = i_chunk * chunk
+        rows = jax.lax.dynamic_slice_in_dim(pts_f32, start, chunk, axis=1)
+        diff = rows[:, :, None, :] - pts_f32[:, None, :, :]  # [M, chunk, K, 3]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [M, chunk, K]
+        sums = jnp.sum(dist * validf[:, None, :], axis=-1)  # [M, chunk]
+        return carry, sums
+
+    _, all_sums = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    # all_sums: [n_chunks, M, chunk] -> [M, K]
+    sums = jnp.transpose(all_sums, (1, 0, 2)).reshape(m, pad_k)[:, :k]
+    sums = jnp.where(valid[:, :k], sums, jnp.inf)
+    return jnp.argmin(sums, axis=-1).astype(jnp.int32)

@@ -1,0 +1,191 @@
+"""End-to-end test of the fused lift step against the numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as R
+
+from cm3d_tpu.ops import LiftParams, lift_keyframe
+from cm3d_tpu.ops.lift import build_boxes
+from oracle import lift_mask_oracle, push_centroid_oracle
+
+RNG = np.random.default_rng(7)
+
+W, H = 256, 144  # small synthetic "image" (mask stored [x, y])
+
+
+def make_camera(yaw):
+    """A camera at ego origin looking along ego +x rotated by yaw."""
+    ego_t = np.array([1000.0, 500.0, 1.0])
+    ego_q = np.roll(R.from_euler("z", 0.3).as_quat(), 1)  # wxyz
+    cam_t = np.array([1.5, 0.0, 1.6])
+    # camera frame: z forward, x right, y down
+    cam_rot = R.from_euler("z", yaw).as_matrix() @ np.array(
+        [[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float
+    )
+    cam_q = np.roll(R.from_matrix(cam_rot).as_quat(), 1)
+    intr = np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1.0]])
+    return ego_t, ego_q, cam_t, cam_q, intr
+
+
+def make_scene(n_points=5000, n_masks=6):
+    ego_t, ego_q, cam_t, cam_q, intr = make_camera(0.0)
+    # points in global frame, clustered in front of the camera
+    ego_rot = R.from_quat(np.roll(ego_q, -1)).as_matrix()
+    local = RNG.uniform([3, -15, -2], [60, 15, 3], size=(n_points, 3))
+    pts_global = (ego_rot @ local.T).T + ego_t
+    points = np.concatenate(
+        [pts_global, RNG.random((n_points, 1))], axis=1
+    ).astype(np.float32)
+
+    masks = np.zeros((n_masks, W, H), bool)
+    for m in range(n_masks):
+        cx, cy = RNG.integers(20, W - 20), RNG.integers(20, H - 20)
+        rx, ry = RNG.integers(8, 40), RNG.integers(8, 30)
+        xs, ys = np.meshgrid(np.arange(W), np.arange(H), indexing="ij")
+        masks[m] = ((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2 <= 1.0
+    return points, masks, (ego_t, ego_q, cam_t, cam_q, intr)
+
+
+def test_lift_matches_oracle():
+    points, masks, (ego_t, ego_q, cam_t, cam_q, intr) = make_scene()
+    n, m = len(points), len(masks)
+    params = LiftParams(min_dist=2.3, max_points_per_mask=4096, erode=False)
+
+    out = lift_keyframe(
+        jnp.asarray(points),
+        jnp.ones(n, bool),
+        jnp.asarray(ego_t[None].astype(np.float32)),
+        jnp.asarray(ego_q[None].astype(np.float32)),
+        jnp.asarray(cam_t[None].astype(np.float32)),
+        jnp.asarray(cam_q[None].astype(np.float32)),
+        jnp.asarray(intr[None].astype(np.float32)),
+        jnp.asarray(masks),
+        jnp.zeros(m, jnp.int32),
+        jnp.ones(m, bool),
+        params,
+    )
+
+    n_checked = 0
+    for i in range(m):
+        sel_ref, med_ref, centroid_ref = lift_mask_oracle(
+            points, masks[i], ego_t, ego_q, cam_t, cam_q, intr
+        )
+        assert int(out.point_counts[i]) == len(sel_ref), f"mask {i} count"
+        if len(sel_ref) == 0:
+            assert not bool(out.has_points[i])
+            continue
+        n_checked += 1
+        assert bool(out.has_points[i])
+        np.testing.assert_allclose(
+            np.asarray(out.centroids[i]), centroid_ref, rtol=1e-4, atol=1e-3
+        )
+    assert n_checked >= 3, "synthetic scene should have several non-empty masks"
+
+
+def test_lift_erosion_shrinks_counts():
+    points, masks, (ego_t, ego_q, cam_t, cam_q, intr) = make_scene()
+    n, m = len(points), len(masks)
+    args = (
+        jnp.asarray(points),
+        jnp.ones(n, bool),
+        jnp.asarray(ego_t[None].astype(np.float32)),
+        jnp.asarray(ego_q[None].astype(np.float32)),
+        jnp.asarray(cam_t[None].astype(np.float32)),
+        jnp.asarray(cam_q[None].astype(np.float32)),
+        jnp.asarray(intr[None].astype(np.float32)),
+        jnp.asarray(masks),
+        jnp.zeros(m, jnp.int32),
+        jnp.ones(m, bool),
+    )
+    no_erode = lift_keyframe(*args, LiftParams(erode=False))
+    erode = lift_keyframe(*args, LiftParams(erode=True))
+    assert (np.asarray(erode.point_counts) <= np.asarray(no_erode.point_counts)).all()
+
+
+def test_lift_invalid_masks_and_points():
+    points, masks, (ego_t, ego_q, cam_t, cam_q, intr) = make_scene()
+    n, m = len(points), len(masks)
+    pvalid = np.ones(n, bool)
+    pvalid[::2] = False  # half the points are padding
+    mvalid = np.ones(m, bool)
+    mvalid[0] = False
+    out = lift_keyframe(
+        jnp.asarray(points),
+        jnp.asarray(pvalid),
+        jnp.asarray(ego_t[None].astype(np.float32)),
+        jnp.asarray(ego_q[None].astype(np.float32)),
+        jnp.asarray(cam_t[None].astype(np.float32)),
+        jnp.asarray(cam_q[None].astype(np.float32)),
+        jnp.asarray(intr[None].astype(np.float32)),
+        jnp.asarray(masks),
+        jnp.zeros(m, jnp.int32),
+        jnp.asarray(mvalid),
+        LiftParams(erode=False),
+    )
+    assert not bool(out.has_points[0])
+    # oracle on the valid half only
+    sel_ref, _, centroid_ref = lift_mask_oracle(
+        points[~np.arange(n) % 2 == 0], masks[1], ego_t, ego_q, cam_t, cam_q, intr
+    )
+    # (just consistency: counts must be <= full-cloud counts)
+    full = lift_keyframe(
+        jnp.asarray(points),
+        jnp.ones(n, bool),
+        jnp.asarray(ego_t[None].astype(np.float32)),
+        jnp.asarray(ego_q[None].astype(np.float32)),
+        jnp.asarray(cam_t[None].astype(np.float32)),
+        jnp.asarray(cam_q[None].astype(np.float32)),
+        jnp.asarray(intr[None].astype(np.float32)),
+        jnp.asarray(masks),
+        jnp.zeros(m, jnp.int32),
+        jnp.ones(m, bool),
+        LiftParams(erode=False),
+    )
+    assert (np.asarray(out.point_counts) <= np.asarray(full.point_counts)).all()
+
+
+def test_build_boxes_pushback_and_nms():
+    m = 8
+    centroids = RNG.uniform(-30, 30, size=(m, 3)).astype(np.float32)
+    has_points = np.ones(m, bool)
+    has_points[-1] = False
+    labels = np.array([0, 0, 1, 5, 5, 2, 0, 0], np.int32)  # 0=car,1=truck,5=ped
+    scores = RNG.random(m).astype(np.float32)
+    lanes = RNG.uniform(-40, 40, size=(64, 3)).astype(np.float32)
+    ego_t = np.zeros(3, np.float32)
+    priors = np.array(
+        [[1.8, 4.5, 1.4], [2.6, 8.0, 3.6], [2.5, 12.0, 4.0], [2.6, 12, 3.6],
+         [2.0, 4.5, 2.5], [0.4, 0.7, 1.7], [0.8, 2.1, 1.7], [0.6, 1.8, 1.4],
+         [0.3, 0.3, 0.7], [0.5, 1.2, 0.9]],
+        np.float32,
+    )
+    is_vehicle = np.array([1, 1, 1, 1, 1, 0, 0, 0, 0, 1], bool)
+    radii = np.array([4, 12, 10, 10, 12, 0.175, 0.85, 0.85, 0.175, 1], np.float32)
+
+    out = build_boxes(
+        jnp.asarray(centroids),
+        jnp.asarray(has_points),
+        jnp.asarray(labels),
+        jnp.asarray(scores),
+        jnp.asarray(lanes),
+        jnp.ones(64, bool),
+        jnp.asarray(ego_t),
+        jnp.asarray(priors),
+        jnp.asarray(is_vehicle),
+        jnp.asarray(radii),
+    )
+    # invalid mask slot never kept
+    assert not bool(out.keep[-1])
+    # non-vehicle (pedestrian) centers unchanged, yaw 0
+    for i in [3, 4]:
+        np.testing.assert_allclose(np.asarray(out.centers[i]), centroids[i], atol=1e-6)
+        assert float(out.yaws[i]) == 0.0
+    # vehicle pushback matches oracle given the assigned lane yaw
+    from scipy.spatial.distance import cdist
+
+    dm = cdist(centroids[:, :2], lanes[:, :2])
+    lane_idx = dm.argmin(1)
+    for i in [0, 1, 2]:
+        yaw = lanes[lane_idx[i], 2]
+        ref = push_centroid_oracle(centroids[i], priors[labels[i]], yaw, ego_t)
+        np.testing.assert_allclose(np.asarray(out.centers[i]), ref, rtol=1e-3, atol=1e-3)
