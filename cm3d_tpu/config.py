@@ -1,0 +1,145 @@
+"""Typed configuration tree for the whole pipeline.
+
+The reference scatters configuration over three mechanisms — hand-edited
+module constants, `cfg/prompt_cfg.py`, and JSON files — plus commented-out
+code blocks acting as feature flags (SURVEY.md §5). Here every knob is a
+dataclass field with the reference behavior as the default, and every
+"commentable block" is a real boolean.
+
+Class/threshold/prior VALUES are the reference's published configuration
+data (src/nuscenes/cfg/shape_priors_chatgpt.json, cfg/prompt_cfg.py:261-285,
+src/nuscenes/2d_to_3d.py:850-861,70-81) — they are part of the behavioral
+contract, not code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Sequence
+
+import numpy as np
+
+# Canonical nuScenes detection classes, fixed id order used on device.
+NUSCENES_CLASSES: tuple[str, ...] = (
+    "car",
+    "truck",
+    "bus",
+    "trailer",
+    "construction_vehicle",
+    "pedestrian",
+    "motorcycle",
+    "bicycle",
+    "traffic_cone",
+    "barrier",
+)
+
+CLASS_TO_ID: Mapping[str, int] = {c: i for i, c in enumerate(NUSCENES_CLASSES)}
+
+# Per-class box size priors (w, l, h) — reference cfg/shape_priors_chatgpt.json.
+SHAPE_PRIORS_CHATGPT: Mapping[str, tuple[float, float, float]] = {
+    "car": (1.8, 4.5, 1.4),
+    "truck": (2.6, 8.0, 3.6),
+    "bus": (2.5, 12.0, 4.0),
+    "trailer": (2.6, 12.0, 3.6),
+    "construction_vehicle": (2.0, 4.5, 2.5),
+    "pedestrian": (0.4, 0.7, 1.7),
+    "motorcycle": (0.8, 2.1, 1.7),
+    "bicycle": (0.6, 1.8, 1.4),
+    "traffic_cone": (0.3, 0.3, 0.7),
+    "barrier": (0.5, 1.2, 0.9),
+}
+
+# Classes that get lane-yaw orientation + centroid pushback
+# (reference 2d_to_3d.py:763).
+VEHICLE_CLASSES: frozenset[str] = frozenset(
+    {"car", "truck", "bus", "construction_vehicle", "trailer", "barrier"}
+)
+
+# BEV circle-NMS per-class thresholds, compared against SQUARED center
+# distance (reference 2d_to_3d.py:850-861, borrowed from CenterPoint).
+CIRCLE_NMS_THRESH: Mapping[str, float] = {
+    "barrier": 1.0,
+    "traffic_cone": 0.175,
+    "bicycle": 0.85,
+    "motorcycle": 0.85,
+    "pedestrian": 0.175,
+    "car": 4.0,
+    "bus": 10.0,
+    "construction_vehicle": 12.0,
+    "trailer": 10.0,
+    "truck": 12.0,
+}
+
+# Fixed attribute string per class in the submission JSON
+# (reference 2d_to_3d.py:70-81).
+ATTRIBUTE_NAMES: Mapping[str, str] = {
+    "barrier": "",
+    "traffic_cone": "",
+    "bicycle": "cycle.without_rider",
+    "motorcycle": "cycle.without_rider",
+    "pedestrian": "pedestrian.standing",
+    "car": "vehicle.stopped",
+    "bus": "vehicle.stopped",
+    "construction_vehicle": "vehicle.stopped",
+    "trailer": "vehicle.stopped",
+    "truck": "vehicle.stopped",
+}
+
+# Detection-name normalization (reference get_detection_name,
+# 2d_to_3d.py:122-132).
+DETECTION_NAME_FIXUPS: Mapping[str, str] = {
+    "trafficcone": "traffic_cone",
+    "constructionvehicle": "construction_vehicle",
+    "human": "pedestrian",
+}
+
+# Per-class 2D detector score thresholds (reference cfg/prompt_cfg.py:261-272;
+# all 0.10 in the shipped config).
+BOX_THRESHOLDS: Mapping[str, float] = {c: 0.10 for c in NUSCENES_CLASSES}
+
+
+def class_arrays(classes: Sequence[str] = NUSCENES_CLASSES):
+    """Device-ready per-class arrays: (shape_priors [C,3], is_vehicle [C],
+    nms_radius_sq [C])."""
+    priors = np.array([SHAPE_PRIORS_CHATGPT[c] for c in classes], np.float32)
+    is_vehicle = np.array([c in VEHICLE_CLASSES for c in classes], bool)
+    radii = np.array([CIRCLE_NMS_THRESH[c] for c in classes], np.float32)
+    return priors, is_vehicle, radii
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskStageConfig:
+    """2D mask generation stage (reference gen_2d_masks_detic.py)."""
+
+    score_thresh: float = 0.1  # Detic ROI_HEADS.SCORE_THRESH_TEST (:35)
+    nms_iou: float = 0.75  # class-wise 2D NMS (:361)
+    run_nms: bool = True  # ":349 run_nms = True"
+    thumbnail: int = 1024  # PIL thumbnail max side (:293)
+    multimask_output: bool = False  # SAM (:397)
+    max_detections: int = 128  # padded detections per image (TPU static shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class LiftStageConfig:
+    """2D->3D lifting stage (reference 2d_to_3d.py __main__)."""
+
+    num_sweeps: int = 3  # :437 (future sweeps via ['next'])
+    min_dist: float = 2.3  # :348
+    sqrt_min_dist_load_filter: bool = True  # :443-444 quirk
+    erode_masks: bool = True  # :526-528
+    image_ratio: float = 0.64  # :419,484 (1024/1600)
+    use_chatgpt_priors: bool = True  # :385
+    drivable_filter: bool = False  # :774-779 commented out in reference
+    lane_dist_filter: bool = False  # :781-786 commented out
+    max_points: int = 131072  # padded aggregated cloud size
+    max_masks: int = 128  # padded masks per keyframe
+    max_points_per_mask: int = 2048
+    max_lane_points: int = 32768  # padded per-scene lane points
+    run_circle_nms: bool = True  # :900-907
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    mask_stage: MaskStageConfig = MaskStageConfig()
+    lift_stage: LiftStageConfig = LiftStageConfig()
+    classes: tuple[str, ...] = NUSCENES_CLASSES
