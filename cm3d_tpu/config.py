@@ -132,8 +132,10 @@ class LiftStageConfig:
     drivable_filter: bool = False  # :774-779 commented out in reference
     lane_dist_filter: bool = False  # :781-786 commented out
     max_points: int = 131072  # padded aggregated cloud size
-    max_masks: int = 128  # padded masks per keyframe
+    max_masks: int = 128  # padded masks per keyframe (bit-packed on device)
     max_points_per_mask: int = 2048
+    max_points_per_camera: int = 32768  # per-camera frustum compaction depth
+    max_points_in_masks: int = 8192  # per-camera any-mask union compaction depth
     max_lane_points: int = 32768  # padded per-scene lane points
     run_circle_nms: bool = True  # :900-907
 

@@ -14,6 +14,7 @@ import numpy as np
 
 from cm3d_tpu.config import NUSCENES_CLASSES, LiftStageConfig
 from cm3d_tpu.datasets.types import CameraParams, Keyframe
+from cm3d_tpu.ops.bitmask import pack_masks_np
 
 
 def _yaw_quat(yaw: float) -> np.ndarray:
@@ -130,7 +131,7 @@ def make_keyframe(
         points=points,
         point_valid=point_valid,
         cameras=CameraParams(cam_ego_t, cam_ego_q, cam_t, cam_q, intr),
-        masks=masks,
+        mask_bits=pack_masks_np(masks),
         mask_cam=mask_cam,
         mask_label=mask_label,
         mask_score=mask_score,

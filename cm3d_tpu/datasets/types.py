@@ -35,7 +35,7 @@ class Keyframe(NamedTuple):
     points: jax.Array  # [N, 4] aggregated sweeps, GLOBAL frame
     point_valid: jax.Array  # [N] bool
     cameras: CameraParams
-    masks: jax.Array  # [M, W, H] bool, indexed [x, y]
+    mask_bits: jax.Array  # [W, H, ceil(M/32)] uint32 bit-packed masks, [x, y]
     mask_cam: jax.Array  # [M] int32
     mask_label: jax.Array  # [M] int32 canonical class id
     mask_score: jax.Array  # [M] float32

@@ -1,13 +1,18 @@
-"""Fused 2D->3D lifting: erode -> project -> frustum cull -> in-mask gather
--> compaction -> medoid, plus box building (lane yaw, pushback, circle NMS).
+"""Fused 2D->3D lifting: packed-mask erode -> project -> frustum cull ->
+per-camera compaction -> bit-test in-mask gather -> per-mask compaction ->
+medoid, plus box building (lane yaw, pushback, circle NMS).
 
 This one jittable function replaces the reference's per-mask Python loop
 (src/nuscenes/2d_to_3d.py:510-665) — which re-transforms the FULL aggregated
-point cloud once per mask — with:
-  * one projection per camera (masks of the same camera share it),
-  * a batched [M, N] in-mask gather,
-  * scatter-compaction of selected point indices into fixed [M, K] buffers,
-  * a batched chunked medoid.
+point cloud once per mask — with a TPU-shaped dataflow:
+
+  1. one projection per camera (masks of the same camera share it),
+  2. top_k compaction of in-frustum points per camera (N -> NC), order
+     preserving, so later stages never touch out-of-view points,
+  3. ONE uint32 word gather per (camera, point) from bit-packed masks
+     (cm3d_tpu.ops.bitmask) + vectorized bit tests -> [M, NC] membership,
+  4. top_k compaction per mask (NC -> K) of selected point ids,
+  5. batched chunked medoid over [M, K, 3].
 
 Everything is fixed-shape: points, masks and boxes are padded with validity
 masks, so the whole keyframe step compiles once and `vmap`s/shards over a
@@ -21,7 +26,8 @@ Reference semantics notes (deliberate quirk reproduction — see SURVEY.md §7):
 - The reference's `logical_and(floored_points, masked_pixels[...])`
   (2d_to_3d.py:608-613) implicitly drops points whose floored x or y is 0;
   reproduced via fx >= 1 & fy >= 1.
-- Masks are stored (W, H) i.e. indexed [x, y] (gen_2d_masks_detic.py:468).
+- Masks are indexed [x, y] (gen_2d_masks_detic.py:468); here bit-packed as
+  words[x, y, m//32] bit (m%32).
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from cm3d_tpu.geometry.pointcloud import project_to_camera
-from cm3d_tpu.ops.erosion import erode3x3
+from cm3d_tpu.ops.bitmask import erode3x3_packed, extract_bit
 from cm3d_tpu.ops.medoid import masked_medoid
 from cm3d_tpu.ops.nms import circle_nms_keep
 from cm3d_tpu.ops.pushback import push_centroid
@@ -45,7 +51,9 @@ class LiftParams:
     """Static configuration of the lift step (hashable; safe as a jit static)."""
 
     min_dist: float = 2.3  # camera-frame depth cutoff (reference :348,598)
-    max_points_per_mask: int = 2048  # K: compaction buffer depth
+    max_points_per_mask: int = 2048  # K: per-mask compaction depth
+    max_points_per_camera: int = 32768  # NC: per-camera compaction depth
+    max_points_in_masks: int = 8192  # NU: per-camera any-mask union depth
     erode: bool = True  # reference erodes every mask 3x3 (:526-528)
 
 
@@ -54,6 +62,23 @@ class LiftOutputs(NamedTuple):
     has_points: jax.Array  # [M] bool: mask produced a centroid
     point_counts: jax.Array  # [M] int32: points gathered (pre-truncation)
     truncated: jax.Array  # [M] bool: count exceeded K (silent loss in ref)
+    cam_truncated: jax.Array  # [C] bool: a camera overflowed NC
+
+
+def _compact_topk(sel: jax.Array, limit: int):
+    """Order-preserving compaction of boolean rows.
+
+    sel: [..., N] bool -> (ids [..., limit] int32 ascending positions of the
+    first `limit` True entries, valid [..., limit] bool). Selected entries get
+    strictly positive descending keys N-n, so top_k returns them in ascending
+    position order with exact count semantics; TPU top_k is ~10x faster than
+    the equivalent scatter-compaction.
+    """
+    n = sel.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(sel, n - iota, -iota)
+    vals, ids = jax.lax.top_k(key, limit)
+    return ids.astype(jnp.int32), vals > 0
 
 
 def lift_keyframe(
@@ -64,7 +89,7 @@ def lift_keyframe(
     cam_t: jax.Array,
     cam_q: jax.Array,
     cam_intrinsics: jax.Array,
-    masks: jax.Array,
+    mask_bits: jax.Array,
     mask_cam: jax.Array,
     mask_valid: jax.Array,
     params: LiftParams = LiftParams(),
@@ -78,18 +103,20 @@ def lift_keyframe(
       cam_t/[C,3], cam_q/[C,4]: camera extrinsics (sensor->ego).
       cam_intrinsics: [C,3,3], ALREADY scaled by the mask-resolution ratio
         with [2,2] reset to 1 (reference 2d_to_3d.py:585-587).
-      masks: [M, W, H] bool/uint8 instance masks, indexed [x, y].
+      mask_bits: [W, H, Mw] uint32 bit-packed instance masks (M <= Mw*32).
       mask_cam: [M] int32 camera index per mask.
       mask_valid: [M] bool.
     """
-    k = params.max_points_per_mask
-    m = masks.shape[0]
+    m = mask_cam.shape[0]
     n = points.shape[0]
-    w, h = masks.shape[1], masks.shape[2]
+    # Compaction depths never need to exceed the prior stage's size.
+    nc = min(params.max_points_per_camera, n)
+    k = min(params.max_points_per_mask, nc)
+    w, h, mw = mask_bits.shape
+    assert m <= mw * 32, f"{m} masks need {-(-m // 32)} words, got {mw}"
 
     if params.erode:
-        masks = erode3x3(masks)
-    masks = masks.astype(jnp.bool_)
+        mask_bits = erode3x3_packed(mask_bits)
 
     pts_xyz = points[:, :3].astype(jnp.float32)
 
@@ -102,6 +129,8 @@ def lift_keyframe(
     # proj: [C, N, 3]; depths: [C, N]
 
     px, py = proj[..., 0], proj[..., 1]
+    fx = jnp.floor(px).astype(jnp.int32)
+    fy = jnp.floor(py).astype(jnp.int32)
     in_image = (
         point_valid[None, :]
         & (depths > params.min_dist)
@@ -109,33 +138,50 @@ def lift_keyframe(
         & (px < w - 1)
         & (py > 0)
         & (py < h - 1)
+        # Reference quirk: floored coordinate 0 is dropped by the logical_and.
+        & (fx >= 1)
+        & (fy >= 1)
     )  # [C, N]
 
-    fx = jnp.floor(px).astype(jnp.int32)
-    fy = jnp.floor(py).astype(jnp.int32)
-    # Reference quirk: floored coordinate 0 is dropped by the logical_and.
-    in_image = in_image & (fx >= 1) & (fy >= 1)
+    # --- Per-camera compaction: indices of in-image points, order kept. ---
+    cam_ids, cam_ok = _compact_topk(in_image, nc)  # [C, NC]
+    n_in_image = jnp.sum(in_image, axis=1)  # [C]
+    cam_truncated = n_in_image > nc
 
-    flat_idx = jnp.clip(fx, 0, w - 1) * h + jnp.clip(fy, 0, h - 1)  # [C, N]
+    flat_all = jnp.clip(fx, 0, w - 1) * h + jnp.clip(fy, 0, h - 1)  # [C, N]
+    flat_c = jnp.take_along_axis(flat_all, cam_ids, axis=1)  # [C, NC]
+    flat_c = jnp.where(cam_ok, flat_c, 0)
 
-    # --- Batched in-mask gather: [M, N]. ---
-    mask_flat = masks.reshape(m, w * h)
-    idx_per_mask = flat_idx[mask_cam]  # [M, N]
-    inmask = jnp.take_along_axis(mask_flat, idx_per_mask, axis=1)
-    sel = inmask & in_image[mask_cam] & mask_valid[:, None]  # [M, N]
+    # --- One word gather per (camera, compacted point). ---
+    words_flat = mask_bits.reshape(w * h, mw)
+    wpts = words_flat[flat_c]  # [C, NC, Mw]
+
+    # --- Union compaction: only points under ANY mask bit go further. ---
+    nu = min(params.max_points_in_masks, nc)
+    k = min(k, nu)
+    union = jnp.any(wpts != 0, axis=-1) & cam_ok  # [C, NC]
+    u_pos, u_ok = _compact_topk(union, nu)  # [C, NU] into NC
+    cam_truncated = cam_truncated | (jnp.sum(union, axis=1) > nu)
+    wpts_u = jnp.take_along_axis(wpts, u_pos[..., None], axis=1)  # [C, NU, Mw]
+    wpts_u = jnp.where(u_ok[..., None], wpts_u, jnp.uint32(0))
+    ids_u = jnp.take_along_axis(cam_ids, u_pos, axis=1)  # [C, NU]
+
+    # --- Per-mask bit test: [M, NU]. ---
+    word_idx = (jnp.arange(m, dtype=jnp.int32) >> 5)  # [M]
+    rows = wpts_u[mask_cam, :, word_idx]  # [M, NU] uint32
+    inmask = extract_bit(rows, jnp.arange(m, dtype=jnp.int32))  # [M, NU]
+    sel = inmask & mask_valid[:, None]  # [M, NU]
 
     counts = jnp.sum(sel, axis=1).astype(jnp.int32)  # [M]
     has_points = (counts > 0) & mask_valid
     truncated = counts > k
 
-    # --- Scatter-compaction of selected point indices into [M, K]. ---
-    pos = jnp.cumsum(sel, axis=1, dtype=jnp.int32) - 1  # [M, N]
-    cols = jnp.where(sel, pos, k)  # k -> dropped
-    rows = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None], (m, n))
-    point_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (m, n))
-    idx_buf = jnp.zeros((m, k), jnp.int32).at[rows, cols].set(point_ids, mode="drop")
+    # --- Per-mask compaction NU -> K (ascending order preserved). ---
+    pos_k, valid_k = _compact_topk(sel, k)  # [M, K] into NU
+    ids_per_mask = ids_u[mask_cam]  # [M, NU] global point ids
+    idx_buf = jnp.take_along_axis(ids_per_mask, pos_k, axis=1)  # [M, K]
+    idx_buf = jnp.where(valid_k, idx_buf, 0)
 
-    valid_k = jnp.arange(k)[None, :] < jnp.minimum(counts, k)[:, None]  # [M, K]
     coords = pts_xyz[idx_buf]  # [M, K, 3]
 
     # --- Medoid per mask (reference get_medoid, 2d_to_3d.py:116-119). ---
@@ -144,7 +190,7 @@ def lift_keyframe(
     centroids = pts_xyz[med_global]
     centroids = jnp.where(has_points[:, None], centroids, 0.0)
 
-    return LiftOutputs(centroids, has_points, counts, truncated)
+    return LiftOutputs(centroids, has_points, counts, truncated, cam_truncated)
 
 
 class BoxOutputs(NamedTuple):

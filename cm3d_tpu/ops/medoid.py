@@ -34,10 +34,20 @@ def masked_medoid(points: jax.Array, valid: jax.Array) -> jax.Array:
     """Batched medoid. points [M, K, 3], valid [M, K] -> [M] int32.
 
     For each m: argmin_i sum_j valid_j * ||p_i - p_j||_2 over valid i.
-    Distances use direct coordinate differences (not the |a|^2+|b|^2-2ab
-    matmul trick) to avoid catastrophic cancellation on ~1e3-magnitude
-    global-frame coordinates.
+    On TPU the distance sums run in a Pallas kernel with exact fp32
+    per-dimension differences (cm3d_tpu.kernels.medoid_pallas); elsewhere a
+    chunked XLA scan with a centered |a|^2+|b|^2-2ab MXU expansion.
     """
+    if jax.default_backend() == "tpu":
+        from cm3d_tpu.kernels.medoid_pallas import medoid_distance_sums_pallas
+
+        sums = medoid_distance_sums_pallas(points.astype(jnp.float32), valid)
+        sums = jnp.where(valid, sums, jnp.inf)
+        return jnp.argmin(sums, axis=-1).astype(jnp.int32)
+    return _masked_medoid_xla(points, valid)
+
+
+def _masked_medoid_xla(points: jax.Array, valid: jax.Array) -> jax.Array:
     m, k, _ = points.shape
     chunk = min(_CHUNK, k)
     n_chunks = -(-k // chunk)
@@ -46,15 +56,31 @@ def masked_medoid(points: jax.Array, valid: jax.Array) -> jax.Array:
         points = jnp.pad(points, ((0, 0), (0, pad_k - k), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, pad_k - k)))
 
-    pts_f32 = points.astype(jnp.float32)
     validf = valid.astype(jnp.float32)
 
+    # Center each mask's point set before the |a|^2+|b|^2-2ab expansion:
+    # global-frame coordinates are ~1e3 while object extents are ~1e1, and
+    # the matmul trick is catastrophically cancellation-prone at that ratio.
+    # After centering, coordinates are object-sized and fp32 squares are safe.
+    n_valid = jnp.maximum(jnp.sum(validf, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(points * validf[..., None], axis=1, keepdims=True) / n_valid[..., None]
+    pts_f32 = ((points - mean) * validf[..., None]).astype(jnp.float32)
+
+    sq = jnp.sum(pts_f32 * pts_f32, axis=-1)  # [M, K]
+
     def body(carry, i_chunk):
-        # rows [M, chunk, 3] of this chunk vs all columns [M, K, 3]
         start = i_chunk * chunk
         rows = jax.lax.dynamic_slice_in_dim(pts_f32, start, chunk, axis=1)
-        diff = rows[:, :, None, :] - pts_f32[:, None, :, :]  # [M, chunk, K, 3]
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # [M, chunk, K]
+        rows_sq = jax.lax.dynamic_slice_in_dim(sq, start, chunk, axis=1)
+        # [M, chunk, K] = rows @ pts^T on the MXU (fp32-exact accumulation).
+        cross = jax.lax.dot_general(
+            rows,
+            pts_f32,
+            (((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = rows_sq[:, :, None] + sq[:, None, :] - 2.0 * cross
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
         sums = jnp.sum(dist * validf[:, None, :], axis=-1)  # [M, chunk]
         return carry, sums
 

@@ -36,7 +36,7 @@ def keyframe_step(
         frame.cameras.cam_translation,
         frame.cameras.cam_rotation,
         frame.cameras.intrinsics,
-        frame.masks,
+        frame.mask_bits,
         frame.mask_cam,
         frame.mask_valid,
         lift_params,
@@ -63,6 +63,8 @@ def make_keyframe_step_fn(cfg: LiftStageConfig = LiftStageConfig()):
     lift_params = LiftParams(
         min_dist=cfg.min_dist,
         max_points_per_mask=cfg.max_points_per_mask,
+        max_points_per_camera=cfg.max_points_per_camera,
+        max_points_in_masks=cfg.max_points_in_masks,
         erode=cfg.erode_masks,
     )
 

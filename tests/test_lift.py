@@ -5,6 +5,7 @@ import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
 
 from cm3d_tpu.ops import LiftParams, lift_keyframe
+from cm3d_tpu.ops.bitmask import pack_masks_np
 from cm3d_tpu.ops.lift import build_boxes
 from oracle import lift_mask_oracle, push_centroid_oracle
 
@@ -59,7 +60,7 @@ def test_lift_matches_oracle():
         jnp.asarray(cam_t[None].astype(np.float32)),
         jnp.asarray(cam_q[None].astype(np.float32)),
         jnp.asarray(intr[None].astype(np.float32)),
-        jnp.asarray(masks),
+        jnp.asarray(pack_masks_np(masks)),
         jnp.zeros(m, jnp.int32),
         jnp.ones(m, bool),
         params,
@@ -93,7 +94,7 @@ def test_lift_erosion_shrinks_counts():
         jnp.asarray(cam_t[None].astype(np.float32)),
         jnp.asarray(cam_q[None].astype(np.float32)),
         jnp.asarray(intr[None].astype(np.float32)),
-        jnp.asarray(masks),
+        jnp.asarray(pack_masks_np(masks)),
         jnp.zeros(m, jnp.int32),
         jnp.ones(m, bool),
     )
@@ -117,7 +118,7 @@ def test_lift_invalid_masks_and_points():
         jnp.asarray(cam_t[None].astype(np.float32)),
         jnp.asarray(cam_q[None].astype(np.float32)),
         jnp.asarray(intr[None].astype(np.float32)),
-        jnp.asarray(masks),
+        jnp.asarray(pack_masks_np(masks)),
         jnp.zeros(m, jnp.int32),
         jnp.asarray(mvalid),
         LiftParams(erode=False),
@@ -136,7 +137,7 @@ def test_lift_invalid_masks_and_points():
         jnp.asarray(cam_t[None].astype(np.float32)),
         jnp.asarray(cam_q[None].astype(np.float32)),
         jnp.asarray(intr[None].astype(np.float32)),
-        jnp.asarray(masks),
+        jnp.asarray(pack_masks_np(masks)),
         jnp.zeros(m, jnp.int32),
         jnp.ones(m, bool),
         LiftParams(erode=False),
