@@ -1,0 +1,98 @@
+"""Detection-eval CLI (reference eval_custom.py argparse main, :1164-1215).
+
+Two GT sources:
+  --gt_json: hermetic mode — a JSON file {"ego_translations": {token: [x,y,z]},
+    "boxes": {token: [DetectionBox dicts]}} (used by tests/CI and by the
+    fusion alpha search).
+  --dataroot/--version/--eval_set: nuScenes table mode (loads GT through
+    cm3d_tpu.datasets.nuscenes).
+
+Usage:
+  python -m cm3d_tpu.eval RESULTS.json --gt_json GT.json [--object_only 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from cm3d_tpu.eval.boxes import EvalBoxes, load_prediction
+from cm3d_tpu.eval.config import (
+    DETECTION_CVPR_2019,
+    RARE_CONFIG,
+    DetectionEvalConfig,
+)
+from cm3d_tpu.eval.evaluate import DetectionEval
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser(
+        description="Evaluate nuScenes-format detection results.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("result_path", type=str, help="submission JSON")
+    parser.add_argument("--output_dir", type=str, default="./nuscenes-metrics")
+    parser.add_argument("--eval_set", type=str, default="val")
+    parser.add_argument("--dataroot", type=str, default="")
+    parser.add_argument("--version", type=str, default="v1.0-trainval")
+    parser.add_argument("--gt_json", type=str, default="",
+                        help="hermetic GT file (see module docstring)")
+    parser.add_argument("--config_path", type=str, default="",
+                        help="DetectionEvalConfig JSON; '' = cvpr_2019, "
+                        "'rare' = rare-class config")
+    parser.add_argument("--verbose", type=int, default=1)
+    parser.add_argument("--drivable_filtering", type=int, default=0)
+    parser.add_argument("--object_only", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    if args.config_path == "":
+        cfg = DETECTION_CVPR_2019
+    elif args.config_path == "rare":
+        cfg = RARE_CONFIG
+    else:
+        with open(args.config_path) as f:
+            cfg = DetectionEvalConfig.deserialize(json.load(f))
+
+    pred_boxes, meta = load_prediction(
+        os.path.expanduser(args.result_path), cfg.max_boxes_per_sample
+    )
+
+    if args.gt_json:
+        with open(os.path.expanduser(args.gt_json)) as f:
+            gt_data = json.load(f)
+        gt_boxes = EvalBoxes.deserialize(gt_data["boxes"])
+        ego_translations = {
+            t: tuple(v) for t, v in gt_data["ego_translations"].items()
+        }
+        bikeracks = gt_data.get("bikerack_boxes")
+        map_geometry = None
+    else:
+        from cm3d_tpu.datasets.nuscenes import load_gt_for_eval
+
+        gt_boxes, ego_translations, bikeracks, map_geometry = load_gt_for_eval(
+            args.dataroot,
+            args.version,
+            args.eval_set,
+            rare=len(cfg.class_range) > 10,
+            need_map=bool(args.drivable_filtering),
+        )
+
+    ev = DetectionEval(
+        gt_boxes=gt_boxes,
+        pred_boxes=pred_boxes,
+        cfg=cfg,
+        ego_translations=ego_translations,
+        output_dir=os.path.expanduser(args.output_dir),
+        bikerack_boxes=bikeracks,
+        map_geometry=map_geometry,
+        drivable_filtering=bool(args.drivable_filtering),
+        object_only=bool(args.object_only),
+        meta=meta,
+        verbose=bool(args.verbose),
+    )
+    return ev.main()
+
+
+if __name__ == "__main__":
+    main()

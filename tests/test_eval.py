@@ -1,0 +1,203 @@
+"""Detection eval: hand-computed scenarios + reference quirk coverage."""
+
+import numpy as np
+
+from cm3d_tpu.eval import (
+    DetectionBox,
+    EvalBoxes,
+    DETECTION_CVPR_2019,
+    RARE_CONFIG,
+    accumulate,
+    calc_ap,
+    calc_tp,
+    evaluate_boxes,
+)
+from cm3d_tpu.eval.algo import (
+    angle_diff,
+    attr_acc,
+    cummean,
+    quaternion_yaw,
+    scale_iou,
+    yaw_diff,
+    _conf_sort_indices,
+)
+from cm3d_tpu.eval.boxes import add_center_dist_from_poses
+from cm3d_tpu.eval.evaluate import MapGeometry, filter_eval_boxes, point_in_polygon
+
+
+def _box(token, xy, name="car", score=-1.0, size=(2.0, 4.0, 1.5), yaw=0.0,
+         vel=(0.0, 0.0), attr="", num_pts=-1):
+    return DetectionBox(
+        sample_token=token,
+        translation=(xy[0], xy[1], 1.0),
+        size=size,
+        rotation=(np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)),
+        velocity=vel,
+        detection_name=name,
+        detection_score=score,
+        attribute_name=attr,
+        num_pts=num_pts,
+    )
+
+
+def _eval_boxes(boxes):
+    eb = EvalBoxes()
+    tokens = {}
+    for b in boxes:
+        tokens.setdefault(b.sample_token, []).append(b)
+    for t, bs in tokens.items():
+        eb.add_boxes(t, bs)
+    return eb
+
+
+def test_primitives():
+    a = _box("s", (0, 0), size=(2, 4, 2))
+    b = _box("s", (0, 0), size=(1, 2, 1))
+    # intersection 1*2*1=2, union 16+2-2=16
+    assert abs(scale_iou(a, b) - 2 / 16) < 1e-9
+
+    assert abs(quaternion_yaw((np.cos(0.4), 0, 0, np.sin(0.4))) - 0.8) < 1e-9
+    assert abs(angle_diff(0.1, 2 * np.pi - 0.1, 2 * np.pi) - 0.2) < 1e-9
+    g = _box("s", (0, 0), yaw=np.pi - 0.05)
+    p = _box("s", (0, 0), yaw=-np.pi + 0.05)
+    assert abs(yaw_diff(g, p) - 0.1) < 1e-6
+
+    assert np.isnan(attr_acc(_box("s", (0, 0), attr=""), p))
+    assert attr_acc(_box("s", (0, 0), attr="vehicle.stopped"),
+                    _box("s", (0, 0), attr="vehicle.stopped")) == 1.0
+
+    x = np.array([1.0, np.nan, 3.0])
+    np.testing.assert_allclose(cummean(x), [1.0, 1.0, 2.0])
+    np.testing.assert_allclose(cummean(np.array([np.nan, np.nan])), [1.0, 1.0])
+
+
+def test_conf_sort_tie_break_higher_index_first():
+    # reference quirk: ties break toward the higher original index
+    assert _conf_sort_indices([0.5, 0.9, 0.5]) == [1, 2, 0]
+
+
+def test_accumulate_half_recall():
+    gt = _eval_boxes([_box("s1", (0, 0)), _box("s1", (50, 50))])
+    pred = _eval_boxes([_box("s1", (0.5, 0), score=0.9)])
+    rec, md = accumulate(gt, pred, "car", dist_th=2.0)
+    assert abs(rec - 0.5) < 1e-9
+    # precision 1.0 up to recall 0.5, then 0
+    assert md.precision[50] == 1.0 and md.precision[51] == 0.0
+    ap = calc_ap(md, 0.1, 0.1)
+    # indices 11..100: 40 entries at (1-0.1), 50 at 0 -> mean/0.9
+    assert abs(ap - (40 * 0.9 / 90) / 0.9) < 1e-9
+
+
+def test_accumulate_perfect():
+    boxes = [_box("s1", (0, 0), attr="vehicle.stopped"),
+             _box("s1", (10, 0), attr="vehicle.stopped"),
+             _box("s2", (5, 5), attr="vehicle.stopped")]
+    gt = _eval_boxes(boxes)
+    pred = _eval_boxes([
+        _box(b.sample_token, b.translation[:2], score=0.8, attr="vehicle.stopped")
+        for b in boxes
+    ])
+    rec, md = accumulate(gt, pred, "car", dist_th=0.5)
+    assert rec == 1.0
+    assert abs(calc_ap(md, 0.1, 0.1) - 1.0) < 1e-9
+    assert abs(calc_tp(md, 0.1, "trans_err")) < 1e-9
+    assert abs(calc_tp(md, 0.1, "attr_err")) < 1e-9
+
+
+def test_greedy_matching_takes_closest_untaken():
+    # two preds near one gt: high-conf pred takes it, second becomes FP
+    gt = _eval_boxes([_box("s1", (0, 0))])
+    pred = _eval_boxes([
+        _box("s1", (0.2, 0), score=0.9),
+        _box("s1", (0.1, 0), score=0.5),
+    ])
+    rec, md = accumulate(gt, pred, "car", dist_th=2.0)
+    assert rec == 1.0
+    # precision at max recall: 1 TP then 1 FP -> final precision 0.5
+    assert md.precision[100] == 0.0 or md.precision[50] > 0
+
+
+def test_object_only_matches_across_classes():
+    gt = _eval_boxes([_box("s1", (0, 0), name="truck")])
+    pred = _eval_boxes([_box("s1", (0.1, 0), name="car", score=0.9)])
+    rec_cls, _ = accumulate(gt, pred, "truck", dist_th=2.0)
+    assert rec_cls == 0.0  # class mode: no truck preds
+    rec_obj, md = accumulate(gt, pred, None, dist_th=2.0)
+    assert rec_obj == 1.0  # object mode ignores class
+
+
+def test_missing_class_no_predictions():
+    gt = _eval_boxes([_box("s1", (0, 0), name="car")])
+    pred = _eval_boxes([_box("s1", (0, 0), name="car", score=0.5)])
+    rec, md = accumulate(gt, pred, "bus", dist_th=2.0)
+    assert rec == 0.0
+    assert calc_ap(md, 0.1, 0.1) == 0.0
+    assert calc_tp(md, 0.1, "trans_err") == 1.0  # last_ind < first_ind
+
+
+def test_filtering_distance_numpts_and_drivable():
+    boxes = [
+        _box("s1", (10, 0), num_pts=5),     # keep
+        _box("s1", (100, 0), num_pts=5),    # too far (car range 50)
+        _box("s1", (5, 0), num_pts=0),      # zero points
+    ]
+    eb = _eval_boxes(boxes)
+    eb = add_center_dist_from_poses(eb, {"s1": (0.0, 0.0, 0.0)})
+    out = filter_eval_boxes(eb, DETECTION_CVPR_2019.class_range)
+    assert len(out["s1"]) == 1
+
+    # drivable: square [0,20]^2
+    geom = MapGeometry([(np.array([[0, 0], [20, 0], [20, 20], [0, 20]]), [])])
+    eb2 = _eval_boxes([_box("s1", (10, 10), num_pts=3),
+                       _box("s1", (30, 30), num_pts=3)])
+    eb2 = add_center_dist_from_poses(eb2, {"s1": (0.0, 0.0, 0.0)})
+    out2 = filter_eval_boxes(eb2, DETECTION_CVPR_2019.class_range, map_geometry=geom)
+    assert len(out2["s1"]) == 1
+    assert out2["s1"][0].translation[0] == 10
+
+
+def test_point_in_polygon_with_hole():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], float)
+    geom = MapGeometry([(ring, [hole])])
+    assert geom.contains(2, 2)
+    assert not geom.contains(5, 5)  # inside the hole
+    assert not geom.contains(11, 5)
+    assert point_in_polygon(5.0, 5.0, ring)
+
+
+def test_full_eval_and_nds():
+    gt = _eval_boxes([
+        _box("s1", (0, 0), attr="vehicle.stopped", num_pts=10),
+        _box("s1", (10, 0), name="pedestrian", size=(0.5, 0.5, 1.8),
+             attr="pedestrian.standing", num_pts=4),
+    ])
+    pred = _eval_boxes([
+        _box("s1", (0.1, 0), score=0.9, attr="vehicle.stopped"),
+        _box("s1", (10.1, 0), name="pedestrian", size=(0.5, 0.5, 1.8),
+             score=0.8, attr="pedestrian.standing"),
+    ])
+    metrics, md_list, recalls = evaluate_boxes(gt, pred, DETECTION_CVPR_2019)
+    s = metrics.serialize()
+    assert abs(s["mean_dist_aps"]["car"] - 1.0) < 1e-9
+    assert abs(s["mean_dist_aps"]["pedestrian"] - 1.0) < 1e-9
+    # 8 absent classes contribute 0 AP
+    assert abs(s["mean_ap"] - 2 / 10) < 1e-9
+    assert 0 < s["nd_score"] < 1
+    # trans err ~0.1 for both matched classes
+    assert abs(s["label_tp_errors"]["car"]["trans_err"] - 0.1) < 1e-6
+
+    # rare config has 12 classes
+    m2, _, _ = evaluate_boxes(gt, pred, RARE_CONFIG)
+    assert len(m2.serialize()["mean_dist_aps"]) == 12
+
+
+def test_object_only_eval():
+    gt = _eval_boxes([_box("s1", (0, 0), name="truck", num_pts=5)])
+    pred = _eval_boxes([_box("s1", (0.1, 0), name="car", score=0.9)])
+    metrics, _, recalls = evaluate_boxes(gt, pred, DETECTION_CVPR_2019,
+                                         object_only=True)
+    s = metrics.serialize()
+    assert list(s["mean_dist_aps"].keys()) == ["object"]
+    assert s["mean_dist_aps"]["object"] > 0.8
+    assert recalls[0] == 1.0
