@@ -1,0 +1,134 @@
+"""Mask artifact store: the checkpoint between the 2D and lifting stages.
+
+The reference's only checkpoint/resume mechanism is this file contract
+(SURVEY.md §5): per scene directory, `{frame}_data.json` holding labels /
+detection_scores / cam_nums and `{frame}_masks.pkl` holding a pickled list
+of COCO-RLE dicts (gen_2d_masks_detic.py:497-506; consumed at
+2d_to_3d.py:422-428). We keep the exact layout — it is load-bearing for
+parity testing against reference-generated artifacts — and add what the
+reference lacks: an explicit completion manifest so resume is a set
+difference instead of "rerun and hope" (SURVEY.md §5 failure-detection row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from cm3d_tpu.ops import rle
+
+MANIFEST_NAME = "_manifest.json"
+
+
+@dataclasses.dataclass
+class FrameMasks:
+    """One frame's 2D-stage output."""
+
+    labels: List[str]
+    detection_scores: List[float]
+    cam_nums: List[int]
+    masks: np.ndarray  # [M, W, H] uint8 (mask arrays are [x, y]-indexed)
+
+    def __post_init__(self):
+        n = len(self.labels)
+        assert len(self.detection_scores) == n
+        assert len(self.cam_nums) == n
+        assert self.masks.shape[0] == n
+
+
+class MaskArtifactStore:
+    """Reference-layout artifact store with manifest-based resume."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+
+    def _scene_dir(self, scene_name: str) -> Path:
+        return self.root / scene_name
+
+    # -- write ------------------------------------------------------------
+
+    def write_frame(self, scene_name: str, frame_num: int, fm: FrameMasks) -> None:
+        d = self._scene_dir(scene_name)
+        d.mkdir(parents=True, exist_ok=True)
+        data = {
+            "labels": fm.labels,
+            "detection_scores": [float(s) for s in fm.detection_scores],
+            "cam_nums": [int(c) for c in fm.cam_nums],
+        }
+        tmp = d / f".{frame_num}_data.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, d / f"{frame_num}_data.json")
+
+        rles = rle.encode_many(fm.masks)
+        tmp = d / f".{frame_num}_masks.pkl.tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(rles, f)
+        os.replace(tmp, d / f"{frame_num}_masks.pkl")
+
+    def mark_scene_complete(self, scene_name: str, num_frames: int) -> None:
+        manifest = self.load_manifest()
+        manifest[scene_name] = num_frames
+        tmp = self.root / (MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.root / MANIFEST_NAME)
+
+    # -- read -------------------------------------------------------------
+
+    def load_manifest(self) -> Dict[str, int]:
+        p = self.root / MANIFEST_NAME
+        if p.exists():
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def completed_scenes(self) -> set:
+        return set(self.load_manifest().keys())
+
+    def remaining_scenes(self, all_scenes: Sequence[str]) -> List[str]:
+        """Resume = set difference on the manifest (idempotent work units)."""
+        done = self.completed_scenes()
+        return [s for s in all_scenes if s not in done]
+
+    def has_frame(self, scene_name: str, frame_num: int) -> bool:
+        d = self._scene_dir(scene_name)
+        return (d / f"{frame_num}_data.json").exists() and (
+            d / f"{frame_num}_masks.pkl"
+        ).exists()
+
+    def read_frame(self, scene_name: str, frame_num: int) -> Optional[FrameMasks]:
+        """Returns None (and does not raise) on missing/corrupt artifacts —
+        skip-and-log semantics replacing the reference's bare KeyError crash."""
+        d = self._scene_dir(scene_name)
+        try:
+            with open(d / f"{frame_num}_data.json") as f:
+                data = json.load(f)
+            with open(d / f"{frame_num}_masks.pkl", "rb") as f:
+                rles = pickle.load(f)
+        except (OSError, json.JSONDecodeError, pickle.UnpicklingError, EOFError):
+            return None
+        masks = rle.decode_many(rles)
+        return FrameMasks(
+            labels=data["labels"],
+            detection_scores=data["detection_scores"],
+            cam_nums=data["cam_nums"],
+            masks=masks,
+        )
+
+    def frame_numbers(self, scene_name: str) -> List[int]:
+        d = self._scene_dir(scene_name)
+        if not d.is_dir():
+            return []
+        out = []
+        for p in d.glob("*_data.json"):
+            stem = p.name[: -len("_data.json")]
+            if stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)

@@ -1,0 +1,96 @@
+/* COCO-compatible run-length codec for binary masks.
+ *
+ * TPU-native rebuild of the reference's pycocotools.mask.encode/decode
+ * dependency (src/nuscenes/gen_2d_masks_detic.py:471,
+ * src/nuscenes/2d_to_3d.py:425). RLE is host I/O work, not TPU work
+ * (SURVEY.md §2.2), so it lives in C feeding device buffers.
+ *
+ * Wire format (identical to the public COCO API):
+ *   - column-major (Fortran) scan of an h x w uint8 mask,
+ *   - alternating run counts starting with the zero-run,
+ *   - counts delta-coded against count[i-2] for i >= 2,
+ *   - each value emitted as little-endian 5-bit groups with a continuation
+ *     bit, biased by 48 into printable ASCII.
+ *
+ * Built with: cc -O3 -shared -fPIC rle.c -o librle.so (see native/__init__.py)
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* Encode alternating run counts of a Fortran-order mask.
+ * mask: h*w bytes, column-major. out_counts: caller-allocated, capacity
+ * h*w+1 entries. Returns number of counts. */
+long rle_runs_encode(const uint8_t *mask, long h, long w, uint32_t *out_counts) {
+    long n = h * w;
+    long m = 0;
+    uint32_t cnt = 0;
+    uint8_t prev = 0; /* runs start with zeros */
+    for (long i = 0; i < n; i++) {
+        uint8_t v = mask[i] ? 1 : 0;
+        if (v != prev) {
+            out_counts[m++] = cnt;
+            cnt = 0;
+            prev = v;
+        }
+        cnt++;
+    }
+    out_counts[m++] = cnt;
+    return m;
+}
+
+/* Decode run counts into a Fortran-order mask buffer of h*w bytes. */
+void rle_runs_decode(const uint32_t *counts, long m, uint8_t *mask, long n) {
+    long pos = 0;
+    uint8_t v = 0;
+    for (long i = 0; i < m && pos < n; i++) {
+        uint32_t c = counts[i];
+        if ((long)c > n - pos) c = (uint32_t)(n - pos);
+        memset(mask + pos, v, c);
+        pos += c;
+        v = !v;
+    }
+}
+
+/* Compress counts to the COCO ASCII string. out capacity must be >=
+ * m * 7 + 1. Returns string length. */
+long rle_string_encode(const uint32_t *counts, long m, char *out) {
+    long p = 0;
+    for (long i = 0; i < m; i++) {
+        int64_t x = (int64_t)counts[i];
+        if (i > 2) x -= (int64_t)counts[i - 2];
+        int more = 1;
+        while (more) {
+            int64_t c = x & 0x1f;
+            x >>= 5;
+            more = (c & 0x10) ? (x != -1) : (x != 0);
+            if (more) c |= 0x20;
+            out[p++] = (char)(c + 48);
+        }
+    }
+    out[p] = 0;
+    return p;
+}
+
+/* Decompress the COCO ASCII string. out_counts capacity: strlen(s) entries
+ * is always enough. Returns number of counts. */
+long rle_string_decode(const char *s, long slen, uint32_t *out_counts) {
+    long m = 0;
+    long p = 0;
+    while (p < slen) {
+        int64_t x = 0;
+        int k = 0;
+        int more = 1;
+        while (more && p < slen) {
+            int64_t c = (int64_t)(s[p++]) - 48;
+            x |= (c & 0x1f) << (5 * k);
+            more = (int)(c & 0x20);
+            k++;
+            if (!more && (c & 0x10)) x |= (int64_t)(-1) << (5 * k);
+        }
+        if (m > 2) x += (int64_t)out_counts[m - 2];
+        out_counts[m++] = (uint32_t)x;
+    }
+    return m;
+}

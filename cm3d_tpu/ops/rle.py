@@ -1,0 +1,165 @@
+"""COCO RLE mask codec: C fast path + numpy fallback.
+
+Drop-in for the reference's pycocotools usage: `encode` takes a
+Fortran-contiguous uint8 [h, w] array and returns {"size": [h, w],
+"counts": bytes}; `decode` inverts it. Byte-compatible with pycocotools, so
+mask artifacts interoperate with the reference's .pkl files
+(gen_2d_masks_detic.py:471, 2d_to_3d.py:425).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _lib():
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB_TRIED = True
+        from cm3d_tpu.native import build_shared_lib
+
+        lib = build_shared_lib(["rle.c"], "librle")
+        if lib is not None:
+            lib.rle_runs_encode.restype = ctypes.c_long
+            lib.rle_runs_decode.restype = None
+            lib.rle_string_encode.restype = ctypes.c_long
+            lib.rle_string_decode.restype = ctypes.c_long
+            _LIB = lib
+    return _LIB
+
+
+def encode(mask: np.ndarray) -> Dict:
+    """Encode a binary mask. mask: [h, w] uint8/bool (column-major scan)."""
+    assert mask.ndim == 2
+    h, w = mask.shape
+    flat = np.asfortranarray(mask.astype(np.uint8)).ravel(order="F")
+    lib = _lib()
+    if lib is not None:
+        counts = np.empty(h * w + 1, np.uint32)
+        m = lib.rle_runs_encode(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_long(h),
+            ctypes.c_long(w),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        out = ctypes.create_string_buffer(int(m) * 7 + 1)
+        n = lib.rle_string_encode(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_long(m),
+            out,
+        )
+        return {"size": [h, w], "counts": out.raw[:n]}
+    return {"size": [h, w], "counts": _string_encode_np(_runs_encode_np(flat))}
+
+
+def decode(rle: Dict) -> np.ndarray:
+    """Decode to an [h, w] uint8 mask (inverse of `encode`)."""
+    h, w = rle["size"]
+    counts_b = rle["counts"]
+    if isinstance(counts_b, str):
+        counts_b = counts_b.encode()
+    lib = _lib()
+    if lib is not None:
+        cbuf = np.empty(max(len(counts_b), 1), np.uint32)
+        m = lib.rle_string_decode(
+            ctypes.c_char_p(counts_b),
+            ctypes.c_long(len(counts_b)),
+            cbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        flat = np.zeros(h * w, np.uint8)
+        lib.rle_runs_decode(
+            cbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_long(m),
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_long(h * w),
+        )
+    else:
+        counts = _string_decode_np(counts_b)
+        flat = _runs_decode_np(counts, h * w)
+    return flat.reshape((h, w), order="F")
+
+
+def encode_many(masks: np.ndarray) -> List[Dict]:
+    """Encode [M, h, w] stacked masks."""
+    return [encode(m) for m in masks]
+
+
+def decode_many(rles: List[Dict]) -> np.ndarray:
+    """Decode a list of same-size RLEs to [M, h, w]."""
+    if not rles:
+        return np.zeros((0, 0, 0), np.uint8)
+    return np.stack([decode(r) for r in rles], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# numpy fallback (byte-identical output)
+# ---------------------------------------------------------------------------
+
+def _runs_encode_np(flat: np.ndarray) -> np.ndarray:
+    if len(flat) == 0:
+        return np.array([0], np.int64)
+    changes = np.flatnonzero(np.diff(flat)) + 1
+    bounds = np.concatenate([[0], changes, [len(flat)]])
+    counts = np.diff(bounds)
+    if flat[0] != 0:  # runs start with the zero-run, possibly empty
+        counts = np.concatenate([[0], counts])
+    return counts.astype(np.int64)
+
+
+def _runs_decode_np(counts: np.ndarray, n: int) -> np.ndarray:
+    flat = np.zeros(n, np.uint8)
+    pos = 0
+    v = 0
+    for c in counts:
+        c = min(int(c), n - pos)
+        if v:
+            flat[pos : pos + c] = 1
+        pos += c
+        v ^= 1
+        if pos >= n:
+            break
+    return flat
+
+
+def _string_encode_np(counts: np.ndarray) -> bytes:
+    out = bytearray()
+    for i, cnt in enumerate(counts):
+        x = int(cnt)
+        if i > 2:
+            x -= int(counts[i - 2])
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(c + 48)
+    return bytes(out)
+
+
+def _string_decode_np(s: bytes) -> np.ndarray:
+    counts = []
+    p = 0
+    while p < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more and p < len(s):
+            c = s[p] - 48
+            p += 1
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return np.asarray(counts, np.int64)

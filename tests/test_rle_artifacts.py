@@ -1,0 +1,93 @@
+"""RLE codec (C + numpy paths, byte-identical) and the artifact store."""
+
+import numpy as np
+import pytest
+
+from cm3d_tpu.ops import rle
+from cm3d_tpu.datasets.artifacts import FrameMasks, MaskArtifactStore
+
+RNG = np.random.default_rng(9)
+
+
+def test_rle_roundtrip_random():
+    for shape in [(1, 1), (7, 5), (64, 48), (576, 1024)]:
+        m = (RNG.random(shape) > 0.7).astype(np.uint8)
+        out = rle.decode(rle.encode(m))
+        np.testing.assert_array_equal(out, m)
+
+
+def test_rle_known_values():
+    # single set pixel: counts are [0, 1] -> "01"
+    assert rle.encode(np.array([[1]], np.uint8))["counts"] == b"01"
+    # all zeros 2x2: counts [4] -> "4" -> char(4+48)='4'
+    assert rle.encode(np.zeros((2, 2), np.uint8))["counts"] == b"4"
+
+
+def test_rle_c_and_numpy_paths_identical():
+    m = (RNG.random((100, 80)) > 0.5).astype(np.uint8)
+    c_rle = rle.encode(m)
+    np_counts = rle._string_encode_np(
+        rle._runs_encode_np(np.asfortranarray(m).ravel(order="F"))
+    )
+    if rle._lib() is not None:
+        assert c_rle["counts"] == np_counts
+    # numpy decode of C bytes
+    flat = rle._runs_decode_np(rle._string_decode_np(c_rle["counts"]), m.size)
+    np.testing.assert_array_equal(flat.reshape(m.shape, order="F"), m)
+
+
+def test_rle_fortran_order_matters():
+    m = np.array([[1, 0], [0, 0]], np.uint8)  # pixel (0,0) set
+    # column-major: first element is 1 -> leading zero-run count 0
+    assert rle.encode(m)["counts"][0:1] == b"0"
+
+
+def test_artifact_store_roundtrip(tmp_path):
+    store = MaskArtifactStore(tmp_path)
+    masks = (RNG.random((3, 32, 24)) > 0.6).astype(np.uint8)
+    fm = FrameMasks(
+        labels=["car", "pedestrian", "bus"],
+        detection_scores=[0.9, 0.5, 0.3],
+        cam_nums=[0, 2, 5],
+        masks=masks,
+    )
+    store.write_frame("scene-0001", 7, fm)
+    assert store.has_frame("scene-0001", 7)
+    back = store.read_frame("scene-0001", 7)
+    assert back.labels == fm.labels
+    assert back.cam_nums == fm.cam_nums
+    np.testing.assert_array_equal(back.masks, masks)
+    assert store.frame_numbers("scene-0001") == [7]
+
+
+def test_artifact_store_reference_layout(tmp_path):
+    """The on-disk layout must match the reference contract:
+    {scene}/{frame}_data.json + {frame}_masks.pkl with pickled RLE list."""
+    import json, pickle
+
+    store = MaskArtifactStore(tmp_path)
+    masks = np.zeros((1, 8, 6), np.uint8)
+    masks[0, 2:5, 1:4] = 1
+    store.write_frame("sc", 0, FrameMasks(["car"], [0.5], [1], masks))
+    with open(tmp_path / "sc" / "0_data.json") as f:
+        data = json.load(f)
+    assert set(data.keys()) == {"labels", "detection_scores", "cam_nums"}
+    with open(tmp_path / "sc" / "0_masks.pkl", "rb") as f:
+        rles = pickle.load(f)
+    assert isinstance(rles, list) and "counts" in rles[0] and "size" in rles[0]
+    assert rles[0]["size"] == [8, 6]
+
+
+def test_artifact_store_resume_and_corruption(tmp_path):
+    store = MaskArtifactStore(tmp_path)
+    masks = np.ones((1, 4, 4), np.uint8)
+    store.write_frame("a", 0, FrameMasks(["car"], [0.1], [0], masks))
+    store.mark_scene_complete("a", 1)
+    store.mark_scene_complete("b", 3)
+    assert store.completed_scenes() == {"a", "b"}
+    assert store.remaining_scenes(["a", "b", "c"]) == ["c"]
+
+    # corrupt artifact -> None, not a crash
+    (tmp_path / "a" / "0_masks.pkl").write_bytes(b"garbage")
+    assert store.read_frame("a", 0) is None
+    assert store.read_frame("nope", 5) is None
