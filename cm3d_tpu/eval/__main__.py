@@ -70,10 +70,13 @@ def main(argv=None) -> dict:
     else:
         from cm3d_tpu.datasets.nuscenes import load_gt_for_eval
 
+        # eval_set: "all" evaluates every scene in the DB; otherwise a
+        # comma-separated list of scene names.
+        scenes = None if args.eval_set == "all" else args.eval_set.split(",")
         gt_boxes, ego_translations, bikeracks, map_geometry = load_gt_for_eval(
             args.dataroot,
             args.version,
-            args.eval_set,
+            eval_split_scenes=scenes,
             rare=len(cfg.class_range) > 10,
             need_map=bool(args.drivable_filtering),
         )
