@@ -1,0 +1,107 @@
+"""Shared transformer building blocks for the 2D-stage models."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class LayerNorm2d(nn.Module):
+    """Channel-wise LayerNorm over NHWC feature maps (SAM's neck norm)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + self.eps)
+        return x * weight + bias
+
+
+class MLPBlock(nn.Module):
+    mlp_dim: int
+    out_dim: int
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.mlp_dim, name="lin1")(x)
+        x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.relu(x)
+        return nn.Dense(self.out_dim, name="lin2")(x)
+
+
+def window_partition(x: jax.Array, window: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """[B, H, W, C] -> [B*nW, win, win, C] with bottom/right zero padding."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(
+    windows: jax.Array, window: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jax.Array:
+    """Inverse of window_partition (crops the padding)."""
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // window // window)
+    x = windows.reshape(b, hp // window, wp // window, window, window, -1)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """Select (and if needed interpolate) relative position embeddings.
+
+    rel_pos: [2*max_size - 1, head_dim]. Returns [q_size, k_size, head_dim].
+    """
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        # linear interpolation to the needed length
+        orig = rel_pos.shape[0]
+        pos = jnp.linspace(0, orig - 1, max_rel_dist)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, orig - 1)
+        frac = (pos - lo)[:, None]
+        rel_pos = rel_pos[lo] * (1 - frac) + rel_pos[hi] * frac
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.astype(jnp.int32)]
+
+
+def add_decomposed_rel_pos(
+    attn: jax.Array,
+    q: jax.Array,
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    q_hw: Tuple[int, int],
+    k_hw: Tuple[int, int],
+) -> jax.Array:
+    """SAM/ViTDet decomposed relative position bias.
+
+    attn: [B*heads, qh*qw, kh*kw]; q: [B*heads, qh*qw, head_dim].
+    """
+    qh, qw = q_hw
+    kh, kw = k_hw
+    rh = get_rel_pos(qh, kh, rel_pos_h)  # [qh, kh, d]
+    rw = get_rel_pos(qw, kw, rel_pos_w)  # [qw, kw, d]
+    bq = q.shape[0]
+    r_q = q.reshape(bq, qh, qw, -1)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh)
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw)
+    attn = attn.reshape(bq, qh, qw, kh, kw)
+    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+    return attn.reshape(bq, qh * qw, kh * kw)

@@ -1,0 +1,412 @@
+"""Segment Anything (SAM) in Flax: ViT image encoder, prompt encoder, mask
+decoder — the box-prompted mask model of the reference's 2D stage
+(src/nuscenes/gen_2d_masks_detic.py:112,248-252,384-398; SamPredictor with
+`multimask_output=False`).
+
+Architecture follows the published SAM model (Kirillov et al. 2023):
+ViT-H/16 encoder at 1024x1024 with 14x14 window attention and decomposed
+relative positions (4 global blocks), 256-d prompt/mask embedding space, a
+2-layer two-way transformer decoder. `convert_sam.py` maps the released
+torch checkpoint into these modules. All shapes static: boxes arrive padded
+[B, P, 4] with a validity mask, so box-prompted inference jits once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from cm3d_tpu.models.common import (
+    LayerNorm2d,
+    MLPBlock,
+    add_decomposed_rel_pos,
+    window_partition,
+    window_unpartition,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamConfig:
+    img_size: int = 1024
+    patch_size: int = 16
+    encoder_dim: int = 1280  # ViT-H
+    encoder_depth: int = 32
+    encoder_heads: int = 16
+    encoder_global_attn: Tuple[int, ...] = (7, 15, 23, 31)
+    window_size: int = 14
+    out_dim: int = 256  # prompt/mask embedding dim
+    decoder_depth: int = 2
+    decoder_heads: int = 8
+    decoder_mlp_dim: int = 2048
+    num_multimask_outputs: int = 3
+
+    @property
+    def embed_hw(self) -> int:
+        return self.img_size // self.patch_size
+
+
+SAM_VIT_H = SamConfig()
+SAM_VIT_L = SamConfig(encoder_dim=1024, encoder_depth=24, encoder_heads=16,
+                      encoder_global_attn=(5, 11, 17, 23))
+SAM_VIT_B = SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
+                      encoder_global_attn=(2, 5, 8, 11))
+# tiny config for tests
+SAM_TEST = SamConfig(img_size=64, encoder_dim=32, encoder_depth=2,
+                     encoder_heads=2, encoder_global_attn=(1,), window_size=2,
+                     decoder_mlp_dim=64)
+
+
+class ViTAttention(nn.Module):
+    dim: int
+    heads: int
+    input_hw: Tuple[int, int]  # token grid this block sees
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, _ = x.shape
+        head_dim = self.dim // self.heads
+        qkv = nn.Dense(self.dim * 3, name="qkv")(x.reshape(b, h * w, self.dim))
+        qkv = qkv.reshape(b, h * w, 3, self.heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * self.heads, h * w, head_dim)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = (q * (head_dim ** -0.5)) @ jnp.swapaxes(k, -2, -1)
+        rel_h = self.param(
+            "rel_pos_h", nn.initializers.zeros, (2 * self.input_hw[0] - 1, head_dim)
+        )
+        rel_w = self.param(
+            "rel_pos_w", nn.initializers.zeros, (2 * self.input_hw[1] - 1, head_dim)
+        )
+        attn = add_decomposed_rel_pos(attn, q, rel_h, rel_w, (h, w), (h, w))
+        attn = jax.nn.softmax(attn, axis=-1)
+        x = (attn @ v).reshape(b, self.heads, h * w, head_dim)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, name="proj")(x)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    heads: int
+    window_size: int  # 0 = global attention
+    grid_hw: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if self.window_size > 0:
+            hw = (x.shape[1], x.shape[2])
+            x, pad_hw = window_partition(x, self.window_size)
+            attn_hw = (self.window_size, self.window_size)
+        else:
+            attn_hw = self.grid_hw
+        x = ViTAttention(self.dim, self.heads, attn_hw, name="attn")(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, hw)
+        x = shortcut + x
+        x = x + MLPBlock(self.dim * 4, self.dim, name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        )
+        return x
+
+
+class ImageEncoderViT(nn.Module):
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: [B, H, W, 3] normalized image -> [B, h, w, out_dim]."""
+        cfg = self.cfg
+        x = nn.Conv(
+            cfg.encoder_dim,
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            name="patch_embed",
+        )(x)
+        hw = cfg.embed_hw
+        pos = self.param(
+            "pos_embed", nn.initializers.zeros, (1, hw, hw, cfg.encoder_dim)
+        )
+        x = x + pos
+        for i in range(cfg.encoder_depth):
+            wsz = 0 if i in cfg.encoder_global_attn else cfg.window_size
+            x = ViTBlock(
+                cfg.encoder_dim,
+                cfg.encoder_heads,
+                wsz,
+                (hw, hw),
+                name=f"block{i}",
+            )(x)
+        # neck
+        x = nn.Conv(cfg.out_dim, (1, 1), use_bias=False, name="neck_conv1")(x)
+        x = LayerNorm2d(name="neck_ln1")(x)
+        x = nn.Conv(cfg.out_dim, (3, 3), padding=1, use_bias=False, name="neck_conv2")(x)
+        x = LayerNorm2d(name="neck_ln2")(x)
+        return x
+
+
+class PromptEncoder(nn.Module):
+    """Box prompts only (the pipeline never uses point/mask prompts)."""
+
+    cfg: SamConfig
+
+    def setup(self):
+        d = self.cfg.out_dim
+        self.pe_gaussian = self.param(
+            "pe_gaussian", nn.initializers.normal(1.0), (2, d // 2)
+        )
+        # 4 point types: pos point, neg point, box corner 1, box corner 2
+        self.point_embed = self.param(
+            "point_embed", nn.initializers.normal(1.0), (4, d)
+        )
+        self.no_mask_embed = self.param(
+            "no_mask_embed", nn.initializers.normal(1.0), (1, d)
+        )
+
+    def _pe_encode(self, coords01: jax.Array) -> jax.Array:
+        """Random-fourier positional encoding of [..., 2] coords in [0,1]."""
+        coords = 2.0 * coords01 - 1.0
+        coords = coords @ self.pe_gaussian
+        coords = 2 * jnp.pi * coords
+        return jnp.concatenate([jnp.sin(coords), jnp.cos(coords)], axis=-1)
+
+    def dense_pe(self) -> jax.Array:
+        hw = self.cfg.embed_hw
+        grid = (jnp.stack(
+            jnp.meshgrid(jnp.arange(hw), jnp.arange(hw), indexing="ij"), -1
+        ).astype(jnp.float32) + 0.5) / hw
+        # grid[..., 0] is y; encode as (x, y)
+        return self._pe_encode(grid[..., ::-1])  # [h, w, d]
+
+    def __call__(self, boxes: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """boxes: [B, 4] (x0, y0, x1, y1) in input-image pixels.
+
+        Returns (sparse [B, 2, d], dense [B, h, w, d]).
+        """
+        img = self.cfg.img_size
+        corners = boxes.reshape(-1, 2, 2) + 0.5
+        emb = self._pe_encode(corners / img)
+        emb = emb.at[:, 0, :].add(self.point_embed[2])
+        emb = emb.at[:, 1, :].add(self.point_embed[3])
+        hw = self.cfg.embed_hw
+        dense = jnp.broadcast_to(
+            self.no_mask_embed.reshape(1, 1, 1, -1),
+            (boxes.shape[0], hw, hw, self.cfg.out_dim),
+        )
+        return emb, dense
+
+
+class DecoderAttention(nn.Module):
+    dim: int
+    heads: int
+    downsample: int = 1
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        inner = self.dim // self.downsample
+        head_dim = inner // self.heads
+        qp = nn.Dense(inner, name="q_proj")(q)
+        kp = nn.Dense(inner, name="k_proj")(k)
+        vp = nn.Dense(inner, name="v_proj")(v)
+
+        def split(x):
+            b, n, _ = x.shape
+            return jnp.transpose(
+                x.reshape(b, n, self.heads, head_dim), (0, 2, 1, 3)
+            )
+
+        qh, kh, vh = split(qp), split(kp), split(vp)
+        attn = jax.nn.softmax(
+            (qh / np.sqrt(head_dim)) @ jnp.swapaxes(kh, -2, -1), axis=-1
+        )
+        out = attn @ vh
+        b, h, n, d = out.shape
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
+        return nn.Dense(self.dim, name="out_proj")(out)
+
+
+class TwoWayBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_dim: int
+    skip_first_layer_pe: bool
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        if self.skip_first_layer_pe:
+            # first layer: attention REPLACES queries (no residual, no PE)
+            queries = DecoderAttention(self.dim, self.heads, name="self_attn")(
+                queries, queries, queries
+            )
+        else:
+            q = queries + query_pe
+            queries = queries + DecoderAttention(self.dim, self.heads, name="self_attn")(
+                q, q, queries
+            )
+        queries = nn.LayerNorm(name="norm1")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + DecoderAttention(
+            self.dim, self.heads, 2, name="cross_attn_token_to_image"
+        )(q, k, keys)
+        queries = nn.LayerNorm(name="norm2")(queries)
+
+        queries = queries + MLPBlock(self.mlp_dim, self.dim, act="relu", name="mlp")(
+            queries
+        )
+        queries = nn.LayerNorm(name="norm3")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + DecoderAttention(
+            self.dim, self.heads, 2, name="cross_attn_image_to_token"
+        )(k, q, queries)
+        keys = nn.LayerNorm(name="norm4")(keys)
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, point_embedding):
+        b, h, w, c = image_embedding.shape
+        keys = image_embedding.reshape(b, h * w, c)
+        key_pe = image_pe.reshape(1, h * w, c)
+        key_pe = jnp.broadcast_to(key_pe, keys.shape)
+        queries = point_embedding
+        for i in range(self.cfg.decoder_depth):
+            queries, keys = TwoWayBlock(
+                self.cfg.out_dim,
+                self.cfg.decoder_heads,
+                self.cfg.decoder_mlp_dim,
+                skip_first_layer_pe=(i == 0),
+                name=f"layer{i}",
+            )(queries, keys, point_embedding, key_pe)
+        q = queries + point_embedding
+        k = keys + key_pe
+        queries = queries + DecoderAttention(
+            self.cfg.out_dim, self.cfg.decoder_heads, 2, name="final_attn"
+        )(q, k, keys)
+        queries = nn.LayerNorm(name="norm_final")(queries)
+        return queries, keys
+
+
+class HyperMLP(nn.Module):
+    hidden: int
+    out: int
+    depth: int = 3
+    sigmoid_out: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth - 1):
+            x = nn.relu(nn.Dense(self.hidden, name=f"layer{i}")(x))
+        x = nn.Dense(self.out, name=f"layer{self.depth - 1}")(x)
+        return jax.nn.sigmoid(x) if self.sigmoid_out else x
+
+
+class MaskDecoder(nn.Module):
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, sparse_prompt, dense_prompt):
+        """Returns (masks [B, num_tokens, 4h, 4w], iou_pred [B, num_tokens])."""
+        cfg = self.cfg
+        d = cfg.out_dim
+        n_mask_tokens = cfg.num_multimask_outputs + 1
+        iou_token = self.param("iou_token", nn.initializers.normal(1.0), (1, d))
+        mask_tokens = self.param(
+            "mask_tokens", nn.initializers.normal(1.0), (n_mask_tokens, d)
+        )
+        b = sparse_prompt.shape[0]
+        tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)
+        tokens = jnp.broadcast_to(tokens[None], (b, n_mask_tokens + 1, d))
+        tokens = jnp.concatenate([tokens, sparse_prompt], axis=1)
+
+        src = image_embedding + dense_prompt
+        hs, keys = TwoWayTransformer(cfg, name="transformer")(
+            src, image_pe, tokens
+        )
+        iou_out = hs[:, 0]
+        mask_out = hs[:, 1 : 1 + n_mask_tokens]
+
+        h, w = src.shape[1], src.shape[2]
+        up = keys.reshape(b, h, w, d)
+        up = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), transpose_kernel=True, name="upscale1")(up)
+        up = LayerNorm2d(name="upscale_ln")(up)
+        up = nn.gelu(up, approximate=False)
+        up = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), transpose_kernel=True, name="upscale2")(up)
+        up = nn.gelu(up, approximate=False)  # [B, 4h, 4w, d//8]
+
+        hyper = jnp.stack(
+            [
+                HyperMLP(d, d // 8, name=f"hyper{i}")(mask_out[:, i])
+                for i in range(n_mask_tokens)
+            ],
+            axis=1,
+        )  # [B, n_mask_tokens, d//8]
+        masks = jnp.einsum("bnc,bhwc->bnhw", hyper, up)
+        iou_pred = HyperMLP(d, n_mask_tokens, name="iou_head")(iou_out)
+        return masks, iou_pred
+
+
+class Sam(nn.Module):
+    """End-to-end box-prompted SAM (encode once, decode many boxes)."""
+
+    cfg: SamConfig = SAM_VIT_H
+
+    def setup(self):
+        self.image_encoder = ImageEncoderViT(self.cfg)
+        self.prompt_encoder = PromptEncoder(self.cfg)
+        self.mask_decoder = MaskDecoder(self.cfg)
+
+    def encode_image(self, x: jax.Array) -> jax.Array:
+        return self.image_encoder(x)
+
+    def decode_boxes(
+        self, embedding: jax.Array, boxes: jax.Array, multimask: bool = False
+    ):
+        """embedding: [h, w, d] (one image); boxes: [P, 4] padded.
+
+        Returns (mask_logits [P, 4h, 4w], iou [P]) for the selected token
+        (multimask_output=False -> token 0, reference :397).
+        """
+        sparse, dense = self.prompt_encoder(boxes)
+        image_pe = self.prompt_encoder.dense_pe()
+        emb = jnp.broadcast_to(embedding[None], (boxes.shape[0],) + embedding.shape)
+        masks, iou = self.mask_decoder(emb, image_pe, sparse, dense)
+        if multimask:
+            best = jnp.argmax(iou[:, 1:], axis=-1) + 1
+            sel = jnp.take_along_axis(masks, best[:, None, None, None], axis=1)[:, 0]
+            sel_iou = jnp.take_along_axis(iou, best[:, None], axis=1)[:, 0]
+            return sel, sel_iou
+        return masks[:, 0], iou[:, 0]
+
+    def __call__(self, image: jax.Array, boxes: jax.Array):
+        emb = self.encode_image(image[None])[0]
+        return self.decode_boxes(emb, boxes)
+
+
+SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+SAM_PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def preprocess_image(img_hwc_uint8: np.ndarray, img_size: int = 1024) -> np.ndarray:
+    """Resize longest side to img_size, normalize, bottom/right zero-pad."""
+    from PIL import Image
+
+    h, w = img_hwc_uint8.shape[:2]
+    scale = img_size / max(h, w)
+    nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+    im = Image.fromarray(img_hwc_uint8).resize((nw, nh), Image.BILINEAR)
+    arr = (np.asarray(im, np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+    out = np.zeros((img_size, img_size, 3), np.float32)
+    out[:nh, :nw] = arr
+    return out

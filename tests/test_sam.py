@@ -1,0 +1,220 @@
+"""SAM flax model: op-level torch conversion parity + tiny end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from cm3d_tpu.models import sam as sam_mod
+from cm3d_tpu.models.common import add_decomposed_rel_pos, window_partition, window_unpartition
+from cm3d_tpu.models.convert_sam import convert_sam_params, _conv, _convT, _dense
+from cm3d_tpu.models.sam import SAM_TEST, Sam, SamConfig
+
+RNG = np.random.default_rng(13)
+
+
+def _np(t):
+    return t.detach().numpy()
+
+
+def test_dense_conversion_matches_torch():
+    lin = torch.nn.Linear(6, 10)
+    x = torch.randn(3, 6)
+    want = _np(lin(x))
+    sd = {"w.weight": _np(lin.weight), "w.bias": _np(lin.bias)}
+    import flax.linen as nn
+
+    mod = nn.Dense(10)
+    params = {"params": _dense(sd, "w")}
+    got = np.asarray(mod.apply(params, jnp.asarray(_np(x))))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_conv_conversion_matches_torch():
+    conv = torch.nn.Conv2d(3, 8, 16, stride=16)
+    x = torch.randn(1, 3, 64, 64)
+    want = _np(conv(x)).transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    sd = {"c.weight": _np(conv.weight), "c.bias": _np(conv.bias)}
+    import flax.linen as nn
+
+    mod = nn.Conv(8, (16, 16), strides=(16, 16))
+    params = {"params": _conv(sd, "c")}
+    got = np.asarray(mod.apply(params, jnp.asarray(_np(x).transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_convtranspose_conversion_matches_torch():
+    convt = torch.nn.ConvTranspose2d(6, 4, 2, stride=2)
+    x = torch.randn(1, 6, 5, 7)
+    want = _np(convt(x)).transpose(0, 2, 3, 1)
+    sd = {"c.weight": _np(convt.weight), "c.bias": _np(convt.bias)}
+    import flax.linen as nn
+
+    mod = nn.ConvTranspose(4, (2, 2), strides=(2, 2), transpose_kernel=True)
+    params = {"params": _convT(sd, "c")}
+    got = np.asarray(mod.apply(params, jnp.asarray(_np(x).transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_window_partition_roundtrip():
+    x = jnp.asarray(RNG.random((2, 13, 9, 4)).astype(np.float32))
+    win, pad_hw = window_partition(x, 4)
+    assert win.shape == (2 * 4 * 3, 4, 4, 4)
+    back = window_unpartition(win, 4, pad_hw, (13, 9))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_decomposed_rel_pos_matches_torch_reference():
+    """Check against a literal torch transcription of ViTDet's formula."""
+    bh, qh, qw, kh, kw, d = 2, 3, 4, 3, 4, 5
+    attn = RNG.random((bh, qh * qw, kh * kw)).astype(np.float32)
+    q = RNG.random((bh, qh * qw, d)).astype(np.float32)
+    rel_h = RNG.random((2 * qh - 1, d)).astype(np.float32)
+    rel_w = RNG.random((2 * qw - 1, d)).astype(np.float32)
+
+    got = np.asarray(
+        add_decomposed_rel_pos(
+            jnp.asarray(attn), jnp.asarray(q), jnp.asarray(rel_h),
+            jnp.asarray(rel_w), (qh, qw), (kh, kw),
+        )
+    )
+
+    # torch reference
+    tq = torch.from_numpy(q).reshape(bh, qh, qw, d)
+    q_coords = torch.arange(qh)[:, None]
+    k_coords = torch.arange(kh)[None, :]
+    rel = (q_coords - k_coords) + (kh - 1)
+    Rh = torch.from_numpy(rel_h)[rel.long()]
+    q_coords = torch.arange(qw)[:, None]
+    k_coords = torch.arange(kw)[None, :]
+    rel = (q_coords - k_coords) + (kw - 1)
+    Rw = torch.from_numpy(rel_w)[rel.long()]
+    rel_h_t = torch.einsum("bhwc,hkc->bhwk", tq, Rh)
+    rel_w_t = torch.einsum("bhwc,wkc->bhwk", tq, Rw)
+    want = (
+        torch.from_numpy(attn).view(bh, qh, qw, kh, kw)
+        + rel_h_t[:, :, :, :, None]
+        + rel_w_t[:, :, :, None, :]
+    ).view(bh, qh * qw, kh * kw)
+    np.testing.assert_allclose(got, _np(want), atol=1e-5)
+
+
+def _fake_torch_sd(cfg: SamConfig):
+    """Fabricate a checkpoint-layout state dict with correct shapes."""
+    sd = {}
+    r = np.random.default_rng(0)
+
+    def add(name, *shape):
+        sd[name] = (r.standard_normal(shape) * 0.05).astype(np.float32)
+
+    d = cfg.encoder_dim
+    add("image_encoder.patch_embed.proj.weight", d, 3, cfg.patch_size, cfg.patch_size)
+    add("image_encoder.patch_embed.proj.bias", d)
+    add("image_encoder.pos_embed", 1, cfg.embed_hw, cfg.embed_hw, d)
+    for i in range(cfg.encoder_depth):
+        p = f"image_encoder.blocks.{i}"
+        add(f"{p}.norm1.weight", d); add(f"{p}.norm1.bias", d)
+        add(f"{p}.norm2.weight", d); add(f"{p}.norm2.bias", d)
+        add(f"{p}.attn.qkv.weight", 3 * d, d); add(f"{p}.attn.qkv.bias", 3 * d)
+        add(f"{p}.attn.proj.weight", d, d); add(f"{p}.attn.proj.bias", d)
+        size = cfg.embed_hw if i in cfg.encoder_global_attn else cfg.window_size
+        add(f"{p}.attn.rel_pos_h", 2 * size - 1, d // cfg.encoder_heads)
+        add(f"{p}.attn.rel_pos_w", 2 * size - 1, d // cfg.encoder_heads)
+        add(f"{p}.mlp.lin1.weight", 4 * d, d); add(f"{p}.mlp.lin1.bias", 4 * d)
+        add(f"{p}.mlp.lin2.weight", d, 4 * d); add(f"{p}.mlp.lin2.bias", d)
+    od = cfg.out_dim
+    add("image_encoder.neck.0.weight", od, d, 1, 1)
+    add("image_encoder.neck.1.weight", od); add("image_encoder.neck.1.bias", od)
+    add("image_encoder.neck.2.weight", od, od, 3, 3)
+    add("image_encoder.neck.3.weight", od); add("image_encoder.neck.3.bias", od)
+
+    add("prompt_encoder.pe_layer.positional_encoding_gaussian_matrix", 2, od // 2)
+    for i in range(4):
+        add(f"prompt_encoder.point_embeddings.{i}.weight", 1, od)
+    add("prompt_encoder.no_mask_embed.weight", 1, od)
+
+    nm = cfg.num_multimask_outputs + 1
+    add("mask_decoder.iou_token.weight", 1, od)
+    add("mask_decoder.mask_tokens.weight", nm, od)
+    for i in range(cfg.decoder_depth):
+        p = f"mask_decoder.transformer.layers.{i}"
+        for attn, ds in [("self_attn", 1), ("cross_attn_token_to_image", 2),
+                         ("cross_attn_image_to_token", 2)]:
+            inner = od // ds
+            add(f"{p}.{attn}.q_proj.weight", inner, od); add(f"{p}.{attn}.q_proj.bias", inner)
+            add(f"{p}.{attn}.k_proj.weight", inner, od); add(f"{p}.{attn}.k_proj.bias", inner)
+            add(f"{p}.{attn}.v_proj.weight", inner, od); add(f"{p}.{attn}.v_proj.bias", inner)
+            add(f"{p}.{attn}.out_proj.weight", od, inner); add(f"{p}.{attn}.out_proj.bias", od)
+        for n in ["norm1", "norm2", "norm3", "norm4"]:
+            add(f"{p}.{n}.weight", od); add(f"{p}.{n}.bias", od)
+        add(f"{p}.mlp.lin1.weight", cfg.decoder_mlp_dim, od)
+        add(f"{p}.mlp.lin1.bias", cfg.decoder_mlp_dim)
+        add(f"{p}.mlp.lin2.weight", od, cfg.decoder_mlp_dim)
+        add(f"{p}.mlp.lin2.bias", od)
+    p = "mask_decoder.transformer.final_attn_token_to_image"
+    inner = od // 2
+    add(f"{p}.q_proj.weight", inner, od); add(f"{p}.q_proj.bias", inner)
+    add(f"{p}.k_proj.weight", inner, od); add(f"{p}.k_proj.bias", inner)
+    add(f"{p}.v_proj.weight", inner, od); add(f"{p}.v_proj.bias", inner)
+    add(f"{p}.out_proj.weight", od, inner); add(f"{p}.out_proj.bias", od)
+    add("mask_decoder.transformer.norm_final_attn.weight", od)
+    add("mask_decoder.transformer.norm_final_attn.bias", od)
+    add("mask_decoder.output_upscaling.0.weight", od, od // 4, 2, 2)
+    add("mask_decoder.output_upscaling.0.bias", od // 4)
+    add("mask_decoder.output_upscaling.1.weight", od // 4)
+    add("mask_decoder.output_upscaling.1.bias", od // 4)
+    add("mask_decoder.output_upscaling.3.weight", od // 4, od // 8, 2, 2)
+    add("mask_decoder.output_upscaling.3.bias", od // 8)
+    for i in range(nm):
+        p = f"mask_decoder.output_hypernetworks_mlps.{i}"
+        add(f"{p}.layers.0.weight", od, od); add(f"{p}.layers.0.bias", od)
+        add(f"{p}.layers.1.weight", od, od); add(f"{p}.layers.1.bias", od)
+        add(f"{p}.layers.2.weight", od // 8, od); add(f"{p}.layers.2.bias", od // 8)
+    p = "mask_decoder.iou_prediction_head"
+    add(f"{p}.layers.0.weight", od, od); add(f"{p}.layers.0.bias", od)
+    add(f"{p}.layers.1.weight", od, od); add(f"{p}.layers.1.bias", od)
+    add(f"{p}.layers.2.weight", nm, od); add(f"{p}.layers.2.bias", nm)
+    return sd
+
+
+def test_tiny_sam_converts_and_runs():
+    cfg = SAM_TEST
+    sd = _fake_torch_sd(cfg)
+    params = convert_sam_params(sd, cfg)
+    model = Sam(cfg)
+
+    img = jnp.asarray(RNG.random((cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        np.array([[4, 4, 30, 40], [10, 10, 20, 20]], np.float32)
+    )
+    masks, iou = model.apply({"params": params}, img, boxes)
+    assert masks.shape == (2, cfg.embed_hw * 4, cfg.embed_hw * 4)
+    assert iou.shape == (2,)
+    assert np.isfinite(np.asarray(masks)).all()
+
+    # structural check: converted params exactly match the module's init tree
+    init = model.init(jax.random.PRNGKey(0), img, boxes)["params"]
+    init_shapes = jax.tree.map(lambda x: x.shape, init)
+    conv_shapes = jax.tree.map(lambda x: np.asarray(x).shape, params)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a == b, init_shapes, conv_shapes)
+    ), f"{init_shapes}\n!=\n{conv_shapes}"
+
+
+def test_prompt_encoder_corners_differ():
+    cfg = SAM_TEST
+    sd = _fake_torch_sd(cfg)
+    params = convert_sam_params(sd, cfg)
+    model = Sam(cfg)
+    boxes = jnp.asarray(np.array([[4.0, 4, 30, 40]], np.float32))
+
+    def f(m, b):
+        sparse, dense = m.prompt_encoder(b)
+        return sparse, dense, m.prompt_encoder.dense_pe()
+
+    sparse, dense, pe = model.apply({"params": params}, boxes, method=f)
+    assert sparse.shape == (1, 2, cfg.out_dim)
+    assert dense.shape == (1, cfg.embed_hw, cfg.embed_hw, cfg.out_dim)
+    assert pe.shape == (cfg.embed_hw, cfg.embed_hw, cfg.out_dim)
+    assert not np.allclose(np.asarray(sparse[0, 0]), np.asarray(sparse[0, 1]))
