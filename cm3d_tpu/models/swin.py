@@ -1,0 +1,197 @@
+"""Swin Transformer backbone in Flax (Detic's SwinB-896 trunk).
+
+The reference's Detic config is SwinB (patch 4, window 7, dims 128, depths
+[2,2,18,2]) feeding an FPN (gen_2d_masks_detic.py:33-34). Implements the
+published Swin-v1 semantics: shifted-window attention with relative position
+bias, cyclic-shift border masks, patch merging; returns the stage feature
+maps the detector's FPN consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    patch_size: int = 4
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    out_indices: Tuple[int, ...] = (1, 2, 3)  # strides 8, 16, 32
+
+    def stage_dim(self, i: int) -> int:
+        return self.embed_dim * (2 ** i)
+
+
+SWIN_B = SwinConfig()
+SWIN_TEST = SwinConfig(
+    embed_dim=16, depths=(2, 2), num_heads=(2, 4), window_size=4,
+    out_indices=(0, 1),
+)
+
+
+def _rel_pos_index(window: int) -> np.ndarray:
+    """[win^2, win^2] index into the (2w-1)^2 relative-position-bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (window - 1)
+    return (rel[:, :, 0] * (2 * window - 1) + rel[:, :, 1]).astype(np.int32)
+
+
+def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
+    """[nW, win^2, win^2] additive mask for shifted windows (0 / -100)."""
+    img = np.zeros((hp, wp), np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    win = img.reshape(hp // window, window, wp // window, window)
+    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    mask = (win[:, :, None] != win[:, None, :]).astype(np.float32) * -100.0
+    return mask
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+        """x: [nW*B, win*win, dim]; mask: [nW, win^2, win^2] or None."""
+        bnw, n, _ = x.shape
+        head_dim = self.dim // self.heads
+        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
+        qkv = qkv.reshape(bnw, n, 3, self.heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [bnw, n, heads, hd]
+        q = jnp.swapaxes(q, 1, 2)  # [bnw, heads, n, hd]
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        attn = (q * head_dim ** -0.5) @ jnp.swapaxes(k, -2, -1)
+
+        table = self.param(
+            "rel_pos_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.window - 1) ** 2, self.heads),
+        )
+        idx = jnp.asarray(_rel_pos_index(self.window)).reshape(-1)
+        bias = table[idx].reshape(n, n, self.heads)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, self.heads, n, n)
+            attn = attn + mask[None, :, None]
+            attn = attn.reshape(bnw, self.heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.swapaxes(attn @ v, 1, 2).reshape(bnw, n, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    shift: int
+    mlp_ratio: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: [B, H, W, C]."""
+        b, h, w, c = x.shape
+        window = min(self.window, max(h, w))
+        shift = self.shift if window < min(h, w) else 0
+        if min(h, w) <= self.window:
+            window = min(h, w)  # swin shrinks the window for small maps
+            shift = 0
+
+        shortcut = x
+        x = nn.LayerNorm(name="norm1")(x)
+        pad_b = (window - h % window) % window
+        pad_r = (window - w % window) % window
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
+        else:
+            mask = None
+        x = x.reshape(b, hp // window, window, wp // window, window, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window * window, c)
+        x = WindowAttention(self.dim, self.heads, window, name="attn")(x, mask)
+        x = x.reshape(b, hp // window, wp // window, window, window, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x[:, :h, :w]
+        x = shortcut + x
+
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, name="fc2")(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    dim: int  # input dim
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        pad_b, pad_r = h % 2, w % 2
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    cfg: SwinConfig = SWIN_B
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
+        """x: [B, H, W, 3] -> {"swin{i}": [B, H/stride, W/stride, C_i]}."""
+        cfg = self.cfg
+        x = nn.Conv(
+            cfg.embed_dim,
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            name="patch_embed",
+        )(x)
+        x = nn.LayerNorm(name="patch_norm")(x)
+
+        outs: Dict[str, jax.Array] = {}
+        for i, depth in enumerate(cfg.depths):
+            dim = cfg.stage_dim(i)
+            for j in range(depth):
+                x = SwinBlock(
+                    dim,
+                    cfg.num_heads[i],
+                    cfg.window_size,
+                    shift=0 if j % 2 == 0 else cfg.window_size // 2,
+                    mlp_ratio=cfg.mlp_ratio,
+                    name=f"stage{i}_block{j}",
+                )(x)
+            if i in cfg.out_indices:
+                outs[f"swin{i}"] = nn.LayerNorm(name=f"out_norm{i}")(x)
+            if i < len(cfg.depths) - 1:
+                x = PatchMerging(dim, name=f"merge{i}")(x)
+        return outs
