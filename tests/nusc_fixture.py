@@ -220,6 +220,12 @@ def make_fake_nuscenes(
         labels, scores, cams = [], [], []
         mi = 0
         for ci, cam in enumerate(CAM_LIST):
+            # tiny camera jpg so the mask-stage CLI can run on the fixture
+            from PIL import Image
+
+            (root / "samples" / cam).mkdir(parents=True, exist_ok=True)
+            img = (rng.random((90, 160, 3)) * 80 + 60).astype(np.uint8)
+            Image.fromarray(img).save(root / "samples" / cam / f"fake_{f}.jpg")
             sd_token = _tok()
             sample_datas.append(
                 {

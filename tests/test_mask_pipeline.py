@@ -1,0 +1,87 @@
+"""Hermetic mask-generation stage: fake models -> reference-layout artifacts."""
+
+import numpy as np
+import pytest
+
+from cm3d_tpu.config import MaskStageConfig
+from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+from cm3d_tpu.pipelines.masks import (
+    _logits_to_masks,
+    build_fake_models,
+    classwise_nms_np,
+    generate_frame_masks,
+    run_mask_stage,
+)
+
+RNG = np.random.default_rng(37)
+
+
+def test_classwise_nms_semantics():
+    boxes = [[0, 0, 10, 10], [1, 1, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]]
+    scores = [0.9, 0.8, 0.95, 0.5]
+    labels = ["car", "car", "truck", "car"]
+    kept = classwise_nms_np(boxes, scores, labels, 0.5)
+    # car: box0 suppresses box1; truck independent; far car kept
+    assert set(kept) == {0, 2, 3}
+
+
+def test_logits_to_masks_upsample_crop():
+    logits = np.full((1, 8, 8), -5.0, np.float32)
+    logits[0, 2:4, 2:4] = 5.0
+    masks = _logits_to_masks(logits, (32, 16))  # h=32 -> side 32, crop w=16
+    assert masks.shape == (1, 32, 16)
+    assert masks[0, 10:14, 10:14].all()  # block interior maps to ~8..16
+    assert not masks[0, :6].any() and not masks[0, 18:].any()
+    assert masks.sum() < 32 * 16  # not everything positive
+
+
+@pytest.fixture(scope="module")
+def fake_models():
+    return build_fake_models(seed=0)
+
+
+def test_generate_frame_masks_contract(fake_models):
+    images = [
+        (RNG.random((48, 64, 3)) * 255).astype(np.uint8) for _ in range(2)
+    ]
+    fm = generate_frame_masks(fake_models, images, MaskStageConfig())
+    n = len(fm.labels)
+    assert len(fm.detection_scores) == n and len(fm.cam_nums) == n
+    assert fm.masks.shape[0] == n
+    if n:
+        # masks stored [W, H]
+        assert fm.masks.shape[1:] == (64, 48)
+        assert set(fm.cam_nums) <= {0, 1}
+        from cm3d_tpu.config import NUSCENES_CLASSES
+        assert set(fm.labels) <= set(NUSCENES_CLASSES)
+
+
+def test_run_mask_stage_and_resume(tmp_path, fake_models):
+    images = {(s, f): [(RNG.random((48, 64, 3)) * 255).astype(np.uint8)]
+              for s in ["sc-a", "sc-b"] for f in range(2)}
+    calls = []
+
+    def provider(scene, frame):
+        calls.append((scene, frame))
+        return images[(scene, frame)]
+
+    run_mask_stage(
+        fake_models, provider, ["sc-a", "sc-b"], lambda s: 2,
+        str(tmp_path), verbose=False,
+    )
+    store = MaskArtifactStore(tmp_path)
+    assert store.completed_scenes() == {"sc-a", "sc-b"}
+    assert len(calls) == 4
+
+    # resume: nothing re-processed
+    calls.clear()
+    run_mask_stage(
+        fake_models, provider, ["sc-a", "sc-b"], lambda s: 2,
+        str(tmp_path), verbose=False,
+    )
+    assert calls == []
+
+    # artifacts readable and consistent
+    fm = store.read_frame("sc-a", 0)
+    assert fm is not None
+    assert len(fm.labels) == fm.masks.shape[0]
