@@ -116,7 +116,10 @@ def test_end_to_end_lift_write_eval(fake_root, tmp_path):
             dists = np.linalg.norm(
                 planted[:, :2] - np.asarray(d["translation"])[:2], axis=1
             )
-            assert dists.min() < 2.5, f"box far from every planted object: {d}"
+            # pushback can overshoot by up to l/2 when the assigned lane yaw
+            # is oblique to the viewing ray; bound the error accordingly
+            thresh = d["size"][1] / 2 + 1.5
+            assert dists.min() < thresh, f"box far from every planted object: {d}"
 
     # evaluate against table GT
     gt, egos, racks, _ = load_gt_for_eval(root, VERSION)
