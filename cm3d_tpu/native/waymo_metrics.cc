@@ -1,0 +1,431 @@
+// Waymo-style detection metrics: rotated-box IoU, Hungarian matching,
+// AP/APH computation, and the standalone CLI binary.
+//
+// TPU-native rebuild of the reference's prebuilt ELF tools
+// (src/waymo/compute_detection_metrics_{main,fast}; invoked at
+// src/waymo/linear_matching.py:478-484) and of the py_metrics_ops.match TF
+// custom op (linear_matching.py:110-118). Same CLI contract: two .bin paths
+// (pred, gt) of metrics Objects; stdout lines
+//   OBJECT_TYPE_TYPE_<T>_LEVEL_<K>: [mAP x] [mAPH y]
+// which the alpha-search parser splits on "mAP " / "mAPH ".
+//
+// Build (see cm3d_tpu/eval/waymo_metrics.py):
+//   g++ -O2 -std=c++17 -DMETRICS_MAIN waymo_metrics.cc -o compute_detection_metrics_main
+//   g++ -O2 -std=c++17 -shared -fPIC waymo_metrics.cc -o libwaymo_metrics.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Rotated-box geometry (BEV convex polygon intersection + z overlap).
+// ---------------------------------------------------------------------------
+
+struct Pt { double x, y; };
+
+// corners of a BEV box (cx, cy, length along heading, width across)
+static void box_corners(double cx, double cy, double l, double w, double yaw,
+                        Pt out[4]) {
+  const double c = std::cos(yaw), s = std::sin(yaw);
+  const double dx[4] = {l / 2, l / 2, -l / 2, -l / 2};
+  const double dy[4] = {w / 2, -w / 2, -w / 2, w / 2};
+  for (int i = 0; i < 4; i++) {
+    out[i].x = cx + dx[i] * c - dy[i] * s;
+    out[i].y = cy + dx[i] * s + dy[i] * c;
+  }
+}
+
+static double polygon_area(const std::vector<Pt>& p) {
+  double a = 0;
+  const size_t n = p.size();
+  for (size_t i = 0; i < n; i++) {
+    const size_t j = (i + 1) % n;
+    a += p[i].x * p[j].y - p[j].x * p[i].y;
+  }
+  return std::fabs(a) / 2;
+}
+
+// Sutherland-Hodgman clip of subject polygon by convex clip polygon.
+static std::vector<Pt> clip_polygon(std::vector<Pt> subject, const Pt* clip,
+                                    int nclip) {
+  for (int e = 0; e < nclip && !subject.empty(); e++) {
+    const Pt a = clip[e];
+    const Pt b = clip[(e + 1) % nclip];
+    std::vector<Pt> out;
+    const size_t n = subject.size();
+    for (size_t i = 0; i < n; i++) {
+      const Pt p = subject[i];
+      const Pt q = subject[(i + 1) % n];
+      const double side_p = (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x);
+      const double side_q = (b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x);
+      if (side_p >= 0) {
+        out.push_back(p);
+        if (side_q < 0) {
+          const double t = side_p / (side_p - side_q);
+          out.push_back({p.x + t * (q.x - p.x), p.y + t * (q.y - p.y)});
+        }
+      } else if (side_q >= 0) {
+        const double t = side_p / (side_p - side_q);
+        out.push_back({p.x + t * (q.x - p.x), p.y + t * (q.y - p.y)});
+      }
+    }
+    subject = std::move(out);
+  }
+  return subject;
+}
+
+}  // namespace
+
+// box: [cx, cy, cz, width, length, height, heading] (center z).
+static double bev_intersection(const double* a, const double* b) {
+  Pt ca[4], cb[4];
+  box_corners(a[0], a[1], a[4], a[3], a[6], ca);
+  box_corners(b[0], b[1], b[4], b[3], b[6], cb);
+  // ensure counter-clockwise clip polygon for half-plane test
+  std::vector<Pt> subject(ca, ca + 4);
+  // our corner order is clockwise in math coords; reverse for CCW
+  std::reverse(subject.begin(), subject.end());
+  Pt clipccw[4] = {cb[3], cb[2], cb[1], cb[0]};
+  auto inter = clip_polygon(subject, clipccw, 4);
+  if (inter.size() < 3) return 0.0;
+  return polygon_area(inter);
+}
+
+extern "C" double box_iou_7dof(const double* a, const double* b, int mode_2d) {
+  const double inter_bev = bev_intersection(a, b);
+  const double area_a = a[3] * a[4];
+  const double area_b = b[3] * b[4];
+  if (mode_2d) {
+    const double u = area_a + area_b - inter_bev;
+    return u > 0 ? inter_bev / u : 0.0;
+  }
+  const double za0 = a[2] - a[5] / 2, za1 = a[2] + a[5] / 2;
+  const double zb0 = b[2] - b[5] / 2, zb1 = b[2] + b[5] / 2;
+  const double zo = std::max(0.0, std::min(za1, zb1) - std::max(za0, zb0));
+  const double inter = inter_bev * zo;
+  const double u = area_a * a[5] + area_b * b[5] - inter;
+  return u > 0 ? inter / u : 0.0;
+}
+
+// ---------------------------------------------------------------------------
+// Hungarian assignment (max total IoU), O(n^3) Jonker-Volgenant style.
+// ---------------------------------------------------------------------------
+
+// cost matrix [n x m] of NEGATED gains; returns assignment pred->gt (-1 none)
+static void hungarian(const std::vector<double>& cost, int n, int m,
+                      std::vector<int>& match_row) {
+  const int dim = std::max(n, m);
+  const double INF = 1e18;
+  std::vector<double> u(dim + 1), v(dim + 1);
+  std::vector<int> p(dim + 1), way(dim + 1);
+  auto c = [&](int i, int j) -> double {
+    if (i < n && j < m) return cost[(size_t)i * m + j];
+    return 0.0;  // padding
+  };
+  for (int i = 1; i <= dim; ++i) {
+    p[0] = i;
+    int j0 = 0;
+    std::vector<double> minv(dim + 1, INF);
+    std::vector<char> used(dim + 1, false);
+    do {
+      used[j0] = true;
+      int i0 = p[j0], j1 = -1;
+      double delta = INF;
+      for (int j = 1; j <= dim; ++j) {
+        if (used[j]) continue;
+        const double cur = c(i0 - 1, j - 1) - u[i0] - v[j];
+        if (cur < minv[j]) { minv[j] = cur; way[j] = j0; }
+        if (minv[j] < delta) { delta = minv[j]; j1 = j; }
+      }
+      for (int j = 0; j <= dim; ++j) {
+        if (used[j]) { u[p[j]] += delta; v[j] -= delta; }
+        else minv[j] -= delta;
+      }
+      j0 = j1;
+    } while (p[j0] != 0);
+    do { int j1 = way[j0]; p[j0] = p[j1]; j0 = j1; } while (j0);
+  }
+  match_row.assign(n, -1);
+  for (int j = 1; j <= dim; ++j) {
+    if (p[j] >= 1 && p[j] <= n && j <= m) match_row[p[j] - 1] = j - 1;
+  }
+}
+
+// extern C matcher for the fusion stage (py ctypes): boxes are
+// [cx, cy, cz, width, length, height, heading] row-major.
+extern "C" int hungarian_match_boxes(
+    const double* pred, int n, const double* gt, int m, double iou_thresh,
+    int mode_2d, int* out_pred_idx, int* out_gt_idx, double* out_iou) {
+  if (n == 0 || m == 0) return 0;
+  std::vector<double> iou((size_t)n * m, 0.0);
+  std::vector<double> cost((size_t)n * m, 0.0);
+  for (int i = 0; i < n; i++) {
+    for (int j = 0; j < m; j++) {
+      const double v = box_iou_7dof(pred + 7 * i, gt + 7 * j, mode_2d);
+      iou[(size_t)i * m + j] = v;
+      cost[(size_t)i * m + j] = v >= iou_thresh ? -v : 0.0;
+    }
+  }
+  std::vector<int> match_row;
+  hungarian(cost, n, m, match_row);
+  int q = 0;
+  for (int i = 0; i < n; i++) {
+    const int j = match_row[i];
+    if (j >= 0 && iou[(size_t)i * m + j] >= iou_thresh) {
+      out_pred_idx[q] = i;
+      out_gt_idx[q] = j;
+      out_iou[q] = iou[(size_t)i * m + j];
+      q++;
+    }
+  }
+  return q;
+}
+
+#ifdef METRICS_MAIN
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Proto wire decoding (schema: cm3d_tpu/datasets/waymo/proto.py).
+// ---------------------------------------------------------------------------
+
+struct Obj {
+  double box[7];  // cx cy cz w l h heading
+  int type = 0;
+  int num_points = 0;
+  double score = 0;
+  int64_t ts = 0;
+  std::string context;
+};
+
+struct Cursor { const uint8_t* p; const uint8_t* end; };
+
+static uint64_t read_varint(Cursor& c) {
+  uint64_t x = 0; int shift = 0;
+  while (c.p < c.end) {
+    uint8_t b = *c.p++;
+    x |= (uint64_t)(b & 0x7f) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+  }
+  return x;
+}
+
+static void parse_box(const uint8_t* p, size_t len, double* box) {
+  Cursor c{p, p + len};
+  while (c.p < c.end) {
+    const uint64_t key = read_varint(c);
+    const int field = (int)(key >> 3), wire = (int)(key & 7);
+    if (wire == 1) {
+      double v; std::memcpy(&v, c.p, 8); c.p += 8;
+      // schema: cx=1 cy=2 cz=3 width=4 length=5 height=6 heading=7
+      static const int slot[8] = {-1, 0, 1, 2, 3, 4, 5, 6};
+      if (field >= 1 && field <= 7) box[slot[field]] = v;
+    } else if (wire == 2) {
+      const uint64_t ln = read_varint(c); c.p += ln;
+    } else if (wire == 0) {
+      read_varint(c);
+    } else if (wire == 5) { c.p += 4; }
+  }
+}
+
+static void parse_label(const uint8_t* p, size_t len, Obj& o) {
+  Cursor c{p, p + len};
+  while (c.p < c.end) {
+    const uint64_t key = read_varint(c);
+    const int field = (int)(key >> 3), wire = (int)(key & 7);
+    if (wire == 2) {
+      const uint64_t ln = read_varint(c);
+      if (field == 1) parse_box(c.p, ln, o.box);
+      c.p += ln;
+    } else if (wire == 0) {
+      const uint64_t v = read_varint(c);
+      if (field == 3) o.type = (int)v;
+      if (field == 7) o.num_points = (int)v;
+    } else if (wire == 1) { c.p += 8; }
+    else if (wire == 5) { c.p += 4; }
+  }
+}
+
+static void parse_object(const uint8_t* p, size_t len, Obj& o) {
+  Cursor c{p, p + len};
+  while (c.p < c.end) {
+    const uint64_t key = read_varint(c);
+    const int field = (int)(key >> 3), wire = (int)(key & 7);
+    if (wire == 2) {
+      const uint64_t ln = read_varint(c);
+      if (field == 1) parse_label(c.p, ln, o);
+      else if (field == 5) o.context.assign((const char*)c.p, ln);
+      c.p += ln;
+    } else if (wire == 5) {
+      if (field == 2) { float f; std::memcpy(&f, c.p, 4); o.score = f; }
+      c.p += 4;
+    } else if (wire == 0) {
+      const uint64_t v = read_varint(c);
+      if (field == 4) o.ts = (int64_t)v;
+    } else if (wire == 1) { c.p += 8; }
+  }
+}
+
+static std::vector<Obj> load_bin(const char* path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) { std::fprintf(stderr, "cannot open %s\n", path); std::exit(2); }
+  std::vector<uint8_t> buf((std::istreambuf_iterator<char>(f)),
+                            std::istreambuf_iterator<char>());
+  std::vector<Obj> out;
+  Cursor c{buf.data(), buf.data() + buf.size()};
+  while (c.p < c.end) {
+    const uint64_t key = read_varint(c);
+    const int field = (int)(key >> 3), wire = (int)(key & 7);
+    if (field == 1 && wire == 2) {
+      const uint64_t ln = read_varint(c);
+      Obj o;
+      parse_object(c.p, ln, o);
+      c.p += ln;
+      out.push_back(std::move(o));
+    } else break;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// AP/APH per (type, difficulty level).
+// ---------------------------------------------------------------------------
+
+struct TypeCfg { int type; const char* name; double iou; };
+static const TypeCfg kTypes[] = {
+    {1, "VEHICLE", 0.7},
+    {2, "PEDESTRIAN", 0.5},
+    {3, "SIGN", 0.5},
+    {4, "CYCLIST", 0.5},
+};
+
+struct ScoredTP { double score; int tp; double hweight; };
+
+// Waymo heading accuracy weight: 1 - |wrapped yaw diff| / pi.
+static double heading_weight(double a, double b) {
+  double d = std::fabs(a - b);
+  d = std::fmod(d, 2 * M_PI);
+  if (d > M_PI) d = 2 * M_PI - d;
+  return std::max(0.0, 1.0 - d / M_PI);
+}
+
+// level: 1 -> evaluate on L1 gts only (preds matched to L2 gts ignored);
+// 2 -> all gts. GT difficulty: L2 iff num_points <= 5.
+static void evaluate_type(
+    const std::map<std::pair<std::string, int64_t>, std::vector<const Obj*>>& preds,
+    const std::map<std::pair<std::string, int64_t>, std::vector<const Obj*>>& gts,
+    const TypeCfg& tc, int level, double* out_ap, double* out_aph) {
+  std::vector<ScoredTP> rows;
+  long npos = 0;
+  std::map<std::pair<std::string, int64_t>, char> all_frames;
+  for (auto& kv : preds) all_frames[kv.first] = 1;
+  for (auto& kv : gts) all_frames[kv.first] = 1;
+
+  for (auto& fr : all_frames) {
+    std::vector<const Obj*> p, g;
+    auto ip = preds.find(fr.first);
+    if (ip != preds.end())
+      for (auto* o : ip->second) if (o->type == tc.type) p.push_back(o);
+    auto ig = gts.find(fr.first);
+    if (ig != gts.end())
+      for (auto* o : ig->second) if (o->type == tc.type) g.push_back(o);
+
+    std::vector<char> g_is_l2(g.size());
+    for (size_t j = 0; j < g.size(); j++) g_is_l2[j] = g[j]->num_points <= 5;
+    for (size_t j = 0; j < g.size(); j++)
+      if (level == 2 || !g_is_l2[j]) npos++;
+
+    const int n = (int)p.size(), m = (int)g.size();
+    if (n == 0) continue;
+    if (m == 0) {
+      for (auto* o : p) rows.push_back({o->score, 0, 0.0});
+      continue;
+    }
+    std::vector<double> pb(7 * n), gb(7 * m);
+    for (int i = 0; i < n; i++) std::memcpy(&pb[7 * i], p[i]->box, 56);
+    for (int j = 0; j < m; j++) std::memcpy(&gb[7 * j], g[j]->box, 56);
+    std::vector<int> pi(n), gi(n);
+    std::vector<double> io(n);
+    const int q = hungarian_match_boxes(pb.data(), n, gb.data(), m, tc.iou, 0,
+                                        pi.data(), gi.data(), io.data());
+    std::vector<int> matched_gt(n, -1);
+    for (int k = 0; k < q; k++) matched_gt[pi[k]] = gi[k];
+    for (int i = 0; i < n; i++) {
+      const int j = matched_gt[i];
+      if (j < 0) {
+        rows.push_back({p[i]->score, 0, 0.0});
+      } else if (level == 1 && g_is_l2[j]) {
+        // matched an L2-only gt: excluded from the L1 metric entirely
+      } else {
+        rows.push_back(
+            {p[i]->score, 1, heading_weight(p[i]->box[6], g[j]->box[6])});
+      }
+    }
+  }
+
+  if (npos == 0 || rows.empty()) { *out_ap = 0; *out_aph = 0; return; }
+  std::sort(rows.begin(), rows.end(),
+            [](const ScoredTP& a, const ScoredTP& b) { return a.score > b.score; });
+  std::vector<double> prec(rows.size()), rec(rows.size());
+  std::vector<double> prec_h(rows.size());
+  double tp = 0, fp = 0, tph = 0;
+  for (size_t i = 0; i < rows.size(); i++) {
+    if (rows[i].tp) { tp += 1; tph += rows[i].hweight; }
+    else fp += 1;
+    prec[i] = tp / (tp + fp);
+    prec_h[i] = tph / (tp + fp);
+    rec[i] = tp / (double)npos;
+  }
+  // max-interpolated p(r), integrated over recall (Pascal-style continuous)
+  double ap = 0, aph = 0, prev_r = 0;
+  double max_p = 0, max_ph = 0;
+  for (size_t i = rows.size(); i-- > 0;) {
+    max_p = std::max(max_p, prec[i]);
+    max_ph = std::max(max_ph, prec_h[i]);
+    prec[i] = max_p;
+    prec_h[i] = max_ph;
+  }
+  for (size_t i = 0; i < rows.size(); i++) {
+    ap += prec[i] * (rec[i] - prev_r);
+    aph += prec_h[i] * (rec[i] - prev_r);
+    prev_r = rec[i];
+  }
+  *out_ap = ap;
+  *out_aph = aph;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    std::fprintf(stderr, "usage: %s pred.bin gt.bin\n", argv[0]);
+    return 2;
+  }
+  auto preds = load_bin(argv[1]);
+  auto gts = load_bin(argv[2]);
+
+  std::map<std::pair<std::string, int64_t>, std::vector<const Obj*>> pmap, gmap;
+  for (auto& o : preds) pmap[{o.context, o.ts}].push_back(&o);
+  for (auto& o : gts) gmap[{o.context, o.ts}].push_back(&o);
+
+  for (const auto& tc : kTypes) {
+    for (int level = 1; level <= 2; level++) {
+      double ap = 0, aph = 0;
+      evaluate_type(pmap, gmap, tc, level, &ap, &aph);
+      std::printf("OBJECT_TYPE_TYPE_%s_LEVEL_%d: [mAP %.6g] [mAPH %.6g]\n",
+                  tc.name, level, ap, aph);
+    }
+  }
+  return 0;
+}
+
+#endif  // METRICS_MAIN

@@ -1,0 +1,332 @@
+"""Late fusion with SAM3D predictions: Hungarian matching + alpha grid search.
+
+Rebuild of the reference's linear_matching (src/nuscenes/linear_matching.py
+and src/waymo/linear_matching.py): match CM3D boxes with SAM3D boxes per
+frame (Hungarian, BEV IoU 0.2), grid-search a confidence scale alpha for the
+SAM3D scores, merge (matched pairs keep the higher-scored geometry but
+ALWAYS the CM3D class/attribute; unmatched boxes pass through, SAM3D ones
+rescaled), evaluate each alpha, keep the best.
+
+Reference quirks reproduced on purpose:
+- 7-DoF matching boxes [cx, cy, bottom_z, size_w, size_l, h, heading]; the
+  TF op's "length" slot receives size[0] (nuScenes width) — reproduced by
+  placing size[0] in our along-heading slot (nuscenes/linear_matching.py:
+  164-172).
+- heading extracted via scipy from_quat fed the (w,x,y,z) list in the
+  (x,y,z,w) slot — the same quirk as push_centroid (:170).
+- alpha grid: arange(pred_min/sam3d_max, pred_max/sam3d_min, 0.04) (:270-276).
+- merged SAM3D scores clipped to [0, 1] (:349,397).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cm3d_tpu.eval.waymo_metrics import hungarian_match
+
+
+def _heading_from_quat_quirk(rotation_wxyz) -> float:
+    """Literal reproduction of `R.from_quat(rotation).as_euler('xyz')[0]`
+    on a (w, x, y, z) list (reference :170,209)."""
+    from scipy.spatial.transform import Rotation as R
+
+    return float(R.from_quat(list(rotation_wxyz)).as_euler("xyz")[0])
+
+
+def _yaw_quat(yaw: float) -> List[float]:
+    return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
+
+
+def submission_to_7dof(submission: dict):
+    """Per-sample [N, 7] matcher boxes + supp lists (attr, score, vel, name).
+
+    Matcher layout (see module docstring): [cx, cy, bottom_z,
+    across=size1, along=size0, h, heading_quirk].
+    """
+    box_dict: Dict[str, List[np.ndarray]] = {}
+    supp_dict: Dict[str, List[list]] = {}
+    cmin, cmax = 1e7, -1e7
+    for sample, objs in submission["results"].items():
+        box_dict.setdefault(sample, [])
+        supp_dict.setdefault(sample, [])
+        for obj in objs:
+            heading = _heading_from_quat_quirk(obj["rotation"])
+            box_dict[sample].append(
+                np.array(
+                    [
+                        obj["translation"][0],
+                        obj["translation"][1],
+                        obj["translation"][2] - obj["size"][2] / 2,
+                        obj["size"][1],  # across-heading slot
+                        obj["size"][0],  # along-heading slot (reference quirk)
+                        obj["size"][2],
+                        heading,
+                    ],
+                    float,
+                )
+            )
+            supp_dict[sample].append(
+                [
+                    obj["attribute_name"],
+                    obj["detection_score"],
+                    obj.get("velocity", [0, 0]),
+                    obj["detection_name"],
+                ]
+            )
+            s = obj["detection_score"]
+            cmax = max(cmax, s)
+            if s != 0:
+                cmin = min(cmin, s)
+    return box_dict, supp_dict, cmin, cmax
+
+
+def compute_matches(pred_boxes, sam3d_boxes, iou: float = 0.2):
+    """Per-sample Hungarian matches (reference :268-297)."""
+    pred_m: Dict[str, List[int]] = {}
+    sam_m: Dict[str, List[int]] = {}
+    for ts in pred_boxes:
+        pred_m[ts] = []
+        sam_m[ts] = []
+        if ts not in sam3d_boxes or not sam3d_boxes[ts] or not pred_boxes[ts]:
+            continue
+        pi, gi, _ = hungarian_match(
+            np.stack(pred_boxes[ts]), np.stack(sam3d_boxes[ts]), iou,
+            mode_2d=True,
+        )
+        pred_m[ts] = [int(i) for i in pi]
+        sam_m[ts] = [int(i) for i in gi]
+    return pred_m, sam_m
+
+
+def _box_dict_from_7dof(sample, box7, name, score, attr):
+    """Matcher 7-DoF back to a submission dict (reference :303-327)."""
+    heading = float(box7[6])
+    return {
+        "sample_token": sample,
+        "translation": [
+            float(box7[0]), float(box7[1]), float(box7[2]) + float(box7[5]) / 2
+        ],
+        "size": [float(box7[3]), float(box7[4]), float(box7[5])],
+        "rotation": _yaw_quat(heading),
+        "velocity": [0, 0],
+        "detection_name": name,
+        "detection_score": score,
+        "attribute_name": attr,
+    }
+
+
+def merge_for_alpha(
+    alpha: float,
+    pred_boxes, pred_supp, sam_boxes, sam_supp, pred_m, sam_m,
+) -> dict:
+    """One alpha's merged submission (reference :326-463)."""
+    merged = {
+        "meta": {
+            "use_camera": True, "use_lidar": True, "use_radar": False,
+            "use_map": True, "use_external": False,
+        },
+        "results": {},
+    }
+
+    def add(sample, d):
+        merged["results"].setdefault(sample, []).append(d)
+
+    for ts, boxes in pred_boxes.items():
+        for i, b in enumerate(boxes):
+            if i in pred_m.get(ts, []):
+                continue
+            s = pred_supp[ts][i]
+            add(ts, _box_dict_from_7dof(ts, b, s[3], s[1], s[0]))
+
+    for ts, boxes in sam_boxes.items():
+        for i, b in enumerate(boxes):
+            if i in sam_m.get(ts, []):
+                continue
+            s = sam_supp[ts][i]
+            add(ts, _box_dict_from_7dof(
+                ts, b, s[3], float(np.clip(s[1] * alpha, 0, 1)), s[0]
+            ))
+
+    for ts in pred_m:
+        for k, pred_id in enumerate(pred_m[ts]):
+            sam_id = sam_m[ts][k]
+            pb, sb = pred_boxes[ts][pred_id], sam_boxes[ts][sam_id]
+            ps, ss = pred_supp[ts][pred_id], sam_supp[ts][sam_id]
+            sam_score = ss[1] * alpha
+            if sam_score > ps[1]:
+                # SAM3D geometry, CM3D class/attribute (reference :390-410)
+                add(ts, _box_dict_from_7dof(
+                    ts, sb, ps[3], float(np.clip(sam_score, 0, 1)), ps[0]
+                ))
+            else:
+                add(ts, _box_dict_from_7dof(ts, pb, ps[3], ps[1], ps[0]))
+    return merged
+
+
+def alpha_grid(pred_min, pred_max, sam_min, sam_max, step: float = 0.04):
+    return list(np.arange(pred_min / sam_max, pred_max / sam_min, step))
+
+
+def run_fusion_nuscenes(
+    pred_json: str,
+    sam3d_json: str,
+    gt_json: str,
+    out_path: str,
+    object_only: bool = False,
+    verbose: bool = True,
+) -> Tuple[float, float]:
+    """Full nuScenes alpha search; GT in the hermetic eval format.
+    Returns (best_alpha, best_mAP); best merged submission at out_path."""
+    from cm3d_tpu.eval import DETECTION_CVPR_2019
+    from cm3d_tpu.eval.boxes import EvalBoxes
+    from cm3d_tpu.eval.evaluate import DetectionEval
+
+    with open(pred_json) as f:
+        pred = json.load(f)
+    with open(sam3d_json) as f:
+        sam3d = json.load(f)
+    with open(gt_json) as f:
+        gt_data = json.load(f)
+
+    pred_boxes, pred_supp, pmin, pmax = submission_to_7dof(pred)
+    sam_boxes, sam_supp, smin, smax = submission_to_7dof(sam3d)
+    pred_m, sam_m = compute_matches(pred_boxes, sam_boxes)
+
+    best_alpha, best_score, best_merged = 0.0, -1.0, None
+    for alpha in alpha_grid(pmin, pmax, smin, smax):
+        merged = merge_for_alpha(
+            alpha, pred_boxes, pred_supp, sam_boxes, sam_supp, pred_m, sam_m
+        )
+        gt_boxes = EvalBoxes.deserialize(gt_data["boxes"])
+        ev = DetectionEval(
+            gt_boxes=gt_boxes,
+            pred_boxes=EvalBoxes.deserialize(merged["results"]),
+            cfg=DETECTION_CVPR_2019,
+            ego_translations={t: tuple(v) for t, v in
+                              gt_data["ego_translations"].items()},
+            object_only=object_only,
+            verbose=False,
+        )
+        import contextlib, io
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            summary = ev.main()
+        score = float(summary["mean_ap"])
+        if score > best_score:
+            best_score, best_alpha, best_merged = score, alpha, merged
+        if verbose:
+            print(f"Curr Score: {score},  Curr Alpha: {alpha}")
+            print(f"Best Score: {best_score}, Best Alpha: {best_alpha}")
+    with open(out_path, "w") as f:
+        json.dump(best_merged, f)
+    return best_alpha, best_score
+
+
+def _objects_to_frames(objs):
+    """Waymo objects grouped by (context, timestamp) into matcher arrays."""
+    box_dict, supp_dict = {}, {}
+    cmin, cmax = 1e7, -1e7
+    for o in objs:
+        key = f"{o.context_name}|{o.frame_timestamp_micros}"
+        box_dict.setdefault(key, []).append(
+            np.array(
+                [o.box.center_x, o.box.center_y, o.box.center_z - o.box.height / 2,
+                 o.box.width, o.box.length, o.box.height, o.box.heading],
+                float,
+            )
+        )
+        supp_dict.setdefault(key, []).append(["", o.score, [0, 0], o.type])
+        cmax = max(cmax, o.score)
+        if o.score != 0:
+            cmin = min(cmin, o.score)
+    return box_dict, supp_dict, cmin, cmax
+
+
+def run_fusion_waymo(
+    pred_bin: str,
+    sam3d_bin: str,
+    gt_bin: str,
+    out_path: str,
+    verbose: bool = True,
+) -> Tuple[float, float]:
+    """Waymo alpha search evaluated by the native metrics binary
+    (reference waymo/linear_matching.py:168-542). Returns
+    (best_alpha, best Overall/L2 mAP)."""
+    import tempfile
+
+    from cm3d_tpu.datasets.waymo.proto import (
+        WaymoBox, WaymoObject, decode_objects, encode_objects,
+    )
+    from cm3d_tpu.eval.waymo_metrics import run_detection_metrics
+
+    pred = decode_objects(open(pred_bin, "rb").read())
+    sam3d = decode_objects(open(sam3d_bin, "rb").read())
+    pred_boxes, pred_supp, pmin, pmax = _objects_to_frames(pred)
+    sam_boxes, sam_supp, smin, smax = _objects_to_frames(sam3d)
+    pred_m, sam_m = compute_matches(pred_boxes, sam_boxes)
+
+    def to_objects(merged_rows):
+        out = []
+        for key, rows in merged_rows.items():
+            ctx, ts = key.rsplit("|", 1)
+            for b, typ, score in rows:
+                out.append(
+                    WaymoObject(
+                        box=WaymoBox(
+                            center_x=float(b[0]), center_y=float(b[1]),
+                            center_z=float(b[2]) + float(b[5]) / 2,
+                            width=float(b[3]), length=float(b[4]),
+                            height=float(b[5]), heading=float(b[6]),
+                        ),
+                        type=int(typ), score=float(score),
+                        frame_timestamp_micros=int(ts), context_name=ctx,
+                        id="fused",
+                    )
+                )
+        return out
+
+    best_alpha, best_score, best_bytes = 0.0, -1.0, b""
+    for alpha in alpha_grid(pmin, pmax, smin, smax):
+        rows: Dict[str, list] = {}
+
+        def add(key, b, typ, score):
+            rows.setdefault(key, []).append((b, typ, score))
+
+        for ts, boxes in pred_boxes.items():
+            for i, b in enumerate(boxes):
+                if i not in pred_m.get(ts, []):
+                    s = pred_supp[ts][i]
+                    add(ts, b, s[3], s[1])
+        for ts, boxes in sam_boxes.items():
+            for i, b in enumerate(boxes):
+                if i not in sam_m.get(ts, []):
+                    s = sam_supp[ts][i]
+                    add(ts, b, s[3], float(np.clip(s[1] * alpha, 0, 1)))
+        for ts in pred_m:
+            for k, pred_id in enumerate(pred_m[ts]):
+                sam_id = sam_m[ts][k]
+                ps, ss = pred_supp[ts][pred_id], sam_supp[ts][sam_id]
+                if ss[1] * alpha > ps[1]:
+                    add(ts, sam_boxes[ts][sam_id], ps[3],
+                        float(np.clip(ss[1] * alpha, 0, 1)))
+                else:
+                    add(ts, pred_boxes[ts][pred_id], ps[3], ps[1])
+
+        buf = encode_objects(to_objects(rows))
+        with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as tf_:
+            tf_.write(buf)
+            tmp = tf_.name
+        _, ap = run_detection_metrics(tmp, gt_bin)
+        score = ap["Overall/L2 mAP"]
+        if score > best_score:
+            best_score, best_alpha, best_bytes = score, alpha, buf
+        if verbose:
+            print(f"Curr Score: {score},  Curr Alpha: {alpha}")
+            print(f"Best Score: {best_score}, Best Alpha: {best_alpha}")
+    with open(out_path, "wb") as f:
+        f.write(best_bytes)
+    return best_alpha, best_score
