@@ -1,0 +1,212 @@
+"""KITTI loader + keyframe builder + prediction writers.
+
+Loader mirrors the reference kitti_object (src/kitti/kitti_object.py:27-127):
+index-based access to image_2 / velodyne / calib / label_2 with the
+7481/7518 train/test split. The keyframe builder folds the calibration
+chain P2·R0·Tr_velo_to_cam into the canonical CameraParams so the SAME
+jitted device step runs single-camera KITTI:
+
+  "global" frame := velodyne frame; ego pose = identity;
+  camera rotation/translation chosen so p_rect = R^T (p_velo - t), with the
+  P2 baseline column folded into t (calib.rect_chain()).
+
+The lifting output path implements what the reference's KITTI lifter
+intended but left broken (src/kitti/2d_to_3d.py:1528 debug exit, undefined
+second pass): medoid centroid -> rect frame, shape-prior extents written
+(h, w, l) with the bottom-center y += h/2 (:1530-1535), yaw from the
+BEV principal axis (replacing the open3d OBB, :855-876), KITTI label txt
+via save_pred's format (:879-885).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from cm3d_tpu.config import CLASS_TO_ID, LiftStageConfig, NUSCENES_CLASSES, SHAPE_PRIORS_CHATGPT
+from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+from cm3d_tpu.datasets.kitti.calib import Calibration, Object3d
+from cm3d_tpu.datasets.nuscenes.frontend import get_detection_name
+from cm3d_tpu.datasets.types import CameraParams, Keyframe
+from cm3d_tpu.ops.bitmask import pack_masks_np
+from cm3d_tpu.vocab import NUSC_TO_KITTI
+
+KITTI_IMAGE_RATIO = 0.8366  # reference kitti/2d_to_3d.py:1103 (hardcoded)
+
+
+def _mat_to_quat_wxyz(m: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation as R
+
+    q = R.from_matrix(m).as_quat()
+    return np.array([q[3], q[0], q[1], q[2]], np.float32)
+
+
+class KittiDataset:
+    """Index-based accessors (reference kitti_object.py:27-127)."""
+
+    def __init__(self, root: str | Path, split: str = "training"):
+        self.root = Path(root)
+        self.split = split
+        self.split_dir = self.root / split
+        self.num_samples = {"training": 7481, "testing": 7518}.get(split, 0)
+        found = sorted((self.split_dir / "velodyne").glob("*.bin"))
+        if found:
+            self.num_samples = len(found)
+
+    def _path(self, sub: str, idx: int, ext: str) -> Path:
+        return self.split_dir / sub / f"{idx:06d}.{ext}"
+
+    def get_image_path(self, idx: int) -> Path:
+        return self._path("image_2", idx, "png")
+
+    def get_lidar(self, idx: int) -> np.ndarray:
+        """[N, 4] velodyne points (x, y, z, reflectance)."""
+        return np.fromfile(self._path("velodyne", idx, "bin"), np.float32).reshape(
+            -1, 4
+        )
+
+    def get_calibration(self, idx: int) -> Calibration:
+        return Calibration(self._path("calib", idx, "txt"))
+
+    def get_label_objects(self, idx: int) -> List[Object3d]:
+        from cm3d_tpu.datasets.kitti.calib import read_label
+
+        p = self._path("label_2", idx, "txt")
+        return read_label(p) if p.exists() else []
+
+
+class KittiFrontend:
+    def __init__(
+        self,
+        root: str | Path,
+        mask_store: MaskArtifactStore,
+        lift_cfg: LiftStageConfig = LiftStageConfig(num_sweeps=1),
+        split: str = "training",
+        mask_wh: Tuple[int, int] = (1024, 320),
+        scene_name: str = "kitti",
+    ):
+        self.dataset = KittiDataset(root, split)
+        self.store = mask_store
+        self.cfg = lift_cfg
+        self.mask_wh = mask_wh
+        self.scene_name = scene_name
+
+    def build_keyframe(self, idx: int) -> Optional[Tuple[Keyframe, int]]:
+        cfg = self.cfg
+        fm = self.store.read_frame(self.scene_name, idx)
+        if fm is None:
+            return None
+        calib = self.dataset.get_calibration(idx)
+        pts = self.dataset.get_lidar(idx)
+
+        n = cfg.max_points
+        points = np.zeros((n, 4), np.float32)
+        point_valid = np.zeros(n, bool)
+        n_real = min(len(pts), n)
+        points[:n_real] = pts[:n_real]
+        point_valid[:n_real] = True
+
+        a, b, k = calib.rect_chain()
+        # p_rect = A p + b == R^T (p - t) with R = A^T, t = -A^T b
+        rot = a.T
+        cam_t = (-a.T @ b).astype(np.float32)
+        cam_q = _mat_to_quat_wxyz(rot)
+        k_scaled = (k * KITTI_IMAGE_RATIO).astype(np.float32)
+        k_scaled[2, 2] = 1.0
+
+        w, h = self.mask_wh
+        m_pad = cfg.max_masks
+        m_real = min(fm.masks.shape[0], m_pad)
+        masks = np.zeros((m_pad, w, h), bool)
+        mask_cam = np.zeros(m_pad, np.int32)
+        mask_label = np.zeros(m_pad, np.int32)
+        mask_score = np.zeros(m_pad, np.float32)
+        mask_valid = np.zeros(m_pad, bool)
+        for i in range(m_real):
+            name = get_detection_name(fm.labels[i])
+            if name not in CLASS_TO_ID:
+                continue
+            mk = fm.masks[i]
+            if mk.shape == (h, w):
+                mk = mk.T
+            masks[i, : mk.shape[0], : mk.shape[1]] = mk.astype(bool)[:w, :h]
+            mask_label[i] = CLASS_TO_ID[name]
+            mask_score[i] = fm.detection_scores[i]
+            mask_valid[i] = True
+
+        l_pad = cfg.max_lane_points  # KITTI has no map: all lanes invalid
+        kf = Keyframe(
+            points=points,
+            point_valid=point_valid,
+            cameras=CameraParams(
+                ego_translation=np.zeros((1, 3), np.float32),
+                ego_rotation=np.array([[1, 0, 0, 0]], np.float32),
+                cam_translation=cam_t[None],
+                cam_rotation=cam_q[None],
+                intrinsics=k_scaled[None],
+            ),
+            mask_bits=pack_masks_np(masks),
+            mask_cam=mask_cam,
+            mask_label=mask_label,
+            mask_score=mask_score,
+            mask_valid=mask_valid,
+            lane_points=np.zeros((l_pad, 3), np.float32),
+            lane_valid=np.zeros(l_pad, bool),
+            ego_translation=np.zeros(3, np.float32),
+        )
+        return kf, idx
+
+    def iter_frames(self, indices: List[int]) -> Iterator[Tuple[Keyframe, int]]:
+        for idx in indices:
+            built = self.build_keyframe(idx)
+            if built is not None:
+                yield built
+
+
+def velo_yaw_to_kitti_ry(yaw_velo: float) -> float:
+    """BEV yaw in the velodyne frame -> rotation_y about the rect camera's
+    down-pointing Y axis (standard KITTI convention)."""
+    ry = -yaw_velo - np.pi / 2
+    return float((ry + np.pi) % (2 * np.pi) - np.pi)
+
+
+def boxes_to_kitti_objects(
+    calib: Calibration,
+    centroids_velo: np.ndarray,  # [M, 3]
+    yaws_velo: np.ndarray,  # [M] BEV PCA yaws
+    scores: np.ndarray,
+    labels: np.ndarray,
+    keep: np.ndarray,
+    classes=NUSCENES_CLASSES,
+) -> List[Object3d]:
+    """Device outputs -> KITTI label objects (reference :1524-1536 intent).
+
+    Extents come from the shape prior written (h, w, l); the rect-frame y is
+    shifted to the box bottom (+h/2, camera Y points down)."""
+    out = []
+    for i in np.flatnonzero(np.asarray(keep)):
+        name = classes[int(labels[i])]
+        kitti_name = NUSC_TO_KITTI.get(name)
+        if kitti_name is None:
+            continue
+        w, l, h = SHAPE_PRIORS_CHATGPT[name]
+        rect = calib.project_velo_to_rect(centroids_velo[i][None])[0]
+        out.append(
+            Object3d(
+                type=kitti_name,
+                truncation=-1,
+                occlusion=-1,
+                alpha=-10,
+                box2d=np.zeros(4),
+                h=h,
+                w=w,
+                l=l,
+                t=(float(rect[0]), float(rect[1] + h / 2), float(rect[2])),
+                ry=velo_yaw_to_kitti_ry(float(yaws_velo[i])),
+                score=float(scores[i]),
+            )
+        )
+    return out

@@ -63,6 +63,7 @@ class LiftOutputs(NamedTuple):
     point_counts: jax.Array  # [M] int32: points gathered (pre-truncation)
     truncated: jax.Array  # [M] bool: count exceeded K (silent loss in ref)
     cam_truncated: jax.Array  # [C] bool: a camera overflowed NC
+    pca_yaws: jax.Array  # [M] BEV principal-axis yaw of the gathered points
 
 
 def _compact_topk(sel: jax.Array, limit: int):
@@ -190,7 +191,22 @@ def lift_keyframe(
     centroids = pts_xyz[med_global]
     centroids = jnp.where(has_points[:, None], centroids, 0.0)
 
-    return LiftOutputs(centroids, has_points, counts, truncated, cam_truncated)
+    # --- BEV principal-axis yaw (device replacement for the reference
+    # KITTI open3d OBB fit, kitti/2d_to_3d.py:855-876,1524; closed-form
+    # eigenvector of the 2x2 xy covariance). ---
+    vf = valid_k.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(vf, axis=1), 1.0)
+    xy = coords[..., :2] * vf[..., None]
+    mean = jnp.sum(xy, axis=1) / cnt[:, None]
+    d = (coords[..., :2] - mean[:, None, :]) * vf[..., None]
+    sxx = jnp.sum(d[..., 0] * d[..., 0], axis=1)
+    syy = jnp.sum(d[..., 1] * d[..., 1], axis=1)
+    sxy = jnp.sum(d[..., 0] * d[..., 1], axis=1)
+    pca_yaws = 0.5 * jnp.arctan2(2 * sxy, sxx - syy)
+
+    return LiftOutputs(
+        centroids, has_points, counts, truncated, cam_truncated, pca_yaws
+    )
 
 
 class BoxOutputs(NamedTuple):

@@ -1,0 +1,180 @@
+"""KITTI: calib chain, label round-trip, keyframe lift end-to-end."""
+
+import numpy as np
+import pytest
+
+from cm3d_tpu.config import LiftStageConfig, SHAPE_PRIORS_CHATGPT
+from cm3d_tpu.datasets.artifacts import FrameMasks, MaskArtifactStore
+from cm3d_tpu.datasets.kitti import Calibration, Object3d, read_label, write_label
+from cm3d_tpu.datasets.kitti.calib import compute_box_3d
+from cm3d_tpu.datasets.kitti.frontend import (
+    KITTI_IMAGE_RATIO,
+    KittiFrontend,
+    velo_yaw_to_kitti_ry,
+)
+
+RNG = np.random.default_rng(47)
+
+def _make_calib_txt() -> str:
+    """KITTI-like calib with EXACT rotations (a hand-typed real file's
+    rotation is only ~1e-3 orthonormal, which breaks rigid-inverse
+    round-trip tests)."""
+    from scipy.spatial.transform import Rotation as R
+
+    r0 = R.from_euler("xyz", [0.004, -0.0085, 0.0101]).as_matrix()
+    # velodyne (x fwd, y left, z up) -> camera (x right, y down, z fwd)
+    base = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    v2c_r = R.from_euler("xyz", [0.002, -0.001, 0.007]).as_matrix() @ base
+    v2c_t = np.array([-0.0246, -0.0613, -0.3321])
+    p2 = np.array(
+        [[707.0493, 0, 604.0814, 45.75831],
+         [0, 707.0493, 180.5066, -0.3454157],
+         [0, 0, 1, 0.004981016]]
+    )
+
+    def fmt(m):
+        return " ".join(repr(float(v)) for v in np.asarray(m).ravel())
+
+    v2c = np.concatenate([v2c_r, v2c_t[:, None]], axis=1)
+    return (
+        f"P0: {fmt(p2)}\nP1: {fmt(p2)}\nP2: {fmt(p2)}\nP3: {fmt(p2)}\n"
+        f"R0_rect: {fmt(r0)}\n"
+        f"Tr_velo_to_cam: {fmt(v2c)}\n"
+        f"Tr_imu_to_velo: {fmt(np.eye(3, 4))}\n"
+    )
+
+
+CALIB_TXT = _make_calib_txt()
+
+
+@pytest.fixture()
+def kitti_root(tmp_path):
+    root = tmp_path / "kitti"
+    for sub in ("calib", "velodyne", "label_2", "image_2"):
+        (root / "training" / sub).mkdir(parents=True)
+    (root / "training" / "calib" / "000000.txt").write_text(CALIB_TXT)
+    return root
+
+
+def test_calibration_chain_roundtrip(kitti_root):
+    calib = Calibration(kitti_root / "training" / "calib" / "000000.txt")
+    pts = RNG.uniform([-20, -10, -2], [60, 10, 2], (100, 3))
+    rect = calib.project_velo_to_rect(pts)
+    back = calib.project_rect_to_velo(rect)
+    np.testing.assert_allclose(back, pts, atol=1e-5)  # file R is ~orthonormal
+    # image backprojection: uv+depth -> rect (in-front points only)
+    front = rect[rect[:, 2] > 4]
+    img = calib.project_rect_to_image(front)
+    uvd = np.concatenate([img, front[:, 2:3]], axis=1)
+    rect2 = calib.project_image_to_rect(uvd)
+    # devkit backprojection ignores P2[2,3] (w-offset) — approximation error
+    # ~ P2[2,3]/z relative, faithful to the reference formula
+    np.testing.assert_allclose(rect2, front, atol=0.05)
+
+
+def test_rect_chain_matches_projection(kitti_root):
+    calib = Calibration(kitti_root / "training" / "calib" / "000000.txt")
+    a, b, k = calib.rect_chain()
+    pts = RNG.uniform([0, -10, -2], [60, 10, 2], (50, 3))
+    cam = pts @ a.T + b
+    uvw = cam @ k.T
+    uv = uvw[:, :2] / uvw[:, 2:3]
+    want = calib.project_velo_to_image(pts)
+    np.testing.assert_allclose(uv, want, atol=1e-4)
+
+
+def test_label_roundtrip(tmp_path):
+    objs = [
+        Object3d("Car", 0.0, 0, -1.57, np.array([100.0, 120, 300, 250]),
+                 1.5, 1.7, 4.2, (1.8, 1.6, 8.5), 0.3),
+        Object3d("Pedestrian", 0.1, 1, 0.5, np.array([10.0, 20, 50, 90]),
+                 1.8, 0.6, 0.8, (-3.0, 1.5, 12.0), -1.2, score=0.77),
+    ]
+    p = tmp_path / "l.txt"
+    write_label(p, objs)
+    back = read_label(p)
+    assert back[0].type == "Car" and np.isnan(back[0].score)
+    assert back[1].score == 0.77
+    np.testing.assert_allclose(back[1].t, objs[1].t)
+    corners = compute_box_3d(objs[0])
+    assert corners.shape == (8, 3)
+    # bottom face at y = t_y (camera y points down)
+    assert abs(sorted(corners[:, 1])[-1] - 1.6) < 1e-9
+
+
+def test_velo_yaw_to_ry():
+    # velodyne +x (yaw 0) maps to ry = -pi/2
+    assert abs(velo_yaw_to_kitti_ry(0.0) + np.pi / 2) < 1e-9
+    # wrap stays in [-pi, pi]
+    assert -np.pi <= velo_yaw_to_kitti_ry(3.0) <= np.pi
+
+
+def test_kitti_lift_end_to_end(kitti_root, tmp_path):
+    """Planted objects -> masks -> lift CLI -> KITTI label txts."""
+    from cm3d_tpu.pipelines.lift_kitti import run_lift_kitti
+
+    calib = Calibration(kitti_root / "training" / "calib" / "000000.txt")
+    rng = np.random.default_rng(3)
+    mask_w, mask_h = 1024, 320
+
+    objects = []
+    pts = [rng.uniform([-40, -40, -1.8], [40, 40, -1.5], (3000, 3))]
+    masks, labels, scores = [], [], []
+    a, b, k = calib.rect_chain()
+    ksc = k * KITTI_IMAGE_RATIO
+    ksc[2, 2] = 1.0
+    for j, name in enumerate(["car", "pedestrian", "car"]):
+        w, l, h = SHAPE_PRIORS_CHATGPT[name]
+        center = np.array([rng.uniform(8, 30), rng.uniform(-6, 6), 0.0])
+        cluster = center + rng.normal(0, 1, (150, 3)) * np.array([l, w, h]) / 4
+        pts.append(cluster)
+        cam = a @ center + b
+        if cam[2] < 1:
+            continue
+        uvw = ksc @ cam
+        px, py = uvw[0] / uvw[2], uvw[1] / uvw[2]
+        if not (5 < px < mask_w - 5 and 5 < py < mask_h - 5):
+            continue
+        m = np.zeros((mask_w, mask_h), np.uint8)
+        rx = max(8, int(700 * KITTI_IMAGE_RATIO * max(l, w) / (2 * cam[2])))
+        ry_ = max(8, int(700 * KITTI_IMAGE_RATIO * h / (2 * cam[2])))
+        xs = np.arange(mask_w)[:, None]
+        ys = np.arange(mask_h)[None, :]
+        m[:] = ((xs - px) / rx) ** 2 + ((ys - py) / ry_) ** 2 <= 1
+        masks.append(m)
+        labels.append(name)
+        scores.append(float(rng.uniform(0.5, 1.0)))
+        objects.append((name, center))
+    assert len(objects) >= 2
+
+    allpts = np.concatenate(pts).astype(np.float32)
+    raw = np.zeros((len(allpts), 4), np.float32)
+    raw[:, :3] = allpts
+    raw.tofile(kitti_root / "training" / "velodyne" / "000000.bin")
+
+    store = MaskArtifactStore(tmp_path / "masks")
+    store.write_frame("kitti", 0, FrameMasks(labels, scores, [0] * len(labels),
+                                             np.stack(masks)))
+
+    cfg = LiftStageConfig(
+        num_sweeps=1, max_points=8192, max_masks=16, max_points_per_mask=512,
+        max_points_per_camera=4096, max_points_in_masks=2048,
+        max_lane_points=64,
+    )
+    n = run_lift_kitti(str(kitti_root), str(tmp_path / "masks"), [0],
+                       str(tmp_path / "out"), cfg, batch_size=1, verbose=False)
+    assert n >= 2
+    preds = read_label(tmp_path / "out" / "pred" / "000000.txt")
+    pseudo = read_label(tmp_path / "out" / "pseudo" / "000000.txt")
+    assert len(preds) == n and len(pseudo) == n
+    assert all(not np.isnan(o.score) for o in preds)
+    assert all(np.isnan(o.score) for o in pseudo)
+    # each pred near a planted object (rect frame)
+    for o in preds:
+        rect = np.asarray(o.t)
+        best = 1e9
+        for name, center in objects:
+            crect = calib.project_velo_to_rect(center[None])[0]
+            best = min(best, np.linalg.norm(rect[[0, 2]] - crect[[0, 2]]))
+        assert best < 2.5, (o, best)
+        assert o.type in ("Car", "Pedestrian")
