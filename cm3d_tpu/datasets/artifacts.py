@@ -122,6 +122,40 @@ class MaskArtifactStore:
             masks=masks,
         )
 
+    def read_frame_packed(
+        self, scene_name: str, frame_num: int, num_words: int,
+        mask_wh: tuple,
+    ):
+        """Fast path: (labels, scores, cam_nums, words [W, H, num_words])
+        with RLE decoded straight into packed bit-planes (C, no dense
+        intermediate). Returns None on missing/corrupt artifacts; falls back
+        to the dense path when sizes mismatch or the C codec is absent."""
+        d = self._scene_dir(scene_name)
+        try:
+            with open(d / f"{frame_num}_data.json") as f:
+                data = json.load(f)
+            with open(d / f"{frame_num}_masks.pkl", "rb") as f:
+                rles = pickle.load(f)
+        except (OSError, json.JSONDecodeError, pickle.UnpicklingError, EOFError):
+            return None
+        w, h = mask_wh
+        words = None
+        if rles and list(rles[0]["size"]) == [w, h]:
+            words = rle.decode_many_packed(rles, num_words)
+        if words is None:
+            from cm3d_tpu.ops.bitmask import pack_masks_np
+
+            masks = rle.decode_many(rles)
+            m_cap = num_words * 32
+            padded = np.zeros((m_cap, w, h), bool)
+            for i in range(min(len(masks), m_cap)):
+                mk = masks[i]
+                if mk.shape == (h, w):
+                    mk = mk.T
+                padded[i, : mk.shape[0], : mk.shape[1]] = mk.astype(bool)[:w, :h]
+            words = pack_masks_np(padded)
+        return data["labels"], data["detection_scores"], data["cam_nums"], words
+
     def frame_numbers(self, scene_name: str) -> List[int]:
         d = self._scene_dir(scene_name)
         if not d.is_dir():

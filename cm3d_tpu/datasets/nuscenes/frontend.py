@@ -143,12 +143,16 @@ class NuScenesFrontend:
         frame_num: int,
         sample: dict,
         lane_points: np.ndarray,
-    ) -> Optional[Tuple[Keyframe, KeyframeMeta, FrameMasks]]:
+    ) -> Optional[Tuple[Keyframe, KeyframeMeta]]:
         """Assemble one padded Keyframe; None if mask artifacts are missing."""
         cfg = self.cfg
-        fm = self.store.read_frame(scene_name, frame_num)
-        if fm is None:
+        m_pad = cfg.max_masks
+        packed = self.store.read_frame_packed(
+            scene_name, frame_num, num_words(m_pad), self.mask_wh
+        )
+        if packed is None:
             return None
+        labels_raw, scores_raw, cams_raw, mask_bits = packed
 
         pts = self.aggregate_sweeps(sample)
         n = cfg.max_points
@@ -158,26 +162,18 @@ class NuScenesFrontend:
         points[:n_real] = pts[:n_real]
         point_valid[:n_real] = True
 
-        w, h = self.mask_wh
-        m_pad = cfg.max_masks
-        m_real = min(fm.masks.shape[0], m_pad)
-        masks = np.zeros((m_pad, w, h), bool)
+        m_real = min(len(labels_raw), m_pad)
         mask_cam = np.zeros(m_pad, np.int32)
         mask_label = np.zeros(m_pad, np.int32)
         mask_score = np.zeros(m_pad, np.float32)
         mask_valid = np.zeros(m_pad, bool)
         for i in range(m_real):
-            name = get_detection_name(fm.labels[i])
+            name = get_detection_name(labels_raw[i])
             if name not in CLASS_TO_ID:
-                continue
-            # artifact masks are RLE [W, H] already (gen writes transposed)
-            mk = fm.masks[i]
-            if mk.shape == (h, w):  # tolerate [H, W] storage
-                mk = mk.T
-            masks[i, : mk.shape[0], : mk.shape[1]] = mk.astype(bool)[:w, :h]
-            mask_cam[i] = fm.cam_nums[i]
+                continue  # bit stays set but mask_valid gates it out
+            mask_cam[i] = cams_raw[i]
             mask_label[i] = CLASS_TO_ID[name]
-            mask_score[i] = fm.detection_scores[i]
+            mask_score[i] = scores_raw[i]
             mask_valid[i] = True
 
         l_pad = cfg.max_lane_points
@@ -192,7 +188,7 @@ class NuScenesFrontend:
             points=points,
             point_valid=point_valid,
             cameras=self.camera_params(sample),
-            mask_bits=pack_masks_np(masks),
+            mask_bits=mask_bits,
             mask_cam=mask_cam,
             mask_label=mask_label,
             mask_score=mask_score,
@@ -202,7 +198,7 @@ class NuScenesFrontend:
             ego_translation=np.asarray(pose["translation"], np.float32),
         )
         meta = KeyframeMeta(sample["token"], scene_name, frame_num, m_real)
-        return kf, meta, fm
+        return kf, meta
 
     def iter_scene(self, scene_name: str) -> Iterator[Tuple[Keyframe, KeyframeMeta]]:
         """Yield keyframes of a scene with its map's lane points attached."""
@@ -213,5 +209,4 @@ class NuScenesFrontend:
             built = self.build_keyframe(scene_name, frame_num, sample, lane_points)
             if built is None:
                 continue
-            kf, meta, _ = built
-            yield kf, meta
+            yield built

@@ -94,3 +94,53 @@ long rle_string_decode(const char *s, long slen, uint32_t *out_counts) {
     }
     return m;
 }
+
+/* Decode a compressed RLE string DIRECTLY into packed uint32 bit-planes,
+ * skipping the dense mask entirely (the dense->pack path dominates host
+ * time at production scale). The RLE covers an [h, w] Fortran-order mask
+ * (h = mask W, w = mask H in the artifact layout); bit `mask_idx % 32` of
+ * word (row * w + col) * mw + mask_idx / 32 is set for every 1-run pixel.
+ * Returns the number of pixels set. */
+long rle_decode_packed(const char *s, long slen, long h, long w,
+                       long mask_idx, uint32_t *words, long mw) {
+    const uint32_t bit = (uint32_t)1 << (mask_idx & 31);
+    const long word_off = mask_idx >> 5;
+    long m = 0;
+    long pos = 0;
+    const long n = h * w;
+    uint8_t v = 0;
+    long total = 0;
+    long p = 0;
+    long prev2 = 0, prev1 = 0; /* counts[i-2], counts[i-1] */
+    long idx_count = 0;
+    while (p < slen && pos < n) {
+        int64_t x = 0;
+        int k = 0;
+        int more = 1;
+        while (more && p < slen) {
+            int64_t c = (int64_t)(s[p++]) - 48;
+            x |= (c & 0x1f) << (5 * k);
+            more = (int)(c & 0x20);
+            k++;
+            if (!more && (c & 0x10)) x |= (int64_t)(-1) << (5 * k);
+        }
+        if (idx_count > 2) x += prev2;
+        prev2 = prev1;
+        prev1 = x;
+        idx_count++;
+        long cnt = (long)x;
+        if (cnt > n - pos) cnt = n - pos;
+        if (v) {
+            for (long f = pos; f < pos + cnt; f++) {
+                const long row = f % h;
+                const long col = f / h;
+                words[(row * w + col) * mw + word_off] |= bit;
+            }
+            total += cnt;
+        }
+        pos += cnt;
+        v = !v;
+        (void)m;
+    }
+    return total;
+}

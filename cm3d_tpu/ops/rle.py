@@ -30,6 +30,7 @@ def _lib():
             lib.rle_runs_decode.restype = None
             lib.rle_string_encode.restype = ctypes.c_long
             lib.rle_string_decode.restype = ctypes.c_long
+            lib.rle_decode_packed.restype = ctypes.c_long
             _LIB = lib
     return _LIB
 
@@ -163,3 +164,34 @@ def _string_decode_np(s: bytes) -> np.ndarray:
             x += counts[-2]
         counts.append(x)
     return np.asarray(counts, np.int64)
+
+
+def decode_many_packed(rles: List[Dict], num_words: int) -> Optional[np.ndarray]:
+    """Decode same-size RLEs straight into packed bit-planes.
+
+    Returns [W, H, num_words] uint32 (artifact masks are stored [W, H]), or
+    None when the C library is unavailable (callers fall back to
+    decode_many + pack_masks_np)."""
+    lib = _lib()
+    if lib is None or not rles:
+        return None
+    h, w = rles[0]["size"]  # artifact layout: h = mask W, w = mask H
+    words = np.zeros((h, w, num_words), np.uint32)
+    for m, r in enumerate(rles):
+        if m >= num_words * 32:
+            break
+        counts_b = r["counts"]
+        if isinstance(counts_b, str):
+            counts_b = counts_b.encode()
+        if list(r["size"]) != [h, w]:
+            return None  # mixed sizes: let the caller use the dense path
+        lib.rle_decode_packed(
+            ctypes.c_char_p(counts_b),
+            ctypes.c_long(len(counts_b)),
+            ctypes.c_long(h),
+            ctypes.c_long(w),
+            ctypes.c_long(m),
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_long(num_words),
+        )
+    return words

@@ -40,6 +40,7 @@ def run_lift(
     out_path: str,
     lift_cfg: LiftStageConfig = LiftStageConfig(),
     batch_size: int = 8,
+    num_workers: int = 8,
     verbose: bool = True,
 ) -> dict:
     import jax
@@ -78,16 +79,37 @@ def run_lift(
         timer["write"] += time.perf_counter() - t0
         pending = []
 
+    # Host keyframe building overlaps device execution: a worker pool
+    # prefetches upcoming frames (the reference is strictly sequential —
+    # SURVEY.md §2.4's "manual slice editing" is the closest it gets).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def scene_frames(scene_name):
+        scene = frontend.nusc.scene_by_name(scene_name)
+        nmap = frontend._map_for_scene(scene)
+        lane_points = nmap.all_lane_points(0.5)
+        return [
+            (scene_name, fn, sample, lane_points)
+            for fn, sample in enumerate(frontend.nusc.iter_samples(scene))
+        ]
+
+    t0 = time.perf_counter()
+    work = []
     for scene_name in scenes:
-        t0 = time.perf_counter()
-        for kf, meta in frontend.iter_scene(scene_name):
+        work.extend(scene_frames(scene_name))
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for built in pool.map(
+            lambda a: frontend.build_keyframe(*a), work, chunksize=1
+        ):
+            if built is None:
+                continue
             timer["io"] += time.perf_counter() - t0
-            pending.append((kf, meta))
+            pending.append(built)
             n_frames += 1
             if len(pending) >= batch_size:
                 flush()
             t0 = time.perf_counter()
-        timer["io"] += time.perf_counter() - t0
+    timer["io"] += time.perf_counter() - t0
     flush()
 
     t0 = time.perf_counter()
