@@ -22,6 +22,10 @@ import numpy as np
 def main() -> None:
     import jax
 
+    from cm3d_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cm3d_tpu.config import LiftStageConfig
     from cm3d_tpu.datasets.synthetic import SyntheticConfig, make_keyframe
     from cm3d_tpu.datasets.types import stack_keyframes

@@ -45,9 +45,16 @@ def run_lift(
 ) -> dict:
     import jax
 
+    from cm3d_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cm3d_tpu.datasets.nuscenes import NuScenesFrontend, SubmissionWriter
 
+    from cm3d_tpu.utils.observability import LiftCounters
+
     timer = {"io": 0.0, "device": 0.0, "write": 0.0, "total": 0.0}
+    counters = LiftCounters()
     t_total = time.perf_counter()
 
     store = MaskArtifactStore(mask_dir)
@@ -70,6 +77,12 @@ def run_lift(
         batch = stack_keyframes(frames)
         lift, boxes = step(batch.frames)
         boxes_np = jax.tree.map(np.asarray, boxes)  # forces sync
+        lift_np = jax.tree.map(np.asarray, lift)
+        counters.update_from_outputs(
+            np.asarray(batch.frames.mask_valid)[:n_real],
+            jax.tree.map(lambda x: x[:n_real], lift_np),
+            boxes_np.keep[:n_real],
+        )
         timer["device"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         for i, (_, meta) in enumerate(pending[:n_real]):
@@ -124,6 +137,7 @@ def run_lift(
             print(f"{op} :\t\t {v:.3f}")
         if timer["total"] > 0:
             print(f"keyframes/sec: {n_frames / timer['total']:.2f}")
+        print(counters.report())
     return submission
 
 

@@ -71,6 +71,9 @@ def run_lift_kitti(
 ) -> int:
     import jax
 
+    from cm3d_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     frontend = KittiFrontend(root, MaskArtifactStore(mask_dir), lift_cfg)
     step = jax.jit(make_kitti_step_fn(lift_cfg))
     os.makedirs(f"{out_dir}/pred", exist_ok=True)

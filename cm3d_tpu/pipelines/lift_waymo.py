@@ -34,6 +34,10 @@ def run_lift_waymo(
 ) -> int:
     import jax
 
+    from cm3d_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cm3d_tpu.datasets.waymo.frontend import (
         WaymoFrontend,
         boxes_to_waymo_objects,
