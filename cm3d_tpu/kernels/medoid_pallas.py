@@ -24,9 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE = 256  # row tile; [TILE, K] fp32 working set stays well under VMEM
 
 
-def _medoid_sums_kernel(row_ref, col_ref, valid_ref, out_ref):
+def _medoid_sums_kernel(count_ref, row_ref, col_ref, valid_ref, out_ref):
     """One program = one mask.
 
+    count_ref: [R] int32 valid counts (scalar prefetch; compaction keeps all
+        valid points in the leading `count` slots, so row tiles beyond the
+        count need no sums and column lanes beyond it contribute zero).
     row_ref: [1, 3, K] coords, lane-major (row broadcast source).
     col_ref: [1, K, 3] coords, sublane-major (column broadcast source).
     valid_ref: [1, 1, K] float32 0/1.
@@ -38,7 +41,9 @@ def _medoid_sums_kernel(row_ref, col_ref, valid_ref, out_ref):
     z_row = row_ref[0, 2, :].reshape(1, k)
     v_row = valid_ref[0]  # [1, K]
 
-    n_tiles = k // _TILE
+    out_ref[0, 0, :] = jnp.zeros((k,), out_ref.dtype)
+    count = count_ref[pl.program_id(0)]
+    n_tiles = jnp.minimum(pl.cdiv(count, _TILE), k // _TILE)
 
     def tile_body(i, _):
         cols = col_ref[0, pl.ds(i * _TILE, _TILE), :]  # [TILE, 3]
@@ -53,7 +58,7 @@ def _medoid_sums_kernel(row_ref, col_ref, valid_ref, out_ref):
         out_ref[0, 0, pl.ds(i * _TILE, _TILE)] = sums
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -63,11 +68,14 @@ def medoid_distance_sums_pallas(
     """Distance sums for batched masked point sets.
 
     Args:
-      points: [R, K, 3] float32 coordinates (padding rows arbitrary but finite).
+      points: [R, K, 3] float32 coordinates (padding rows arbitrary but
+        finite). Valid rows MUST be compacted to the front (the lift's
+        order-preserving top_k guarantees this) — the kernel skips row tiles
+        beyond each set's count.
       valid: [R, K] bool.
 
     Returns [R, K] float32: sum_j valid_j * ||p_i - p_j|| (rows at invalid i
-    are still computed; mask them before argmin).
+    are zero/garbage; mask them before argmin).
     """
     r, k, _ = points.shape
     pad_k = -(-k // _TILE) * _TILE
@@ -80,19 +88,22 @@ def medoid_distance_sums_pallas(
     pts = pts * valid[..., None].astype(jnp.float32)
     rows = jnp.transpose(pts, (0, 2, 1))  # [R, 3, K]
     validf = valid.astype(jnp.float32)[:, None, :]  # [R, 1, K]
+    counts = jnp.sum(valid, axis=1).astype(jnp.int32)  # [R]
 
-    out = pl.pallas_call(
-        _medoid_sums_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((1, 3, pad_k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pad_k, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, pad_k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, pad_k), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, pad_k, 3), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, pad_k), lambda i, c: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, pad_k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, 1, pad_k), lambda i, c: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _medoid_sums_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, 1, pad_k), jnp.float32),
         interpret=interpret,
-    )(rows, pts, validf)
+    )(counts, rows, pts, validf)
     return out[:, 0, :k]
