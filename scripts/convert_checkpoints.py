@@ -1,0 +1,53 @@
+"""One-time conversion of the released torch checkpoints to orbax trees.
+
+Usage (in an environment with the checkpoint files present):
+  python scripts/convert_checkpoints.py \
+      --sam sam_vit_h_4b8939.pth --detic Detic_LCOCOI21k_....pth \
+      --clip detic_clip_text.pth --out_dir converted/
+
+Afterwards the mask-stage CLI loads them via cm3d_tpu.models.checkpoints.
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sam", default="")
+    p.add_argument("--detic", default="")
+    p.add_argument("--clip", default="")
+    p.add_argument("--out_dir", required=True)
+    args = p.parse_args()
+
+    from cm3d_tpu.models.checkpoints import save_params
+
+    if args.sam:
+        from cm3d_tpu.models.convert_sam import (
+            convert_sam_params, load_torch_state_dict,
+        )
+
+        params = convert_sam_params(load_torch_state_dict(args.sam))
+        save_params(params, f"{args.out_dir}/sam_vit_h")
+        print("saved sam_vit_h")
+    if args.detic:
+        from cm3d_tpu.models.convert_detic import (
+            convert_detic_params, load_detic_checkpoint,
+        )
+
+        params = convert_detic_params(load_detic_checkpoint(args.detic))
+        save_params(params, f"{args.out_dir}/detic_swinb")
+        print("saved detic_swinb")
+    if args.clip:
+        from cm3d_tpu.models.clip_text import convert_clip_text_params
+        from cm3d_tpu.models.convert_sam import load_torch_state_dict
+
+        params = convert_clip_text_params(load_torch_state_dict(args.clip))
+        save_params(params, f"{args.out_dir}/clip_text")
+        print("saved clip_text")
+
+
+if __name__ == "__main__":
+    main()
