@@ -1,0 +1,138 @@
+"""Jittable train step (optax) + detection decode, sharded over the mesh.
+
+The training batch shards over the `data` axis like everything else
+(SURVEY.md §2.4): gradients all-reduce over ICI via `pmean` inside the
+sharded step. The step covers voxelization -> detector -> losses -> adamw,
+so `__graft_entry__.dryrun_multichip` can compile and run the FULL training
+step on an N-device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cm3d_tpu.train.centerpoint import CenterPointConfig, CenterPointDetector
+from cm3d_tpu.train.targets import build_targets, focal_loss, reg_loss
+from cm3d_tpu.train.voxelize import PillarConfig, pillarize
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class TrainBatch(NamedTuple):
+    points: jax.Array  # [B, N, 4] ego-frame
+    point_valid: jax.Array  # [B, N]
+    boxes: jax.Array  # [B, M, 8] (x, y, z, w, l, h, yaw, class)
+    box_valid: jax.Array  # [B, M]
+
+
+def init_state(
+    rng: jax.Array,
+    pillar_cfg: PillarConfig,
+    model_cfg: CenterPointConfig,
+    learning_rate: float = 1e-3,
+) -> Tuple[TrainState, CenterPointDetector, optax.GradientTransformation]:
+    model = CenterPointDetector(model_cfg)
+    h, w = pillar_cfg.grid_hw
+    dummy = jnp.zeros((1, h, w, pillar_cfg.num_features))
+    variables = model.init(rng, dummy, train=True)
+    tx = optax.adamw(learning_rate)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, model, tx
+
+
+def make_train_step(
+    model: CenterPointDetector,
+    tx: optax.GradientTransformation,
+    pillar_cfg: PillarConfig,
+    axis_name: str | None = None,
+):
+    """Returns step(state, batch) -> (state, metrics). When axis_name is
+    given the gradients pmean over that mesh axis (use under shard_map or
+    pmap); under plain jit with sharded batch XLA handles the reduction."""
+    cfg = model.cfg
+
+    def loss_fn(params, batch_stats, batch: TrainBatch):
+        pillars = jax.vmap(lambda p, v: pillarize(p, v, pillar_cfg))(
+            batch.points, batch.point_valid
+        )
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pillars,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        hm_t, reg_t, reg_m = jax.vmap(
+            lambda b, v: build_targets(b, v, pillar_cfg, cfg.num_classes,
+                                       cfg.out_stride)
+        )(batch.boxes, batch.box_valid)
+        l_hm = focal_loss(out["heatmap"], hm_t)
+        pred_reg = jnp.concatenate(
+            [out["offset"], out["z"], out["size"], out["yaw"]], axis=-1
+        )
+        l_reg = reg_loss(pred_reg, reg_t, reg_m)
+        loss = l_hm + 2.0 * l_reg
+        return loss, (mutated.get("batch_stats", batch_stats),
+                      {"loss": loss, "loss_heatmap": l_hm, "loss_reg": l_reg})
+
+    def step(state: TrainState, batch: TrainBatch):
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, new_stats, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def decode_detections(
+    out: Dict[str, jax.Array],
+    pillar_cfg: PillarConfig,
+    out_stride: int,
+    top_k: int = 128,
+):
+    """Head maps (single sample) -> (boxes [K, 7], scores [K], classes [K]).
+
+    CenterPoint decode: per-cell class max, global top-k, regression readout.
+    """
+    hm = jax.nn.sigmoid(out["heatmap"])
+    h, w, c = hm.shape
+    flat = hm.reshape(-1, c)
+    best_cls = jnp.argmax(flat, axis=1)
+    best = jnp.max(flat, axis=1)
+    scores, idx = jax.lax.top_k(best, top_k)
+    classes = best_cls[idx]
+    ix = (idx // w).astype(jnp.float32)
+    iy = (idx % w).astype(jnp.float32)
+    res = pillar_cfg.resolution * out_stride
+
+    def read(m):
+        return m.reshape(-1, m.shape[-1])[idx]
+
+    off = read(out["offset"])
+    z = read(out["z"])[:, 0]
+    size = jnp.exp(read(out["size"]))
+    yaw_sc = read(out["yaw"])
+    yaw = jnp.arctan2(yaw_sc[:, 0], yaw_sc[:, 1])
+    x = (ix + 0.5 + off[:, 0]) * res + pillar_cfg.x_min
+    y = (iy + 0.5 + off[:, 1]) * res + pillar_cfg.y_min
+    boxes = jnp.stack([x, y, z, size[:, 0], size[:, 1], size[:, 2], yaw], axis=1)
+    return boxes, scores, classes
