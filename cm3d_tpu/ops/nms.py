@@ -109,3 +109,36 @@ def nms_2d_classwise(
     suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, dtype=bool))
     keep_sorted = val & ~suppressed
     return jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
+
+
+def polygon_nms_keep(
+    boxes_bev: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    iou_threshold: float = 0.5,
+) -> jax.Array:
+    """Greedy rotated-box BEV NMS. boxes_bev: [N, 5] (cx, cy, w, l, yaw).
+
+    The reference ships (but never calls) a shapely polygon-NMS
+    (src/kitti/2d_to_3d.py nms:507-599, polygon_intersection_area:391-434);
+    this is the jittable equivalent built on the exact rotated-IoU clipper.
+    Returns keep [N] bool.
+    """
+    from cm3d_tpu.geometry.boxes import rotated_iou_bev
+
+    n = scores.shape[0]
+    neg = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-neg, stable=True)
+    b = boxes_bev[order]
+    val = valid[order]
+    iou = rotated_iou_bev(b, b)  # [N, N]
+
+    def body(i, suppressed):
+        active = val[i] & ~suppressed[i]
+        later = jnp.arange(n) > i
+        supp_new = active & later & (iou[i] > iou_threshold)
+        return suppressed | supp_new
+
+    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, dtype=bool))
+    keep_sorted = val & ~suppressed
+    return jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)

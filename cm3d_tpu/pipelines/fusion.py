@@ -330,3 +330,38 @@ def run_fusion_waymo(
     with open(out_path, "wb") as f:
         f.write(best_bytes)
     return best_alpha, best_score
+
+
+def main(argv=None):
+    """CLI: reference linear_matching __main__ for both datasets."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="CM3D + SAM3D late fusion")
+    sub = p.add_subparsers(dest="dataset", required=True)
+
+    pn = sub.add_parser("nuscenes")
+    pn.add_argument("--pred", required=True, help="CM3D submission JSON")
+    pn.add_argument("--sam3d", required=True, help="SAM3D submission JSON")
+    pn.add_argument("--gt_json", required=True, help="hermetic GT file")
+    pn.add_argument("--out", default="best_matched_pseudolabels.json")
+    pn.add_argument("--object_only", type=int, default=0)
+
+    pw = sub.add_parser("waymo")
+    pw.add_argument("--pred", required=True, help="CM3D pred .bin")
+    pw.add_argument("--sam3d", required=True, help="SAM3D pred .bin")
+    pw.add_argument("--gt", required=True, help="GT .bin")
+    pw.add_argument("--out", default="best_matched_pseudolabels.bin")
+
+    args = p.parse_args(argv)
+    if args.dataset == "nuscenes":
+        alpha, score = run_fusion_nuscenes(
+            args.pred, args.sam3d, args.gt_json, args.out,
+            object_only=bool(args.object_only),
+        )
+    else:
+        alpha, score = run_fusion_waymo(args.pred, args.sam3d, args.gt, args.out)
+    print(f"Best Score: {score}, Best Alpha: {alpha}")
+
+
+if __name__ == "__main__":
+    main()

@@ -250,35 +250,18 @@ def build_real_models(
     return MaskModels(detic_wrapped, sam_encode, sam_decode, tuple(vocabulary))
 
 
-def main(argv=None):
-    """CLI: reference gen_2d_masks_detic.py __main__ equivalent (nuScenes)."""
+def _nuscenes_provider(args):
     from PIL import Image
 
     from cm3d_tpu.datasets.nuscenes.tables import CAM_LIST, NuScenesTables
-
-    p = argparse.ArgumentParser(description="CM3D-TPU 2D mask generation stage")
-    p.add_argument("--dataroot", required=True)
-    p.add_argument("--version", default="v1.0-mini")
-    p.add_argument("--out_dir", required=True)
-    p.add_argument("--scenes", default="", help="comma-separated; '' = all")
-    p.add_argument("--thumbnail", type=int, default=1024)  # reference :293
-    p.add_argument("--fake_weights", action="store_true",
-                   help="tiny random-weight models (hermetic smoke run)")
-    p.add_argument("--detic_ckpt", default="")
-    p.add_argument("--sam_ckpt", default="")
-    p.add_argument("--clip_ckpt", default="")
-    p.add_argument("--bpe_path", default="")
-    p.add_argument("--no_resume", action="store_true")
-    args = p.parse_args(argv)
 
     nusc = NuScenesTables(args.dataroot, args.version)
     scene_names = (
         args.scenes.split(",") if args.scenes
         else [s["name"] for s in nusc.table("scene")]
     )
-    scene_recs = {n: nusc.scene_by_name(n) for n in scene_names}
     samples = {
-        n: list(nusc.iter_samples(scene_recs[n])) for n in scene_names
+        n: list(nusc.iter_samples(nusc.scene_by_name(n))) for n in scene_names
     }
 
     def provider(scene, frame):
@@ -290,15 +273,100 @@ def main(argv=None):
             images.append(np.asarray(im))
         return images
 
+    return provider, scene_names, lambda s: len(samples[s])
+
+
+def _kitti_provider(args):
+    """Single-camera image_2 variant (reference kitti/gen_2d_masks_detic.py;
+    note its run_nms=False "wo_2d_nms" default)."""
+    from PIL import Image
+
+    from cm3d_tpu.datasets.kitti.frontend import KittiDataset
+
+    ds = KittiDataset(args.dataroot)
+    if args.scenes:
+        indices = [int(i) for i in args.scenes.split(",")]
+    else:
+        indices = list(range(ds.num_samples))
+
+    def provider(scene, frame):
+        im = Image.open(ds.get_image_path(indices[frame])).convert("RGB")
+        im.thumbnail((args.thumbnail, args.thumbnail))
+        return [np.asarray(im)]
+
+    return provider, ["kitti"], lambda s: len(indices)
+
+
+def _waymo_provider(args):
+    """frame-lite variant: per-camera JPEGs stored in the npz (reference
+    waymo/gen_2d_masks_detic.py decodes them from the Frame proto)."""
+    import io
+
+    from PIL import Image
+
+    from cm3d_tpu.datasets.waymo.frontend import WaymoFrontend
+    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+
+    fe = WaymoFrontend(args.dataroot, MaskArtifactStore("/nonexistent"))
+    scene_names = args.scenes.split(",") if args.scenes else fe.scene_names()
+
+    def provider(scene, frame):
+        fr = fe.load_frame(fe.frame_files(scene)[frame])
+        images = []
+        for buf in fr["cam_images_jpeg"]:
+            im = Image.open(io.BytesIO(bytes(buf))).convert("RGB")
+            im.thumbnail((args.thumbnail, args.thumbnail))
+            images.append(np.asarray(im))
+        return images
+
+    return provider, scene_names, lambda s: len(fe.frame_files(s))
+
+
+def main(argv=None):
+    """CLI: the three gen_2d_masks_detic.py forks behind one driver."""
+    p = argparse.ArgumentParser(description="CM3D-TPU 2D mask generation stage")
+    p.add_argument("--dataset", default="nuscenes",
+                   choices=["nuscenes", "kitti", "waymo"])
+    p.add_argument("--dataroot", required=True,
+                   help="nuScenes root / KITTI root / waymo frame-lite root")
+    p.add_argument("--version", default="v1.0-mini")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--scenes", default="",
+                   help="comma-separated scenes (KITTI: frame indices)")
+    p.add_argument("--thumbnail", type=int, default=1024)  # reference :293
+    p.add_argument("--run_nms", type=int, default=-1,
+                   help="-1 = dataset default (nusc/waymo on, kitti off)")
+    p.add_argument("--fake_weights", action="store_true",
+                   help="tiny random-weight models (hermetic smoke run)")
+    p.add_argument("--detic_ckpt", default="")
+    p.add_argument("--sam_ckpt", default="")
+    p.add_argument("--clip_ckpt", default="")
+    p.add_argument("--bpe_path", default="")
+    p.add_argument("--no_resume", action="store_true")
+    args = p.parse_args(argv)
+
+    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, CUSTOM_VOCABULARY_WAYMO
+
+    provider, scene_names, frames_fn = {
+        "nuscenes": _nuscenes_provider,
+        "kitti": _kitti_provider,
+        "waymo": _waymo_provider,
+    }[args.dataset](args)
+
+    vocab = (CUSTOM_VOCABULARY_WAYMO if args.dataset == "waymo"
+             else CUSTOM_VOCABULARY_NUSCENES)
     if args.fake_weights:
-        models = build_fake_models()
+        models = build_fake_models(vocabulary=vocab)
     else:
         models = build_real_models(
-            args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path
+            args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
+            vocabulary=vocab,
         )
+
+    run_nms = (args.dataset != "kitti") if args.run_nms < 0 else bool(args.run_nms)
+    cfg = MaskStageConfig(run_nms=run_nms, thumbnail=args.thumbnail)
     run_mask_stage(
-        models, provider, scene_names,
-        lambda s: len(samples[s]), args.out_dir,
+        models, provider, scene_names, frames_fn, args.out_dir, cfg,
         resume=not args.no_resume,
     )
 

@@ -51,6 +51,9 @@ def export_segment(path: str, out_root: str) -> int:
         cam_ext = np.stack(
             [np.array(c.extrinsic.transform, np.float64).reshape(4, 4) for c in cams]
         )
+        images = sorted(frame.images, key=lambda im: im.name)
+        cam_images = np.array([np.frombuffer(im.image, np.uint8)
+                               for im in images], dtype=object)
 
         lane_polylines = []
         for feat in frame.map_features:
@@ -84,6 +87,7 @@ def export_segment(path: str, out_root: str) -> int:
             ).reshape(4, 4),
             cam_intrinsic=cam_intr,
             cam_extrinsic=cam_ext,
+            cam_images_jpeg=cam_images,
             lane_polylines=np.array(lane_polylines, dtype=object),
             labels_box=np.array(labels_box, np.float64).reshape(-1, 7),
             labels_type=np.array(labels_type, np.int32),

@@ -221,3 +221,21 @@ def test_nearest_lane_padding():
     )
     assert float(yaws[0]) == 0.5
     np.testing.assert_allclose(float(dists[0]), 1.0, rtol=1e-6)
+
+
+def test_polygon_nms_rotated_overlap():
+    import jax.numpy as jnp
+    from cm3d_tpu.ops.nms import polygon_nms_keep
+
+    boxes = jnp.asarray(np.array(
+        [
+            [0.0, 0.0, 2.0, 4.0, 0.0],
+            [0.2, 0.0, 2.0, 4.0, 0.1],   # heavy overlap with 0 -> suppressed
+            [0.0, 0.0, 2.0, 4.0, 1.57],  # crossed 90deg: IoU 1/3 < 0.5 -> kept
+            [20.0, 20.0, 2.0, 4.0, 0.5],
+        ],
+        np.float32,
+    ))
+    scores = jnp.asarray(np.array([0.9, 0.8, 0.7, 0.6], np.float32))
+    keep = np.asarray(polygon_nms_keep(boxes, scores, jnp.ones(4, bool), 0.5))
+    assert list(keep) == [True, False, True, True]

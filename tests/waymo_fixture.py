@@ -151,6 +151,19 @@ def make_fake_waymo(
                 for o in objects
             ]
         )
+        # tiny camera jpegs so the mask-stage CLI runs on the fixture
+        import io as _io
+
+        from PIL import Image as _Image
+
+        jpgs = []
+        for _ in range(N_CAMS):
+            buf = _io.BytesIO()
+            _Image.fromarray(
+                (rng.random((64, 96, 3)) * 80 + 60).astype(np.uint8)
+            ).save(buf, format="JPEG")
+            jpgs.append(np.frombuffer(buf.getvalue(), np.uint8))
+
         np.savez(
             Path(frames_root) / scene / f"frame_{f:03d}.npz",
             context_name=f"ctx_{scene}",
@@ -161,6 +174,7 @@ def make_fake_waymo(
             lidar_extrinsic=lidar_ext.astype(np.float32),
             cam_intrinsic=cam_intr,
             cam_extrinsic=cam_ext,
+            cam_images_jpeg=np.array(jpgs, dtype=object),
             lane_polylines=np.array(lane_polylines, dtype=object),
             labels_box=labels_box,
             labels_type=np.array([NAME_TO_TYPE[o["name"]] for o in objects]),
