@@ -142,3 +142,29 @@ def test_end_to_end_lift_write_eval(fake_root, tmp_path):
     assert summary["mean_dist_aps"]["car"] > 0.5
     assert summary["mean_dist_aps"]["pedestrian"] > 0.5
     assert summary["mean_ap"] > 0.15
+
+
+def test_eval_cli_table_mode(fake_root, tmp_path):
+    """python -m cm3d_tpu.eval with --dataroot (GT from the raw tables)."""
+    import json
+
+    from cm3d_tpu.eval.__main__ import main as eval_main
+
+    root, masks, info = fake_root
+    # build a tiny perfect submission from the fixture GT
+    gt, egos, _, _ = load_gt_for_eval(root, VERSION)
+    results = {}
+    for token in gt.sample_tokens:
+        results[token] = []
+        for b in gt[token]:
+            d = b.serialize()
+            d["detection_score"] = 0.9
+            results[token].append(d)
+    sub = tmp_path / "sub.json"
+    json.dump({"meta": {}, "results": results}, open(sub, "w"))
+    summary = eval_main([
+        str(sub), "--dataroot", str(root), "--version", VERSION,
+        "--eval_set", "all", "--output_dir", str(tmp_path / "m"),
+        "--verbose", "0",
+    ])
+    assert summary["mean_ap"] > 0.35  # perfect preds on 4 present classes
