@@ -152,6 +152,8 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--resume", action="store_true",
                    help="skip scenes already in the output manifest")
+    p.add_argument("--host_shard", action="store_true",
+                   help="multi-host: keep only this process's scene stride")
     args = p.parse_args(argv)
 
     store = MaskArtifactStore(args.mask_dir)
@@ -159,6 +161,10 @@ def main(argv=None):
         scenes = args.scenes.split(",")
     else:
         scenes = sorted(store.completed_scenes())
+    if args.host_shard:
+        from cm3d_tpu.parallel.multihost import shard_for_host
+
+        scenes = shard_for_host(scenes)
     if not scenes:
         raise SystemExit("no scenes to process (no --scenes and empty manifest)")
     run_lift(args.dataroot, args.version, args.mask_dir, scenes, args.out,
