@@ -28,11 +28,12 @@ AP_KEYS = [
 ]
 
 
-def metrics_binary_path() -> Optional[str]:
-    p = build_binary(
-        ["waymo_metrics.cc"], "compute_detection_metrics_main",
-        extra_flags=["-DMETRICS_MAIN"],
-    )
+def metrics_binary_path(fast: bool = False) -> Optional[str]:
+    """The reference ships main + fast variants; one implementation covers
+    both contracts here (it IS the fast path)."""
+    stem = ("compute_detection_metrics_fast" if fast
+            else "compute_detection_metrics_main")
+    p = build_binary(["waymo_metrics.cc"], stem, extra_flags=["-DMETRICS_MAIN"])
     return str(p) if p else None
 
 

@@ -41,6 +41,7 @@ def run_lift(
     lift_cfg: LiftStageConfig = LiftStageConfig(),
     batch_size: int = 8,
     num_workers: int = 8,
+    profile_dir: str | None = None,
     verbose: bool = True,
 ) -> dict:
     import jax
@@ -106,10 +107,14 @@ def run_lift(
             for fn, sample in enumerate(frontend.nusc.iter_samples(scene))
         ]
 
+    from cm3d_tpu.utils.observability import trace
+
     t0 = time.perf_counter()
     work = []
     for scene_name in scenes:
         work.extend(scene_frames(scene_name))
+    profile_ctx = trace("lift", profile_dir)
+    profile_ctx.__enter__()
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         for built in pool.map(
             lambda a: frontend.build_keyframe(*a), work, chunksize=1
@@ -124,6 +129,7 @@ def run_lift(
             t0 = time.perf_counter()
     timer["io"] += time.perf_counter() - t0
     flush()
+    profile_ctx.__exit__(None, None, None)
 
     t0 = time.perf_counter()
     submission = writer.write(out_path)
@@ -154,6 +160,8 @@ def main(argv=None):
                    help="skip scenes already in the output manifest")
     p.add_argument("--host_shard", action="store_true",
                    help="multi-host: keep only this process's scene stride")
+    p.add_argument("--profile", default="",
+                   help="write a jax.profiler (Perfetto) trace to this dir")
     args = p.parse_args(argv)
 
     store = MaskArtifactStore(args.mask_dir)
@@ -168,7 +176,7 @@ def main(argv=None):
     if not scenes:
         raise SystemExit("no scenes to process (no --scenes and empty manifest)")
     run_lift(args.dataroot, args.version, args.mask_dir, scenes, args.out,
-             batch_size=args.batch_size)
+             batch_size=args.batch_size, profile_dir=args.profile or None)
 
 
 if __name__ == "__main__":
