@@ -106,8 +106,16 @@ def generate_frame_masks(
         if len(boxes) == 0:
             continue
 
+        # clamp to the static cap and pad the box prompts: ONE sam_decode
+        # compilation for the whole run instead of one per distinct count
+        boxes = boxes[: cfg.max_detections]
+        scores = scores[: cfg.max_detections]
+        labels = labels[: cfg.max_detections]
+        n_boxes = len(boxes)
         emb = models.sam_encode(rgb)
-        logits = np.asarray(models.sam_decode(emb, boxes))  # [P, H', W']
+        padded = np.zeros((cfg.max_detections, 4), np.float32)
+        padded[:n_boxes] = boxes
+        logits = np.asarray(models.sam_decode(emb, padded))[:n_boxes]
         masks = _logits_to_masks(logits, (h, w))
 
         for i in range(len(boxes)):
