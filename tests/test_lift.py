@@ -190,3 +190,69 @@ def test_build_boxes_pushback_and_nms():
         yaw = lanes[lane_idx[i], 2]
         ref = push_centroid_oracle(centroids[i], priors[labels[i]], yaw, ego_t)
         np.testing.assert_allclose(np.asarray(out.centers[i]), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_lift_multi_camera_matches_oracle():
+    """Masks spread over 3 cameras: per-mask counts/centroids match the
+    single-camera oracle applied with each mask's own calibration."""
+    from cm3d_tpu.config import LiftStageConfig
+
+    rng = np.random.default_rng(21)
+    n_cams, n_masks = 3, 9
+    ego_t = np.array([50.0, -20.0, 0.5])
+    ego_q = np.roll(R.from_euler("z", -0.7).as_quat(), 1)
+    cams = []
+    for ci in range(n_cams):
+        cam_t = np.array([1.2, 0.1 * ci, 1.5])
+        rot = R.from_euler("z", 2 * np.pi * ci / n_cams).as_matrix() @ np.array(
+            [[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float
+        )
+        cam_q = np.roll(R.from_matrix(rot).as_quat(), 1)
+        intr = np.array([[150.0, 0, W / 2], [0, 150.0, H / 2], [0, 0, 1.0]])
+        cams.append((cam_t, cam_q, intr))
+
+    ego_rot = R.from_quat(np.roll(ego_q, -1)).as_matrix()
+    pts = []
+    for ci in range(n_cams):
+        heading = 2 * np.pi * ci / n_cams
+        local = rng.uniform([5, -10, -2], [45, 10, 3], size=(1500, 3))
+        rot2 = R.from_euler("z", heading).as_matrix()
+        pts.append((ego_rot @ (rot2 @ local.T)).T + ego_t)
+    points = np.concatenate(
+        [np.concatenate(pts), rng.random((4500, 1))], axis=1
+    ).astype(np.float32)
+
+    masks = np.zeros((n_masks, W, H), bool)
+    mask_cam = np.array([i % n_cams for i in range(n_masks)], np.int32)
+    for m in range(n_masks):
+        cx, cy = rng.integers(30, W - 30), rng.integers(30, H - 30)
+        rx, ry = rng.integers(12, 50), rng.integers(10, 35)
+        xs, ys = np.meshgrid(np.arange(W), np.arange(H), indexing="ij")
+        masks[m] = ((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2 <= 1.0
+
+    out = lift_keyframe(
+        jnp.asarray(points),
+        jnp.ones(len(points), bool),
+        jnp.asarray(np.tile(ego_t, (n_cams, 1)).astype(np.float32)),
+        jnp.asarray(np.tile(ego_q, (n_cams, 1)).astype(np.float32)),
+        jnp.asarray(np.stack([c[0] for c in cams]).astype(np.float32)),
+        jnp.asarray(np.stack([c[1] for c in cams]).astype(np.float32)),
+        jnp.asarray(np.stack([c[2] for c in cams]).astype(np.float32)),
+        jnp.asarray(pack_masks_np(masks)),
+        jnp.asarray(mask_cam),
+        jnp.ones(n_masks, bool),
+        LiftParams(erode=False, max_points_per_mask=4096),
+    )
+    n_checked = 0
+    for i in range(n_masks):
+        cam_t, cam_q, intr = cams[mask_cam[i]]
+        sel_ref, _, centroid_ref = lift_mask_oracle(
+            points, masks[i], ego_t, ego_q, cam_t, cam_q, intr
+        )
+        assert int(out.point_counts[i]) == len(sel_ref), f"mask {i}"
+        if len(sel_ref):
+            n_checked += 1
+            np.testing.assert_allclose(
+                np.asarray(out.centroids[i]), centroid_ref, rtol=1e-4, atol=1e-3
+            )
+    assert n_checked >= 5
