@@ -145,3 +145,24 @@ class PipelineConfig:
     mask_stage: MaskStageConfig = MaskStageConfig()
     lift_stage: LiftStageConfig = LiftStageConfig()
     classes: tuple[str, ...] = NUSCENES_CLASSES
+
+
+# Per-dataset presets (SURVEY §5 config row: one typed tree, per-dataset
+# presets; every "commentable block" of the reference is a real flag here).
+NUSCENES_LIFT = LiftStageConfig()  # 3 sweeps, ratio 0.64 (reference defaults)
+WAYMO_LIFT = LiftStageConfig(
+    num_sweeps=1,  # single return, no aggregation (waymo/2d_to_3d.py:484-486)
+    image_ratio=1024.0 / 1920.0,  # :523
+    sqrt_min_dist_load_filter=False,  # no load-time filter on range images
+)
+KITTI_LIFT = LiftStageConfig(
+    num_sweeps=1,
+    image_ratio=0.8366,  # kitti/2d_to_3d.py:1103
+    sqrt_min_dist_load_filter=False,
+)
+
+DATASET_LIFT_PRESETS: Mapping[str, LiftStageConfig] = {
+    "nuscenes": NUSCENES_LIFT,
+    "waymo": WAYMO_LIFT,
+    "kitti": KITTI_LIFT,
+}

@@ -83,14 +83,16 @@ class KittiFrontend:
         self,
         root: str | Path,
         mask_store: MaskArtifactStore,
-        lift_cfg: LiftStageConfig = LiftStageConfig(num_sweeps=1),
+        lift_cfg: LiftStageConfig = None,
         split: str = "training",
         mask_wh: Tuple[int, int] = (1024, 320),
         scene_name: str = "kitti",
     ):
+        from cm3d_tpu.config import KITTI_LIFT
+
         self.dataset = KittiDataset(root, split)
         self.store = mask_store
-        self.cfg = lift_cfg
+        self.cfg = lift_cfg if lift_cfg is not None else KITTI_LIFT
         self.mask_wh = mask_wh
         self.scene_name = scene_name
 

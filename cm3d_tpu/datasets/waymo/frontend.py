@@ -95,12 +95,14 @@ class WaymoFrontend:
         self,
         frames_root: str | Path,
         mask_store: MaskArtifactStore,
-        lift_cfg: LiftStageConfig = LiftStageConfig(num_sweeps=1),
+        lift_cfg: LiftStageConfig = None,
         mask_wh: Tuple[int, int] = (1024, 664),
     ):
+        from cm3d_tpu.config import WAYMO_LIFT
+
         self.root = Path(frames_root)
         self.store = mask_store
-        self.cfg = lift_cfg
+        self.cfg = lift_cfg if lift_cfg is not None else WAYMO_LIFT
         self.mask_wh = mask_wh
 
     def scene_names(self) -> List[str]:

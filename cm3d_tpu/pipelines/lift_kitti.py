@@ -19,7 +19,7 @@ from typing import List
 
 import numpy as np
 
-from cm3d_tpu.config import LiftStageConfig, class_arrays
+from cm3d_tpu.config import KITTI_LIFT, LiftStageConfig, class_arrays
 from cm3d_tpu.datasets.artifacts import MaskArtifactStore
 from cm3d_tpu.datasets.kitti.calib import write_label
 from cm3d_tpu.datasets.kitti.frontend import KittiFrontend, boxes_to_kitti_objects
@@ -65,7 +65,7 @@ def run_lift_kitti(
     mask_dir: str,
     indices: List[int],
     out_dir: str,
-    lift_cfg: LiftStageConfig = LiftStageConfig(num_sweeps=1),
+    lift_cfg: LiftStageConfig = None,
     batch_size: int = 8,
     verbose: bool = True,
 ) -> int:
@@ -74,6 +74,8 @@ def run_lift_kitti(
     from cm3d_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
+    if lift_cfg is None:
+        lift_cfg = KITTI_LIFT
     frontend = KittiFrontend(root, MaskArtifactStore(mask_dir), lift_cfg)
     step = jax.jit(make_kitti_step_fn(lift_cfg))
     os.makedirs(f"{out_dir}/pred", exist_ok=True)

@@ -17,7 +17,7 @@ from typing import List
 
 import numpy as np
 
-from cm3d_tpu.config import LiftStageConfig
+from cm3d_tpu.config import WAYMO_LIFT, LiftStageConfig
 from cm3d_tpu.datasets.artifacts import MaskArtifactStore
 from cm3d_tpu.datasets.types import stack_keyframes
 from cm3d_tpu.parallel import make_keyframe_step_fn
@@ -28,7 +28,7 @@ def run_lift_waymo(
     mask_dir: str,
     scenes: List[str],
     out_path: str,
-    lift_cfg: LiftStageConfig = LiftStageConfig(num_sweeps=1),
+    lift_cfg: LiftStageConfig = None,
     batch_size: int = 8,
     verbose: bool = True,
 ) -> int:
@@ -37,6 +37,8 @@ def run_lift_waymo(
     from cm3d_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
+    if lift_cfg is None:
+        lift_cfg = WAYMO_LIFT
 
     from cm3d_tpu.datasets.waymo.frontend import (
         WaymoFrontend,
