@@ -20,7 +20,6 @@ via save_pred's format (:879-885).
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 

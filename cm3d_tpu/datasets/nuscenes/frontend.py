@@ -18,16 +18,16 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
 from cm3d_tpu.config import CLASS_TO_ID, DETECTION_NAME_FIXUPS, LiftStageConfig
-from cm3d_tpu.datasets.artifacts import FrameMasks, MaskArtifactStore
+from cm3d_tpu.datasets.artifacts import MaskArtifactStore
 from cm3d_tpu.datasets.nuscenes.maps import NuScenesMapLite
 from cm3d_tpu.datasets.nuscenes.tables import CAM_LIST, NuScenesTables
 from cm3d_tpu.datasets.types import CameraParams, Keyframe
-from cm3d_tpu.ops.bitmask import num_words, pack_masks_np
+from cm3d_tpu.ops.bitmask import num_words
 
 
 def get_detection_name(label: str) -> str:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 LABEL_TYPE_UNKNOWN = 0
 LABEL_TYPE_VEHICLE = 1

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from cm3d_tpu.eval.algo import MetricData, accumulate, calc_ap, calc_tp
-from cm3d_tpu.eval.boxes import DetectionBox, EvalBoxes, add_center_dist_from_poses
+from cm3d_tpu.eval.boxes import EvalBoxes, add_center_dist_from_poses
 from cm3d_tpu.eval.config import TP_METRICS, DetectionEvalConfig
 
 

@@ -22,7 +22,7 @@ import functools
 import gzip
 import html
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

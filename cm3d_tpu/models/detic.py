@@ -17,7 +17,7 @@ checkpoint; hyperparameters mirror the Detic/CenterNet2 configs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ torch checkpoint into these modules. All shapes static: boxes arrive padded
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,9 +20,8 @@ Reference quirks reproduced on purpose:
 
 from __future__ import annotations
 
-import copy
 import json
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -210,8 +210,7 @@ def build_real_models(
     import jax.numpy as jnp
 
     from cm3d_tpu.models.clip_text import (
-        CLIP_TEXT_B32, ClipTextEncoder, SimpleTokenizer,
-        convert_clip_text_params, embed_vocabulary,
+        SimpleTokenizer, convert_clip_text_params, embed_vocabulary,
     )
     from cm3d_tpu.models.convert_detic import (
         convert_detic_params, load_detic_checkpoint,

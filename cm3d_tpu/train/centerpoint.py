@@ -11,7 +11,6 @@ import dataclasses
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 

@@ -9,7 +9,6 @@ step on an N-device mesh.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

@@ -10,7 +10,7 @@ classes (kitti/cfg/prompt_cfg.py:20-72).
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Optional
+from typing import Dict, List, Mapping
 
 # Detic custom vocabulary, nuScenes (gen_2d_masks_detic.py:66-87).
 CUSTOM_VOCABULARY_NUSCENES: tuple = (
