@@ -49,11 +49,51 @@ SHAPE_PRIORS_CHATGPT: Mapping[str, tuple[float, float, float]] = {
     "barrier": (0.5, 1.2, 0.9),
 }
 
+# Dataset-mean box size priors (w, l, h) — reference cfg/shape_priors.json,
+# produced by get_priors.py over v1.0-trainval GT; selected when
+# use_chatgpt_priors=False (reference get_shape_prior, 2d_to_3d.py:134-161).
+SHAPE_PRIORS_DATASET_MEAN: Mapping[str, tuple[float, float, float]] = {
+    "car": (1.924766, 4.620188, 1.689568),
+    "truck": (2.350704, 6.489163, 2.616678),
+    "bus": (2.953850, 11.471948, 3.803556),
+    "trailer": (2.278211, 10.150105, 3.707421),
+    "construction_vehicle": (2.574395, 5.566216, 2.372426),
+    "pedestrian": (0.683835, 0.733622, 1.759913),
+    "motorcycle": (0.676513, 1.950588, 1.471838),
+    "bicycle": (0.637729, 1.827585, 1.395962),
+    "traffic_cone": (0.466605, 0.447860, 0.777212),
+    "barrier": (2.321657, 0.606584, 1.062876),
+}
+
+# Detection name -> full nuScenes category key in a get_priors-produced
+# dataset-mean priors file (reference get_shape_prior, 2d_to_3d.py:137-158).
+# Deviation: the reference's non-chatgpt branch has no "barrier" case (it
+# would fall through and crash); we map it to movable_object.barrier.
+DATASET_MEAN_PRIOR_KEYS: Mapping[str, str] = {
+    "car": "vehicle.car",
+    "bicycle": "vehicle.bicycle",
+    "bus": "vehicle.bus.rigid",
+    "truck": "vehicle.truck",
+    "pedestrian": "human.pedestrian.adult",
+    "traffic_cone": "movable_object.trafficcone",
+    "construction_vehicle": "vehicle.construction",
+    "motorcycle": "vehicle.motorcycle",
+    "trailer": "vehicle.trailer",
+    "barrier": "movable_object.barrier",
+    "child": "human.pedestrian.child",
+    "stroller": "human.pedestrian.adult",
+}
+
 # Classes that get lane-yaw orientation + centroid pushback
 # (reference 2d_to_3d.py:763).
 VEHICLE_CLASSES: frozenset[str] = frozenset(
     {"car", "truck", "bus", "construction_vehicle", "trailer", "barrier"}
 )
+
+# Classes the (optional) drivable-area filter drops when off-road: the
+# reference's commented block exempts construction_vehicle/trailer/barrier
+# inside the vehicle branch (2d_to_3d.py:774-779).
+DRIVABLE_FILTER_CLASSES: frozenset[str] = frozenset({"car", "truck", "bus"})
 
 # BEV circle-NMS per-class thresholds, compared against SQUARED center
 # distance (reference 2d_to_3d.py:850-861, borrowed from CenterPoint).
@@ -98,13 +138,48 @@ DETECTION_NAME_FIXUPS: Mapping[str, str] = {
 BOX_THRESHOLDS: Mapping[str, float] = {c: 0.10 for c in NUSCENES_CLASSES}
 
 
-def class_arrays(classes: Sequence[str] = NUSCENES_CLASSES):
+def load_priors_file(path: str) -> Mapping[str, tuple[float, float, float]]:
+    """Map a get_priors-produced JSON (full category keys -> [w, l, h]) to
+    detection names via the reference's get_shape_prior name switch
+    (2d_to_3d.py:137-158). Missing categories fall back to the chatgpt table."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    out = dict(SHAPE_PRIORS_CHATGPT)
+    for name, key in DATASET_MEAN_PRIOR_KEYS.items():
+        if key in raw:
+            out[name] = tuple(float(v) for v in raw[key])
+    return out
+
+
+def class_arrays(
+    classes: Sequence[str] = NUSCENES_CLASSES,
+    use_chatgpt_priors: bool = True,
+    priors_file: str | None = None,
+):
     """Device-ready per-class arrays: (shape_priors [C,3], is_vehicle [C],
-    nms_radius_sq [C])."""
-    priors = np.array([SHAPE_PRIORS_CHATGPT[c] for c in classes], np.float32)
+    nms_radius_sq [C]).
+
+    Prior source (reference 2d_to_3d.py:385 switch + get_shape_prior):
+    chatgpt table (default), the bundled dataset-mean table
+    (use_chatgpt_priors=False), or a get_priors-produced JSON (priors_file).
+    """
+    if priors_file is not None:
+        table = load_priors_file(priors_file)
+    elif use_chatgpt_priors:
+        table = SHAPE_PRIORS_CHATGPT
+    else:
+        table = SHAPE_PRIORS_DATASET_MEAN
+    priors = np.array([table[c] for c in classes], np.float32)
     is_vehicle = np.array([c in VEHICLE_CLASSES for c in classes], bool)
     radii = np.array([CIRCLE_NMS_THRESH[c] for c in classes], np.float32)
     return priors, is_vehicle, radii
+
+
+def drivable_class_array(classes: Sequence[str] = NUSCENES_CLASSES) -> np.ndarray:
+    """[C] bool: classes subject to the drivable-area filter."""
+    return np.array([c in DRIVABLE_FILTER_CLASSES for c in classes], bool)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,9 +203,14 @@ class LiftStageConfig:
     sqrt_min_dist_load_filter: bool = True  # :443-444 quirk
     erode_masks: bool = True  # :526-528
     image_ratio: float = 0.64  # :419,484 (1024/1600)
-    use_chatgpt_priors: bool = True  # :385
+    use_chatgpt_priors: bool = True  # :385 (False -> dataset-mean table)
+    priors_file: str | None = None  # get_priors JSON overriding the tables
     drivable_filter: bool = False  # :774-779 commented out in reference
-    lane_dist_filter: bool = False  # :781-786 commented out
+    lane_dist_filter: bool = False  # :757,781-786 commented out
+    object_lane_thresh: float = 20.0  # "Object lane thresh" (:756-758)
+    vehicle_lane_thresh: float = 4.0  # "Vehicle lane thresh" (:782-785)
+    drivable_grid_size: int = 512  # G: per-keyframe raster crop (device lookup)
+    drivable_resolution: float = 0.5  # meters per raster cell
     max_points: int = 131072  # padded aggregated cloud size
     max_masks: int = 128  # padded masks per keyframe (bit-packed on device)
     max_points_per_mask: int = 2048

@@ -24,7 +24,7 @@ import numpy as np
 
 from cm3d_tpu.config import CLASS_TO_ID, DETECTION_NAME_FIXUPS, LiftStageConfig
 from cm3d_tpu.datasets.artifacts import MaskArtifactStore
-from cm3d_tpu.datasets.nuscenes.maps import NuScenesMapLite
+from cm3d_tpu.datasets.nuscenes.maps import NuScenesMapLite, rasterize_polygons
 from cm3d_tpu.datasets.nuscenes.tables import CAM_LIST, NuScenesTables
 from cm3d_tpu.datasets.types import CameraParams, Keyframe
 from cm3d_tpu.ops.bitmask import num_words
@@ -76,12 +76,55 @@ class NuScenesFrontend:
         self.cfg = lift_cfg
         self.mask_wh = mask_wh
         self._maps: Dict[str, NuScenesMapLite] = {}
+        self._drivable: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
     def _map_for_scene(self, scene: dict) -> NuScenesMapLite:
         location = self.nusc.scene_location(scene)
         if location not in self._maps:
             self._maps[location] = NuScenesMapLite(self.dataroot, location)
         return self._maps[location]
+
+    def drivable_for_scene(self, scene: dict) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-scene drivable raster covering the ego trajectory plus a
+        G/2-cell margin on every side (so any per-keyframe GxG crop centered
+        on ego stays in bounds). Returns (grid [gx, gy] bool, origin [2])."""
+        key = scene["token"]
+        if key not in self._drivable:
+            cfg = self.cfg
+            res = cfg.drivable_resolution
+            half = cfg.drivable_grid_size // 2
+            poses = [
+                self.nusc.sample_lidar_ego_pose(s)["translation"][:2]
+                for s in self.nusc.iter_samples(scene)
+            ]
+            traj = np.asarray(poses, np.float64)
+            lo = np.floor(traj.min(axis=0) / res).astype(np.int64) - half
+            hi = np.ceil(traj.max(axis=0) / res).astype(np.int64) + half
+            origin = lo.astype(np.float64) * res
+            shape = (int(hi[0] - lo[0]), int(hi[1] - lo[1]))
+            nmap = self._map_for_scene(scene)
+            grid = rasterize_polygons(
+                nmap.drivable_polygons(), tuple(origin), shape, res
+            )
+            self._drivable[key] = (grid, origin.astype(np.float32))
+        return self._drivable[key]
+
+    def _crop_drivable(
+        self, scene_raster: Tuple[np.ndarray, np.ndarray], ego_xy: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """GxG cell-aligned crop centered on ego -> (grid, crop origin)."""
+        grid, origin = scene_raster
+        g = self.cfg.drivable_grid_size
+        res = self.cfg.drivable_resolution
+        ix = int(np.floor((ego_xy[0] - origin[0]) / res)) - g // 2
+        iy = int(np.floor((ego_xy[1] - origin[1]) / res)) - g // 2
+        ix = max(0, min(ix, grid.shape[0] - g))
+        iy = max(0, min(iy, grid.shape[1] - g))
+        crop = grid[ix : ix + g, iy : iy + g]
+        crop_origin = np.asarray(
+            [origin[0] + ix * res, origin[1] + iy * res], np.float32
+        )
+        return crop, crop_origin
 
     # -- sweeps --------------------------------------------------------------
 
@@ -143,6 +186,7 @@ class NuScenesFrontend:
         frame_num: int,
         sample: dict,
         lane_points: np.ndarray,
+        drivable: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> Optional[Tuple[Keyframe, KeyframeMeta]]:
         """Assemble one padded Keyframe; None if mask artifacts are missing."""
         cfg = self.cfg
@@ -184,6 +228,13 @@ class NuScenesFrontend:
         lane_valid[:l_real] = True
 
         pose = self.nusc.sample_lidar_ego_pose(sample)
+        ego_t = np.asarray(pose["translation"], np.float32)
+        drv_kwargs = {}
+        if drivable is not None:
+            grid, origin = self._crop_drivable(drivable, ego_t[:2])
+            drv_kwargs = dict(
+                drivable_grid=grid, drivable_origin=origin
+            )
         kf = Keyframe(
             points=points,
             point_valid=point_valid,
@@ -195,7 +246,8 @@ class NuScenesFrontend:
             mask_valid=mask_valid,
             lane_points=lanes,
             lane_valid=lane_valid,
-            ego_translation=np.asarray(pose["translation"], np.float32),
+            ego_translation=ego_t,
+            **drv_kwargs,
         )
         meta = KeyframeMeta(sample["token"], scene_name, frame_num, m_real)
         return kf, meta
@@ -205,8 +257,13 @@ class NuScenesFrontend:
         scene = self.nusc.scene_by_name(scene_name)
         nmap = self._map_for_scene(scene)
         lane_points = nmap.all_lane_points(0.5)
+        drivable = (
+            self.drivable_for_scene(scene) if self.cfg.drivable_filter else None
+        )
         for frame_num, sample in enumerate(self.nusc.iter_samples(scene)):
-            built = self.build_keyframe(scene_name, frame_num, sample, lane_points)
+            built = self.build_keyframe(
+                scene_name, frame_num, sample, lane_points, drivable
+            )
             if built is None:
                 continue
             yield built

@@ -64,6 +64,63 @@ def discretize_lane(arcline_paths: List[dict], resolution_meters: float):
     return out
 
 
+def rasterize_polygons(
+    polygons: List[Tuple[np.ndarray, List[np.ndarray]]],
+    origin: Tuple[float, float],
+    shape: Tuple[int, int],
+    resolution: float,
+) -> np.ndarray:
+    """Rasterize (exterior, holes) polygons onto a bool grid.
+
+    Grid is indexed [ix, iy]; cell (ix, iy) covers world
+    [origin + (ix, iy) * res, origin + (ix + 1, iy + 1) * res) and is sampled
+    at its center. Even-odd scanline fill per polygon (holes XOR out), OR
+    across polygons — matching the reference's "within any drivable polygon"
+    shapely test (2d_to_3d.py:763-772) up to half-cell boundary error.
+    """
+    gx, gy = shape
+    ox, oy = float(origin[0]), float(origin[1])
+    grid = np.zeros((gx, gy), bool)
+    cx = ox + (np.arange(gx) + 0.5) * resolution  # cell-center world x
+
+    for exterior, holes in polygons:
+        rings = [np.asarray(exterior, float)] + [np.asarray(h, float) for h in holes]
+        allpts = np.concatenate(rings, axis=0)
+        # Crop: skip polygons whose bbox misses the grid entirely.
+        iy0 = max(0, int(np.floor((allpts[:, 1].min() - oy) / resolution)))
+        iy1 = min(gy, int(np.ceil((allpts[:, 1].max() - oy) / resolution)))
+        if iy0 >= iy1:
+            continue
+        ix0 = max(0, int(np.floor((allpts[:, 0].min() - ox) / resolution)))
+        ix1 = min(gx, int(np.ceil((allpts[:, 0].max() - ox) / resolution)))
+        if ix0 >= ix1:
+            continue
+        edges = []
+        for ring in rings:
+            p1 = ring
+            p2 = np.roll(ring, -1, axis=0)
+            keep = p1[:, 1] != p2[:, 1]  # horizontal edges never cross a row
+            edges.append((p1[keep], p2[keep]))
+        for iy in range(iy0, iy1):
+            y = oy + (iy + 0.5) * resolution
+            xs_list = []
+            for p1, p2 in edges:
+                hit = (p1[:, 1] <= y) != (p2[:, 1] <= y)
+                if not hit.any():
+                    continue
+                a, b = p1[hit], p2[hit]
+                t = (y - a[:, 1]) / (b[:, 1] - a[:, 1])
+                xs_list.append(a[:, 0] + t * (b[:, 0] - a[:, 0]))
+            if not xs_list:
+                continue
+            xs = np.sort(np.concatenate(xs_list))
+            inside = (
+                np.searchsorted(xs, cx[ix0:ix1], side="right") % 2
+            ).astype(bool)
+            grid[ix0:ix1, iy] |= inside
+    return grid
+
+
 class NuScenesMapLite:
     """Subset of the devkit NuScenesMap the pipeline needs."""
 

@@ -18,6 +18,13 @@ from typing import NamedTuple
 import jax
 import numpy as np
 
+# Placeholder drivable raster for frontends/configs with drivable_filter off:
+# a single non-drivable cell (build_boxes statically skips the lookup).
+_NO_DRIVABLE_GRID = np.zeros((1, 1), bool)
+_NO_DRIVABLE_GRID.setflags(write=False)
+_ZERO2 = np.zeros(2, np.float32)
+_ZERO2.setflags(write=False)
+
 
 class CameraParams(NamedTuple):
     """Per-camera calibration at the keyframe. Leading dim C = num cameras."""
@@ -43,6 +50,12 @@ class Keyframe(NamedTuple):
     lane_points: jax.Array  # [L, 3] (x, y, yaw), scene map prior
     lane_valid: jax.Array  # [L] bool
     ego_translation: jax.Array  # [3] LIDAR_TOP ego position at the keyframe
+    # Rasterized drivable area around ego (used only when
+    # LiftStageConfig.drivable_filter; placeholders otherwise). Grid is
+    # indexed [ix, iy] with world xy = origin + (i + 0.5) * resolution
+    # (resolution is static config, not carried here).
+    drivable_grid: jax.Array = _NO_DRIVABLE_GRID  # [G, G] bool
+    drivable_origin: jax.Array = _ZERO2  # [2] world xy of cell (0, 0) corner
 
 
 class KeyframeBatch(NamedTuple):

@@ -209,6 +209,22 @@ def lift_keyframe(
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class BoxParams:
+    """Static configuration of box building (hashable; safe as a jit static).
+
+    The two filters are the reference's commented-out blocks
+    (2d_to_3d.py:756-758 object lane thresh, :774-779 drivable filtering,
+    :782-785 vehicle lane thresh), off by default like the reference.
+    """
+
+    lane_dist_filter: bool = False
+    object_lane_thresh: float = 20.0
+    vehicle_lane_thresh: float = 4.0
+    drivable_filter: bool = False
+    drivable_resolution: float = 0.5  # meters per drivable-raster cell
+
+
 class BoxOutputs(NamedTuple):
     centers: jax.Array  # [M, 3] final (possibly pushed-back) centers
     sizes: jax.Array  # [M, 3] (w, l, h) shape-prior extents
@@ -230,6 +246,10 @@ def build_boxes(
     shape_priors: jax.Array,
     is_vehicle_class: jax.Array,
     nms_radius_sq: jax.Array,
+    drivable_class: jax.Array | None = None,
+    drivable_grid: jax.Array | None = None,
+    drivable_origin: jax.Array | None = None,
+    params: BoxParams = BoxParams(),
 ) -> BoxOutputs:
     """Pass 2 of the reference (2d_to_3d.py:733-825) + per-sample circle NMS.
 
@@ -240,11 +260,19 @@ def build_boxes(
       lane_points: [L, 3] (x, y, yaw); lane_valid: [L] bool.
       ego_translation: [3] LIDAR_TOP ego position at the keyframe.
       shape_priors: [num_classes, 3] (w, l, h) per class
-        (cfg/shape_priors_chatgpt.json).
+        (cfg/shape_priors_chatgpt.json or the dataset-mean table).
       is_vehicle_class: [num_classes] bool — classes that get lane yaw +
         pushback (reference :763: car, truck, bus, construction_vehicle,
         trailer, barrier).
       nms_radius_sq: [num_classes] circle-NMS squared radii (:850-861).
+      drivable_class: [num_classes] bool — classes the drivable filter drops
+        (reference exempts construction_vehicle/trailer/barrier, :774-777).
+      drivable_grid: [G, G] bool raster, indexed [ix, iy]; drivable_origin:
+        [2] world xy of cell (0, 0). Required when params.drivable_filter.
+        The reference tests the exact map polygons with shapely (:763-772);
+        here a raster lookup at params.drivable_resolution — boundary cells
+        differ by at most half a cell. Centroids outside the raster count as
+        non-drivable.
     """
     yaw_raw, lane_dist, _ = nearest_lane(centroids[:, :2], lane_points, lane_valid)
 
@@ -255,7 +283,28 @@ def build_boxes(
     pushed = push_centroid(centroids, sizes, yaws, ego_translation)
     centers = jnp.where(veh[:, None], pushed, centroids)
 
+    # Both filters test the RAW medoid centroid (the reference filters before
+    # pushback, :756-786) and drop boxes before circle NMS (continue skips
+    # the append at :808).
+    valid = has_points
+    if params.lane_dist_filter:
+        valid = valid & (lane_dist <= params.object_lane_thresh)
+        valid = valid & (~veh | (lane_dist <= params.vehicle_lane_thresh))
+    if params.drivable_filter:
+        gx, gy = drivable_grid.shape
+        inv_res = 1.0 / params.drivable_resolution
+        ij = jnp.floor((centroids[:, :2] - drivable_origin[None, :]) * inv_res)
+        ij = ij.astype(jnp.int32)
+        in_grid = (
+            (ij[:, 0] >= 0) & (ij[:, 0] < gx) & (ij[:, 1] >= 0) & (ij[:, 1] < gy)
+        )
+        cell = drivable_grid[
+            jnp.clip(ij[:, 0], 0, gx - 1), jnp.clip(ij[:, 1], 0, gy - 1)
+        ]
+        on_road = in_grid & cell
+        valid = valid & (~drivable_class[labels] | on_road)
+
     keep = circle_nms_keep(
-        centers[:, :2], scores, labels, has_points, nms_radius_sq
+        centers[:, :2], scores, labels, valid, nms_radius_sq
     )
-    return BoxOutputs(centers, sizes, yaws, scores, labels, keep & has_points, lane_dist)
+    return BoxOutputs(centers, sizes, yaws, scores, labels, keep & valid, lane_dist)

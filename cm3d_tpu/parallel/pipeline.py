@@ -15,9 +15,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from cm3d_tpu.config import LiftStageConfig, class_arrays
+from cm3d_tpu.config import LiftStageConfig, class_arrays, drivable_class_array
 from cm3d_tpu.datasets.types import Keyframe
-from cm3d_tpu.ops.lift import BoxOutputs, LiftParams, LiftOutputs, build_boxes, lift_keyframe
+from cm3d_tpu.ops.lift import (
+    BoxOutputs,
+    BoxParams,
+    LiftOutputs,
+    LiftParams,
+    build_boxes,
+    lift_keyframe,
+)
 
 
 def keyframe_step(
@@ -26,6 +33,8 @@ def keyframe_step(
     is_vehicle: jax.Array,
     nms_radius_sq: jax.Array,
     lift_params: LiftParams,
+    drivable_class: jax.Array | None = None,
+    box_params: BoxParams = BoxParams(),
 ) -> tuple[LiftOutputs, BoxOutputs]:
     """Process one keyframe end to end on device."""
     lift = lift_keyframe(
@@ -52,6 +61,10 @@ def keyframe_step(
         priors,
         is_vehicle,
         nms_radius_sq,
+        drivable_class=drivable_class,
+        drivable_grid=frame.drivable_grid,
+        drivable_origin=frame.drivable_origin,
+        params=box_params,
     )
     return lift, boxes
 
@@ -59,7 +72,10 @@ def keyframe_step(
 def make_keyframe_step_fn(cfg: LiftStageConfig = LiftStageConfig()):
     """Build a jittable batched step: KeyframeBatch.frames -> (LiftOutputs, BoxOutputs),
     vmapped over the leading batch dim."""
-    priors_np, is_vehicle_np, radii_np = class_arrays()
+    priors_np, is_vehicle_np, radii_np = class_arrays(
+        use_chatgpt_priors=cfg.use_chatgpt_priors, priors_file=cfg.priors_file
+    )
+    drivable_np = drivable_class_array()
     lift_params = LiftParams(
         min_dist=cfg.min_dist,
         max_points_per_mask=cfg.max_points_per_mask,
@@ -67,13 +83,23 @@ def make_keyframe_step_fn(cfg: LiftStageConfig = LiftStageConfig()):
         max_points_in_masks=cfg.max_points_in_masks,
         erode=cfg.erode_masks,
     )
+    box_params = BoxParams(
+        lane_dist_filter=cfg.lane_dist_filter,
+        object_lane_thresh=cfg.object_lane_thresh,
+        vehicle_lane_thresh=cfg.vehicle_lane_thresh,
+        drivable_filter=cfg.drivable_filter,
+        drivable_resolution=cfg.drivable_resolution,
+    )
 
     def step(frames: Keyframe):
         priors = jnp.asarray(priors_np)
         is_vehicle = jnp.asarray(is_vehicle_np)
         radii = jnp.asarray(radii_np)
+        drivable = jnp.asarray(drivable_np)
         return jax.vmap(
-            lambda f: keyframe_step(f, priors, is_vehicle, radii, lift_params)
+            lambda f: keyframe_step(
+                f, priors, is_vehicle, radii, lift_params, drivable, box_params
+            )
         )(frames)
 
     return step

@@ -43,6 +43,7 @@ def run_lift(
     num_workers: int = 8,
     profile_dir: str | None = None,
     verbose: bool = True,
+    resume: bool = False,
 ) -> dict:
     import jax
 
@@ -62,6 +63,19 @@ def run_lift(
     frontend = NuScenesFrontend(dataroot, version, store, lift_cfg)
     step = jax.jit(make_keyframe_step_fn(lift_cfg))
     writer = SubmissionWriter()
+
+    # Resume: samples already in the output file keep their boxes and are
+    # not re-lifted; the rewrite is a superset merge, so a kill-and-restart
+    # mid-run converges to the same submission (idempotent work units —
+    # SURVEY.md §5 failure-detection row).
+    done_tokens: set = set()
+    import os as _os
+
+    if resume and _os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+        writer.results.update(existing.get("results", {}))
+        done_tokens = set(writer.results)
 
     n_frames = 0
     pending: list = []
@@ -102,9 +116,15 @@ def run_lift(
         scene = frontend.nusc.scene_by_name(scene_name)
         nmap = frontend._map_for_scene(scene)
         lane_points = nmap.all_lane_points(0.5)
+        drivable = (
+            frontend.drivable_for_scene(scene)
+            if lift_cfg.drivable_filter
+            else None
+        )
         return [
-            (scene_name, fn, sample, lane_points)
+            (scene_name, fn, sample, lane_points, drivable)
             for fn, sample in enumerate(frontend.nusc.iter_samples(scene))
+            if sample["token"] not in done_tokens
         ]
 
     from cm3d_tpu.utils.observability import trace
@@ -157,11 +177,19 @@ def main(argv=None):
     p.add_argument("--out", default="pseudolabels.json")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--resume", action="store_true",
-                   help="skip scenes already in the output manifest")
+                   help="keep samples already in --out; lift only the rest")
     p.add_argument("--host_shard", action="store_true",
                    help="multi-host: keep only this process's scene stride")
     p.add_argument("--profile", default="",
                    help="write a jax.profiler (Perfetto) trace to this dir")
+    p.add_argument("--drivable_filter", action="store_true",
+                   help="drop off-road car/truck/bus boxes (ref :774-779)")
+    p.add_argument("--lane_dist_filter", action="store_true",
+                   help="drop boxes far from lanes (ref :756-758,782-785)")
+    p.add_argument("--dataset_priors", action="store_true",
+                   help="dataset-mean shape priors instead of the chatgpt table")
+    p.add_argument("--priors_file", default="",
+                   help="get_priors JSON overriding the built-in prior tables")
     args = p.parse_args(argv)
 
     store = MaskArtifactStore(args.mask_dir)
@@ -175,8 +203,18 @@ def main(argv=None):
         scenes = shard_for_host(scenes)
     if not scenes:
         raise SystemExit("no scenes to process (no --scenes and empty manifest)")
+    import dataclasses
+
+    lift_cfg = dataclasses.replace(
+        LiftStageConfig(),
+        drivable_filter=args.drivable_filter,
+        lane_dist_filter=args.lane_dist_filter,
+        use_chatgpt_priors=not args.dataset_priors,
+        priors_file=args.priors_file or None,
+    )
     run_lift(args.dataroot, args.version, args.mask_dir, scenes, args.out,
-             batch_size=args.batch_size, profile_dir=args.profile or None)
+             lift_cfg=lift_cfg, batch_size=args.batch_size,
+             profile_dir=args.profile or None, resume=args.resume)
 
 
 if __name__ == "__main__":
