@@ -33,7 +33,13 @@ def main(argv=None) -> dict:
     )
     parser.add_argument("result_path", type=str, help="submission JSON")
     parser.add_argument("--output_dir", type=str, default="./nuscenes-metrics")
-    parser.add_argument("--eval_set", type=str, default="val")
+    parser.add_argument("--eval_set", type=str, default="val",
+                        help="split name (val, val25, mini_val, train25, "
+                        "train_detect50, ...), 'all', or comma-separated "
+                        "scene names")
+    parser.add_argument("--splits_json", type=str, default="",
+                        help="JSON overriding/providing split scene lists "
+                        "(required for train_detect*)")
     parser.add_argument("--dataroot", type=str, default="")
     parser.add_argument("--version", type=str, default="v1.0-trainval")
     parser.add_argument("--gt_json", type=str, default="",
@@ -69,10 +75,15 @@ def main(argv=None) -> dict:
         map_geometry = None
     else:
         from cm3d_tpu.datasets.nuscenes import load_gt_for_eval
+        from cm3d_tpu.datasets.nuscenes.splits import resolve_eval_set
+        from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
 
-        # eval_set: "all" evaluates every scene in the DB; otherwise a
-        # comma-separated list of scene names.
-        scenes = None if args.eval_set == "all" else args.eval_set.split(",")
+        table_scene_names = [
+            s["name"] for s in NuScenesTables(args.dataroot, args.version).table("scene")
+        ]
+        scenes = resolve_eval_set(
+            args.eval_set, table_scene_names, args.splits_json or None
+        )
         gt_boxes, ego_translations, bikeracks, map_geometry = load_gt_for_eval(
             args.dataroot,
             args.version,
