@@ -19,6 +19,7 @@ class LayerNorm2d(nn.Module):
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        x = x.astype(jnp.float32)  # stats in f32 under bf16 compute
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
         x = (x - mean) / jnp.sqrt(var + self.eps)
@@ -29,12 +30,13 @@ class MLPBlock(nn.Module):
     mlp_dim: int
     out_dim: int
     act: str = "gelu"
+    dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.mlp_dim, name="lin1")(x)
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
         x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.relu(x)
-        return nn.Dense(self.out_dim, name="lin2")(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
 
 
 def window_partition(x: jax.Array, window: int) -> Tuple[jax.Array, Tuple[int, int]]:

@@ -56,6 +56,7 @@ class DeticConfig:
     nms_thresh: float = 0.5
     max_detections: int = 128
     mult_proposal_score: bool = True
+    dtype: str = "float32"  # compute dtype for FPN/heads (params stay f32)
 
 
 DETIC_SWINB = DeticConfig()
@@ -81,10 +82,11 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, feats: Dict[str, jax.Array]) -> Dict[int, jax.Array]:
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         names = sorted(feats.keys())  # coarse-to-fine: swin1 < swin2 < swin3
         d = cfg.fpn_dim
         laterals = [
-            nn.Conv(d, (1, 1), name=f"lateral{i}")(feats[n])
+            nn.Conv(d, (1, 1), dtype=dt, name=f"lateral{i}")(feats[n])
             for i, n in enumerate(names)
         ]
         # top-down pathway
@@ -95,7 +97,7 @@ class FPN(nn.Module):
             up = jax.image.resize(up, (b, 2 * h, 2 * w, c), "nearest")[:, :th, :tw]
             laterals[i] = laterals[i] + up
         outs = [
-            nn.Conv(d, (3, 3), padding=1, name=f"output{i}")(laterals[i])
+            nn.Conv(d, (3, 3), padding=1, dtype=dt, name=f"output{i}")(laterals[i])
             for i in range(len(laterals))
         ]
         levels: Dict[int, jax.Array] = {}
@@ -106,7 +108,7 @@ class FPN(nn.Module):
         n_extra = len(self.cfg.strides) - len(outs)
         x = outs[-1]
         for j in range(n_extra):
-            x = nn.Conv(d, (3, 3), strides=(2, 2), padding=1, name=f"top_block{j}")(
+            x = nn.Conv(d, (3, 3), strides=(2, 2), padding=1, dtype=dt, name=f"top_block{j}")(
                 nn.relu(x) if j > 0 else x
             )
             levels[base + len(outs) + j] = x
@@ -121,14 +123,15 @@ class CenterNetHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Dict[int, jax.Array]):
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         hms, regs = {}, {}
         convs_bbox = [
-            (nn.Conv(cfg.fpn_dim, (3, 3), padding=1, name=f"bbox_conv{i}"),
+            (nn.Conv(cfg.fpn_dim, (3, 3), padding=1, dtype=dt, name=f"bbox_conv{i}"),
              nn.GroupNorm(cfg.head_gn_groups, name=f"bbox_gn{i}"))
             for i in range(cfg.num_head_convs)
         ]
         convs_share = [
-            (nn.Conv(cfg.fpn_dim, (3, 3), padding=1, name=f"share_conv{i}"),
+            (nn.Conv(cfg.fpn_dim, (3, 3), padding=1, dtype=dt, name=f"share_conv{i}"),
              nn.GroupNorm(cfg.head_gn_groups, name=f"share_gn{i}"))
             for i in range(cfg.num_head_convs)
         ]
@@ -198,9 +201,10 @@ class CascadeBoxHead(nn.Module):
         Returns (scores [R, K] sigmoid, deltas [R, 4]).
         """
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         x = pooled.reshape(pooled.shape[0], -1)
-        x = nn.relu(nn.Dense(cfg.fc_dim, name="fc1")(x))
-        x = nn.relu(nn.Dense(cfg.fc_dim, name="fc2")(x))
+        x = nn.relu(nn.Dense(cfg.fc_dim, dtype=dt, name="fc1")(x))
+        x = nn.relu(nn.Dense(cfg.fc_dim, dtype=dt, name="fc2")(x))
         emb = nn.Dense(cfg.embed_dim, name="cls_proj")(x)
         emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
         logits = cfg.norm_temperature * (emb @ classifier)

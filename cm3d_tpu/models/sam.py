@@ -44,6 +44,7 @@ class SamConfig:
     decoder_heads: int = 8
     decoder_mlp_dim: int = 2048
     num_multimask_outputs: int = 3
+    dtype: str = "float32"  # compute dtype ("bfloat16" for TPU MXU speed)
 
     @property
     def embed_hw(self) -> int:
@@ -65,12 +66,15 @@ class ViTAttention(nn.Module):
     dim: int
     heads: int
     input_hw: Tuple[int, int]  # token grid this block sees
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, _ = x.shape
         head_dim = self.dim // self.heads
-        qkv = nn.Dense(self.dim * 3, name="qkv")(x.reshape(b, h * w, self.dim))
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(
+            x.reshape(b, h * w, self.dim)
+        )
         qkv = qkv.reshape(b, h * w, 3, self.heads, head_dim)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * self.heads, h * w, head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -82,11 +86,14 @@ class ViTAttention(nn.Module):
         rel_w = self.param(
             "rel_pos_w", nn.initializers.zeros, (2 * self.input_hw[1] - 1, head_dim)
         )
-        attn = add_decomposed_rel_pos(attn, q, rel_h, rel_w, (h, w), (h, w))
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = add_decomposed_rel_pos(
+            attn, q, rel_h.astype(self.dtype), rel_w.astype(self.dtype), (h, w), (h, w)
+        )
+        # softmax reduction in f32 regardless of compute dtype
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         x = (attn @ v).reshape(b, self.heads, h * w, head_dim)
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, name="proj")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
 
 
 class ViTBlock(nn.Module):
@@ -94,6 +101,7 @@ class ViTBlock(nn.Module):
     heads: int
     window_size: int  # 0 = global attention
     grid_hw: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -105,11 +113,11 @@ class ViTBlock(nn.Module):
             attn_hw = (self.window_size, self.window_size)
         else:
             attn_hw = self.grid_hw
-        x = ViTAttention(self.dim, self.heads, attn_hw, name="attn")(x)
+        x = ViTAttention(self.dim, self.heads, attn_hw, self.dtype, name="attn")(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, hw)
         x = shortcut + x
-        x = x + MLPBlock(self.dim * 4, self.dim, name="mlp")(
+        x = x + MLPBlock(self.dim * 4, self.dim, dtype=self.dtype, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         )
         return x
@@ -122,10 +130,12 @@ class ImageEncoderViT(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: [B, H, W, 3] normalized image -> [B, h, w, out_dim]."""
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         x = nn.Conv(
             cfg.encoder_dim,
             (cfg.patch_size, cfg.patch_size),
             strides=(cfg.patch_size, cfg.patch_size),
+            dtype=dt,
             name="patch_embed",
         )(x)
         hw = cfg.embed_hw
@@ -140,12 +150,13 @@ class ImageEncoderViT(nn.Module):
                 cfg.encoder_heads,
                 wsz,
                 (hw, hw),
+                dt,
                 name=f"block{i}",
             )(x)
         # neck
-        x = nn.Conv(cfg.out_dim, (1, 1), use_bias=False, name="neck_conv1")(x)
+        x = nn.Conv(cfg.out_dim, (1, 1), use_bias=False, dtype=dt, name="neck_conv1")(x)
         x = LayerNorm2d(name="neck_ln1")(x)
-        x = nn.Conv(cfg.out_dim, (3, 3), padding=1, use_bias=False, name="neck_conv2")(x)
+        x = nn.Conv(cfg.out_dim, (3, 3), padding=1, use_bias=False, dtype=dt, name="neck_conv2")(x)
         x = LayerNorm2d(name="neck_ln2")(x)
         return x
 

@@ -27,6 +27,7 @@ class SwinConfig:
     window_size: int = 7
     mlp_ratio: float = 4.0
     out_indices: Tuple[int, ...] = (1, 2, 3)  # strides 8, 16, 32
+    dtype: str = "float32"  # compute dtype (params stay f32)
 
     def stage_dim(self, i: int) -> int:
         return self.embed_dim * (2 ** i)
@@ -67,13 +68,14 @@ class WindowAttention(nn.Module):
     dim: int
     heads: int
     window: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
         """x: [nW*B, win*win, dim]; mask: [nW, win^2, win^2] or None."""
         bnw, n, _ = x.shape
         head_dim = self.dim // self.heads
-        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(bnw, n, 3, self.heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [bnw, n, heads, hd]
         q = jnp.swapaxes(q, 1, 2)  # [bnw, heads, n, hd]
@@ -95,9 +97,9 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(bnw // nw, nw, self.heads, n, n)
             attn = attn + mask[None, :, None]
             attn = attn.reshape(bnw, self.heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.swapaxes(attn @ v, 1, 2).reshape(bnw, n, self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class SwinBlock(nn.Module):
@@ -106,6 +108,7 @@ class SwinBlock(nn.Module):
     window: int
     shift: int
     mlp_ratio: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -130,7 +133,7 @@ class SwinBlock(nn.Module):
             mask = None
         x = x.reshape(b, hp // window, window, wp // window, window, c)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window * window, c)
-        x = WindowAttention(self.dim, self.heads, window, name="attn")(x, mask)
+        x = WindowAttention(self.dim, self.heads, window, self.dtype, name="attn")(x, mask)
         x = x.reshape(b, hp // window, wp // window, window, window, c)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
         if shift > 0:
@@ -139,14 +142,15 @@ class SwinBlock(nn.Module):
         x = shortcut + x
 
         y = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, name="fc2")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
         return x + y
 
 
 class PatchMerging(nn.Module):
     dim: int  # input dim
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -160,7 +164,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = nn.LayerNorm(name="norm")(x)
-        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
 class SwinTransformer(nn.Module):
@@ -170,10 +174,12 @@ class SwinTransformer(nn.Module):
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
         """x: [B, H, W, 3] -> {"swin{i}": [B, H/stride, W/stride, C_i]}."""
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         x = nn.Conv(
             cfg.embed_dim,
             (cfg.patch_size, cfg.patch_size),
             strides=(cfg.patch_size, cfg.patch_size),
+            dtype=dt,
             name="patch_embed",
         )(x)
         x = nn.LayerNorm(name="patch_norm")(x)
@@ -188,10 +194,11 @@ class SwinTransformer(nn.Module):
                     cfg.window_size,
                     shift=0 if j % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio,
+                    dtype=dt,
                     name=f"stage{i}_block{j}",
                 )(x)
             if i in cfg.out_indices:
                 outs[f"swin{i}"] = nn.LayerNorm(name=f"out_norm{i}")(x)
             if i < len(cfg.depths) - 1:
-                x = PatchMerging(dim, name=f"merge{i}")(x)
+                x = PatchMerging(dim, dt, name=f"merge{i}")(x)
         return outs

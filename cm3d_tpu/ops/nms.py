@@ -1,4 +1,4 @@
-"""Greedy NMS variants as fixed-trip-count JAX loops.
+"""Greedy NMS variants as fixpoint iterations (exact greedy semantics).
 
 - `circle_nms_keep`: BEV center-distance circle NMS with per-class radii,
   matching CenterPoint-style greedy semantics the reference uses
@@ -17,6 +17,39 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _greedy_keep_fixpoint(overlap: jax.Array, valid_sorted: jax.Array) -> jax.Array:
+    """Exact greedy-NMS keep flags from a precomputed overlap matrix.
+
+    Args:
+      overlap: [N, N] bool, rows/cols in descending-score order; overlap[i, j]
+        True iff box i would suppress box j (callers include the class/valid
+        gating). Only the strictly-upper triangle is used (i < j).
+      valid_sorted: [N] bool.
+
+    The greedy recurrence keep[j] = valid[j] & ~any_{i<j}(overlap[i,j] &
+    keep[i]) has a unique solution. Instead of N sequential steps (a
+    fori_loop is latency-bound on TPU), iterate the whole-vector operator to
+    its fixpoint: each sweep fixes every box whose suppression-chain depth it
+    reaches, so the while_loop runs chain-depth times (typically < 10) with
+    one [N, N] masked reduction per sweep — the TPU-shaped formulation of
+    the same exact algorithm.
+    """
+    n = overlap.shape[0]
+    upper = jnp.triu(jnp.ones((n, n), bool), k=1)
+    ov = overlap & upper & valid_sorted[:, None]
+
+    def body(state):
+        keep, _ = state
+        new = valid_sorted & ~jnp.any(ov & keep[:, None], axis=0)
+        return new, jnp.any(new != keep)
+
+    def cond(state):
+        return state[1]
+
+    keep, _ = jax.lax.while_loop(cond, body, (valid_sorted, jnp.array(True)))
+    return keep
 
 
 def circle_nms_keep(
@@ -52,17 +85,10 @@ def circle_nms_keep(
     val = valid[order]
     thresh = radius_sq_by_label[lab]
 
-    def body(i, state):
-        suppressed = state
-        active = val[i] & ~suppressed[i]
-        dist_sq = (cx[i] - cx) ** 2 + (cy[i] - cy) ** 2
-        same = lab == lab[i]
-        later = jnp.arange(n) > i
-        supp_new = active & later & same & (dist_sq <= thresh)
-        return suppressed | supp_new
-
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, dtype=bool))
-    keep_sorted = val & ~suppressed
+    dist_sq = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    # row i suppresses col j: same class, within box i's class radius
+    overlap = (lab[:, None] == lab[None, :]) & (dist_sq <= thresh[None, :])
+    keep_sorted = _greedy_keep_fixpoint(overlap, val)
     keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
     return keep
 
@@ -92,22 +118,15 @@ def nms_2d_classwise(
 
     x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
     area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
-
-    def body(i, suppressed):
-        active = val[i] & ~suppressed[i]
-        ix1 = jnp.maximum(x1[i], x1)
-        iy1 = jnp.maximum(y1[i], y1)
-        ix2 = jnp.minimum(x2[i], x2)
-        iy2 = jnp.minimum(y2[i], y2)
-        inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
-        union = area[i] + area - inter
-        iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
-        later = jnp.arange(n) > i
-        supp_new = active & later & (lab == lab[i]) & (iou > iou_threshold)
-        return suppressed | supp_new
-
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, dtype=bool))
-    keep_sorted = val & ~suppressed
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    union = area[:, None] + area[None, :] - inter
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+    overlap = (lab[:, None] == lab[None, :]) & (iou > iou_threshold)
+    keep_sorted = _greedy_keep_fixpoint(overlap, val)
     return jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
 
 
@@ -132,13 +151,5 @@ def polygon_nms_keep(
     b = boxes_bev[order]
     val = valid[order]
     iou = rotated_iou_bev(b, b)  # [N, N]
-
-    def body(i, suppressed):
-        active = val[i] & ~suppressed[i]
-        later = jnp.arange(n) > i
-        supp_new = active & later & (iou[i] > iou_threshold)
-        return suppressed | supp_new
-
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, dtype=bool))
-    keep_sorted = val & ~suppressed
+    keep_sorted = _greedy_keep_fixpoint(iou > iou_threshold, val)
     return jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)

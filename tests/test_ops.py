@@ -239,3 +239,26 @@ def test_polygon_nms_rotated_overlap():
     scores = jnp.asarray(np.array([0.9, 0.8, 0.7, 0.6], np.float32))
     keep = np.asarray(polygon_nms_keep(boxes, scores, jnp.ones(4, bool), 0.5))
     assert list(keep) == [True, False, True, True]
+
+
+def test_nms2d_suppression_chain_exact():
+    """Adversarial case for the fixpoint formulation: a long chain where box
+    i overlaps only box i+1 (alternating keep pattern requires chain-depth
+    sweeps to converge). Greedy keeps the even-indexed boxes."""
+    n = 64
+    # unit boxes sliding right by 0.1: IoU(i, i+1) = 0.9/1.1 > 0.75,
+    # IoU(i, i+2) = 0.8/1.2 < 0.75
+    x0 = np.arange(n, dtype=np.float32) * 0.1
+    boxes = np.stack([x0, np.zeros(n, np.float32), x0 + 1, np.ones(n, np.float32)], 1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    labels = np.zeros(n, np.int32)
+    keep = np.asarray(
+        nms_2d_classwise(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+            jnp.ones(n, bool), 0.75,
+        )
+    )
+    ref = np.zeros(n, bool)
+    ref[nms_oracle(boxes, scores, 0.75)] = True
+    np.testing.assert_array_equal(keep, ref)
+    assert keep[::2].all() and not keep[1::2].any()
