@@ -192,6 +192,8 @@ class MaskStageConfig:
     thumbnail: int = 1024  # PIL thumbnail max side (:293)
     multimask_output: bool = False  # SAM (:397)
     max_detections: int = 128  # padded detections per image (TPU static shape)
+    max_masks_total: int = 128  # bit-plane capacity per keyframe (= lift max_masks)
+    dtype: str = "bfloat16"  # model compute dtype ("float32" for strict parity)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,6 +1,12 @@
-"""ROIAlign (aligned / V2 semantics) as pure-JAX bilinear gathers.
+"""ROIAlign (aligned / V2 semantics) as one-hot interpolation MATMULS.
 
 Replaces detectron2's CUDA ROIAlignV2 used by the detector's box pooler.
+Bilinear sampling on a separable (ys x xs) grid is two interpolation-matrix
+contractions — pooled = My @ F @ Mx^T per ROI — which runs on the MXU
+instead of as 50k-row gathers (the gather formulation was 70% of Detic's
+device time on TPU). The per-bin sample mean folds into the matrices, so
+the whole ROIAlign is exactly two einsums.
+
 Static shapes: a fixed number of ROIs, fixed output size, fixed sampling
 ratio (detectron2's sampling_ratio=0 means an adaptive per-ROI grid, which
 is data-dependent and does not compile — we fix 2x2 samples per bin, the
@@ -14,6 +20,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _interp_matrix(coords: jax.Array, size: int, oo: int, s: int) -> jax.Array:
+    """Bilinear interpolation weights, bin-averaged: [R, oo*s] continuous
+    coords -> [R, oo, size] with rows summing to <=1 (0 where all samples of
+    the bin fall outside [-1, size], torchvision skip semantics)."""
+    c0 = jnp.floor(coords)
+    frac = coords - c0
+    c0i = jnp.clip(c0.astype(jnp.int32), 0, size - 1)
+    c1i = jnp.clip(c0i + 1, 0, size - 1)
+    # clamp continuous coords into [0, size-1] like the CUDA kernel
+    w1 = jnp.where(coords <= 0, 0.0, jnp.where(coords >= size - 1, 0.0, frac))
+    valid = (coords >= -1.0) & (coords <= size)
+    rng = jnp.arange(size)
+    m = (rng == c0i[..., None]) * ((1.0 - w1) * valid)[..., None] + (
+        rng == c1i[..., None]
+    ) * (w1 * valid)[..., None]
+    r = coords.shape[0]
+    return m.reshape(r, oo, s, size).mean(axis=2)  # [R, oo, size]
+
+
 def roi_align(
     features: jax.Array,  # [H, W, C]
     boxes: jax.Array,  # [R, 4] xyxy in feature-grid coordinates
@@ -22,7 +47,6 @@ def roi_align(
 ) -> jax.Array:
     """Aligned ROIAlign. Returns [R, output_size, output_size, C]."""
     h, w, c = features.shape
-    r = boxes.shape[0]
     oo = output_size
     s = sampling_ratio
 
@@ -39,40 +63,13 @@ def roi_align(
     ys = y1[:, None] + grid[None, :] * bin_h[:, None] - 0.5  # [R, oo*s]
     xs = x1[:, None] + grid[None, :] * bin_w[:, None] - 0.5
 
-    def bilinear(yy, xx):
-        """yy: [R, A], xx: [R, B] -> [R, A, B, C]."""
-        y0 = jnp.floor(yy)
-        x0 = jnp.floor(xx)
-        wy1 = yy - y0
-        wx1 = xx - x0
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-        # out-of-bounds samples contribute zero (torchvision semantics:
-        # sample skipped if y < -1 or y > H)
-        valid_y = (yy >= -1.0) & (yy <= h)
-        valid_x = (xx >= -1.0) & (xx <= w)
-        # clamp continuous coords into [0, H-1] like the CUDA kernel
-        wy1 = jnp.where(yy <= 0, 0.0, jnp.where(yy >= h - 1, 0.0, wy1))
-        wx1 = jnp.where(xx <= 0, 0.0, jnp.where(xx >= w - 1, 0.0, wx1))
-        f00 = features[y0i[:, :, None], x0i[:, None, :]]  # [R, A, B, C]
-        f01 = features[y0i[:, :, None], x1i[:, None, :]]
-        f10 = features[y1i[:, :, None], x0i[:, None, :]]
-        f11 = features[y1i[:, :, None], x1i[:, None, :]]
-        wy1b = wy1[:, :, None, None]
-        wx1b = wx1[:, None, :, None]
-        out = (
-            f00 * (1 - wy1b) * (1 - wx1b)
-            + f01 * (1 - wy1b) * wx1b
-            + f10 * wy1b * (1 - wx1b)
-            + f11 * wy1b * wx1b
-        )
-        return out * (valid_y[:, :, None, None] & valid_x[:, None, :, None])
-
-    samples = bilinear(ys, xs)  # [R, oo*s, oo*s, C]
-    samples = samples.reshape(r, oo, s, oo, s, c)
-    return jnp.mean(samples, axis=(2, 4))
+    my = _interp_matrix(ys, h, oo, s)  # [R, oo, H]
+    mx = _interp_matrix(xs, w, oo, s)  # [R, oo, W]
+    f32 = jnp.float32
+    rows = jnp.einsum(
+        "rah,hwc->rawc", my.astype(f32), features.astype(f32)
+    )
+    return jnp.einsum("rawc,rbw->rabc", rows, mx.astype(f32))
 
 
 def assign_fpn_levels(

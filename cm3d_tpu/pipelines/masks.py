@@ -24,23 +24,31 @@ import numpy as np
 
 from cm3d_tpu.config import MaskStageConfig
 from cm3d_tpu.datasets.artifacts import FrameMasks, MaskArtifactStore
+from cm3d_tpu.ops.bitmask import num_words, unpack_masks_np
 from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, map_class
 
 
 @dataclasses.dataclass
 class MaskModels:
-    """Injected model callables.
+    """Injected model callables — BATCHED over the camera ring (one device
+    dispatch per keyframe per model, not one per camera; the reference loops
+    cameras sequentially, gen_2d_masks_detic.py:277).
 
-    detic(image_hwc_float_bgr) -> (boxes [D,4] xyxy, scores [D],
-        class_ids [D] into the vocabulary, valid [D])
-    sam_encode(image_hwc_float_rgb) -> embedding
-    sam_decode(embedding, boxes [P,4]) -> mask_logits [P, H', W']
+    detic(images: list of per-camera RGB uint8) ->
+        (boxes [C,D,4] xyxy image px, scores [C,D], class_ids [C,D], valid
+        [C,D]) — device arrays, converted by the caller.
+    sam_encode(images) -> per-camera embeddings [C, ...] (device; dispatch
+        is async, so it overlaps the detic host post-processing).
+    sam_decode_planes(emb, boxes_img [C,P,4], n_boxes [C], cam_hw, mask_wh,
+        num_words) -> [W, H, num_words] uint32 bit-planes (device): decode +
+        upsample + threshold + transpose + bit-pack fused in one jit
+        (cm3d_tpu.ops.maskpack), ~9 MB off-device per keyframe.
     vocabulary: detector vocabulary strings (class_ids index this)
     """
 
     detic: Callable
     sam_encode: Callable
-    sam_decode: Callable
+    sam_decode_planes: Callable
     vocabulary: Tuple[str, ...] = CUSTOM_VOCABULARY_NUSCENES
 
 
@@ -80,58 +88,64 @@ def generate_frame_masks(
     cfg: MaskStageConfig = MaskStageConfig(),
     mask_wh: Optional[Tuple[int, int]] = None,
 ) -> FrameMasks:
-    """One keyframe: detect + segment on every camera image."""
+    """One keyframe: detect + segment the whole camera ring batched.
+
+    Device timeline: sam_encode dispatches first (it does not depend on the
+    detections), detic results sync while the encoder runs, the host does
+    class mapping + class-wise NMS, then one fused decode->bit-plane call.
+    """
+    cam_hw = tuple((im.shape[0], im.shape[1]) for im in images)
+    plane_wh = mask_wh or (
+        max(w for _, w in cam_hw), max(h for h, _ in cam_hw)
+    )
+
+    emb = models.sam_encode(images)  # async dispatch
+    det = models.detic(images)
+    boxes_b, scores_b, cids_b, valid_b = [np.asarray(x) for x in det]
+
+    p = cfg.max_detections
+    cap = cfg.max_masks_total
+    nw = num_words(cap)
+    prompts = np.zeros((len(images), p, 4), np.float32)
+    n_boxes = np.zeros(len(images), np.int32)
     all_labels: List[str] = []
     all_scores: List[float] = []
     all_cams: List[int] = []
-    all_masks: List[np.ndarray] = []
+    total = 0
 
-    for cam_idx, rgb in enumerate(images):
-        h, w = rgb.shape[:2]
-        bgr = rgb[:, :, ::-1].astype(np.float32)
-        boxes, scores, class_ids, valid = models.detic(bgr)
-        boxes = np.asarray(boxes)[np.asarray(valid)]
-        scores = np.asarray(scores)[np.asarray(valid)]
-        class_ids = np.asarray(class_ids)[np.asarray(valid)]
+    for cam_idx in range(len(images)):
+        v = valid_b[cam_idx]
+        boxes = boxes_b[cam_idx][v]
+        scores = scores_b[cam_idx][v]
+        class_ids = cids_b[cam_idx][v]
         if len(boxes) == 0:
             continue
-
         labels = [map_class(models.vocabulary[c].lower()) for c in class_ids]
-
         if cfg.run_nms:
             kept = classwise_nms_np(boxes, scores, labels, cfg.nms_iou)
             boxes = boxes[kept]
             scores = scores[kept]
             labels = [labels[i] for i in kept]
-        if len(boxes) == 0:
+        k = min(len(boxes), p, cap - total)
+        if k <= 0:
             continue
+        prompts[cam_idx, :k] = boxes[:k]
+        n_boxes[cam_idx] = k
+        all_labels.extend(labels[:k])
+        all_scores.extend(float(s) for s in scores[:k])
+        all_cams.extend([cam_idx] * k)
+        total += k
 
-        # clamp to the static cap and pad the box prompts: ONE sam_decode
-        # compilation for the whole run instead of one per distinct count
-        boxes = boxes[: cfg.max_detections]
-        scores = scores[: cfg.max_detections]
-        labels = labels[: cfg.max_detections]
-        n_boxes = len(boxes)
-        emb = models.sam_encode(rgb)
-        padded = np.zeros((cfg.max_detections, 4), np.float32)
-        padded[:n_boxes] = boxes
-        logits = np.asarray(models.sam_decode(emb, padded))[:n_boxes]
-        masks = _logits_to_masks(logits, (h, w))
+    if total == 0:
+        return FrameMasks(
+            [], [], [], np.zeros((0, plane_wh[0], plane_wh[1]), np.uint8)
+        )
 
-        for i in range(len(boxes)):
-            # stored [W, H] like the reference (transpose, :468)
-            all_masks.append(masks[i].T.astype(np.uint8))
-            all_labels.append(labels[i])
-            all_scores.append(float(scores[i]))
-            all_cams.append(cam_idx)
-
-    if all_masks:
-        wh = all_masks[0].shape
-        stacked = np.stack(all_masks)
-    else:
-        wh = mask_wh or (8, 8)
-        stacked = np.zeros((0, wh[0], wh[1]), np.uint8)
-    return FrameMasks(all_labels, all_scores, all_cams, stacked)
+    planes = models.sam_decode_planes(
+        emb, prompts, n_boxes, cam_hw, plane_wh, nw
+    )
+    dense = unpack_masks_np(np.asarray(planes), total).astype(np.uint8)
+    return FrameMasks(all_labels, all_scores, all_cams, dense)
 
 
 def _logits_to_masks(logits: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
@@ -198,15 +212,102 @@ def run_mask_stage(
 # Model builders
 # ---------------------------------------------------------------------------
 
+def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
+                       sam_params, vocabulary) -> MaskModels:
+    """Wrap jitted batched callables around Detic + SAM Flax models.
+
+    Shared by the real-checkpoint and fake-weight builders so the pipeline
+    exercises identical code in CI and production.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from cm3d_tpu.models.detic import preprocess_bgr
+    from cm3d_tpu.models.sam import preprocess_image
+    from cm3d_tpu.ops.maskpack import make_plane_postprocess
+
+    img_size = sam_model.cfg.img_size
+    # Params MUST flow in as jit arguments (not closure captures): captured
+    # concrete arrays get baked into the lowered program as constants —
+    # gigabytes re-staged per compile and catastrophic dispatch time.
+    detic_params = jax.device_put(detic_params)
+    sam_params = jax.device_put(sam_params)
+    classifier = jax.device_put(classifier)
+
+    @jax.jit
+    def detic_batch(p, clf, x):
+        det = jax.vmap(
+            lambda i: detic_model.apply({"params": p}, i, clf)
+        )(x)
+        return det.boxes, det.scores, det.classes, det.valid
+
+    def detic(images):
+        pre = [preprocess_bgr(im[:, :, ::-1]) for im in images]
+        hp = max(a.shape[0] for a in pre)
+        wp = max(a.shape[1] for a in pre)
+        x = np.zeros((len(pre), hp, wp, 3), np.float32)
+        for i, a in enumerate(pre):
+            x[i, : a.shape[0], : a.shape[1]] = a
+        return detic_batch(detic_params, classifier, jnp.asarray(x))
+
+    @jax.jit
+    def enc_scan(p, xs):
+        def body(carry, x):
+            e = sam_model.apply(
+                {"params": p}, x[None], method=sam_model.encode_image
+            )
+            return carry, e[0]
+
+        _, es = jax.lax.scan(body, 0, xs)
+        return es
+
+    def sam_encode(images):
+        x = np.stack([preprocess_image(im, img_size) for im in images])
+        return enc_scan(sam_params, jnp.asarray(x))
+
+    @functools.lru_cache(maxsize=8)
+    def _decode_planes_fn(cam_hw, mask_wh, nw):
+        post = make_plane_postprocess(mask_wh, cam_hw, nw)
+        # image px -> SAM-input px resize factor, static per camera geometry
+        scales = np.array(
+            [img_size / max(h, w) for h, w in cam_hw], np.float32
+        ).reshape(-1, 1, 1)
+
+        @jax.jit
+        def run(p, emb, boxes, n_boxes):
+            def dec(carry, eb):
+                e, b = eb
+                logits, _ = sam_model.apply(
+                    {"params": p}, e, b, method=sam_model.decode_boxes
+                )
+                return carry, logits
+
+            # scan (not vmap) over cameras: caps the decoder+upscale
+            # intermediates at one camera's 128 prompts (~0.5 GB)
+            _, logits = jax.lax.scan(dec, 0, (emb, jnp.asarray(boxes) * scales))
+            return post(logits, jnp.asarray(n_boxes))
+
+        return run
+
+    def sam_decode_planes(emb, boxes, n_boxes, cam_hw, mask_wh, nw):
+        return _decode_planes_fn(tuple(cam_hw), tuple(mask_wh), int(nw))(
+            sam_params, emb, boxes, n_boxes
+        )
+
+    return MaskModels(detic, sam_encode, sam_decode_planes, tuple(vocabulary))
+
+
 def build_real_models(
     detic_ckpt: str,
     sam_ckpt: str,
     clip_ckpt: str,
     bpe_path: str,
     vocabulary=CUSTOM_VOCABULARY_NUSCENES,
+    dtype: str = "bfloat16",
 ) -> MaskModels:
-    """Full-size models from released torch checkpoints, jitted."""
-    import jax
+    """Full-size models from released torch checkpoints, jitted batched."""
     import jax.numpy as jnp
 
     from cm3d_tpu.models.clip_text import (
@@ -216,8 +317,8 @@ def build_real_models(
         convert_detic_params, load_detic_checkpoint,
     )
     from cm3d_tpu.models.convert_sam import convert_sam_params, load_torch_state_dict
-    from cm3d_tpu.models.detic import DETIC_SWINB, Detic, preprocess_bgr
-    from cm3d_tpu.models.sam import SAM_VIT_H, Sam, preprocess_image
+    from cm3d_tpu.models.detic import DETIC_SWINB, Detic
+    from cm3d_tpu.models.sam import SAM_VIT_H, Sam
 
     detic_params = convert_detic_params(load_detic_checkpoint(detic_ckpt))
     sam_params = convert_sam_params(load_torch_state_dict(sam_ckpt))
@@ -227,34 +328,15 @@ def build_real_models(
         embed_vocabulary(clip_params, tokenizer, list(vocabulary))
     )
 
-    detic_model = Detic(DETIC_SWINB)
-    sam_model = Sam(SAM_VIT_H)
-
-    @jax.jit
-    def detic_fn(img):
-        det = detic_model.apply({"params": detic_params}, img, classifier)
-        return det.boxes, det.scores, det.classes, det.valid
-
-    @jax.jit
-    def sam_encode(img):
-        x = jnp.asarray(preprocess_image(np.asarray(img, np.uint8)))
-        return sam_model.apply(
-            {"params": sam_params}, x[None], method=sam_model.encode_image
-        )[0]
-
-    @jax.jit
-    def sam_decode(emb, boxes):
-        masks, _ = sam_model.apply(
-            {"params": sam_params}, emb, jnp.asarray(boxes),
-            method=sam_model.decode_boxes,
-        )
-        return masks
-
-    def detic_wrapped(bgr):
-        x = preprocess_bgr(bgr.astype(np.uint8))
-        return detic_fn(jnp.asarray(x))
-
-    return MaskModels(detic_wrapped, sam_encode, sam_decode, tuple(vocabulary))
+    detic_cfg = dataclasses.replace(
+        DETIC_SWINB, dtype=dtype,
+        swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype),
+    )
+    sam_cfg = dataclasses.replace(SAM_VIT_H, dtype=dtype)
+    return _batched_model_fns(
+        Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
+        vocabulary,
+    )
 
 
 def _nuscenes_provider(args):
@@ -379,7 +461,8 @@ def main(argv=None):
 
 
 def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES) -> MaskModels:
-    """Tiny random-weight models (hermetic smoke tests / CI)."""
+    """Tiny random-weight models (hermetic smoke tests / CI) behind the same
+    batched wrappers as the real checkpoints."""
     import jax
     import jax.numpy as jnp
 
@@ -393,50 +476,18 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES) -> M
     )
     clf /= np.linalg.norm(clf, axis=0, keepdims=True)
     clf = jnp.asarray(clf)
-
     sam_model = Sam(SAM_TEST)
 
-    state = {}
+    img0 = jnp.zeros((64, 64, 3), jnp.float32)
+    detic_params = detic_model.init(jax.random.PRNGKey(seed), img0, clf)["params"]
+    sq0 = jnp.zeros((SAM_TEST.img_size, SAM_TEST.img_size, 3), jnp.float32)
+    sam_params = sam_model.init(
+        jax.random.PRNGKey(seed + 1), sq0, jnp.zeros((1, 4), jnp.float32)
+    )["params"]
 
-    def detic_fn(bgr):
-        x = jnp.asarray(
-            (bgr - bgr.mean()) / (bgr.std() + 1e-6), dtype=jnp.float32
-        )
-        if "detic" not in state:
-            state["detic"] = detic_model.init(jax.random.PRNGKey(seed), x, clf)[
-                "params"
-            ]
-        det = detic_model.apply({"params": state["detic"]}, x, clf)
-        return det.boxes, det.scores, det.classes, det.valid
-
-    def sam_encode(rgb):
-        side = SAM_TEST.img_size
-        img = np.zeros((side, side, 3), np.float32)
-        h, w = rgb.shape[:2]
-        s = side / max(h, w)
-        nh, nw = int(h * s), int(w * s)
-        img[:nh, :nw] = np.asarray(
-            jax.image.resize(jnp.asarray(rgb, jnp.float32), (nh, nw, 3), "bilinear")
-        )
-        x = jnp.asarray(img / 127.5 - 1.0)
-        if "sam" not in state:
-            boxes0 = jnp.zeros((1, 4), jnp.float32)
-            state["sam"] = sam_model.init(jax.random.PRNGKey(seed + 1), x, boxes0)[
-                "params"
-            ]
-        state["scale"] = s
-        return sam_model.apply(
-            {"params": state["sam"]}, x[None], method=sam_model.encode_image
-        )[0]
-
-    def sam_decode(emb, boxes):
-        boxes = jnp.asarray(np.asarray(boxes) * state["scale"], jnp.float32)
-        masks, _ = sam_model.apply(
-            {"params": state["sam"]}, emb, boxes, method=sam_model.decode_boxes
-        )
-        return masks
-
-    return MaskModels(detic_fn, sam_encode, sam_decode, tuple(vocabulary))
+    return _batched_model_fns(
+        detic_model, detic_params, clf, sam_model, sam_params, vocabulary
+    )
 
 
 if __name__ == "__main__":

@@ -172,4 +172,77 @@ def main():
         json.dump(results, fjs)
 
 
-main()
+
+
+def bench_end_to_end(dtype="bfloat16", n_frames=6):
+    """Full pipeline path: generate_frame_masks at production geometry with
+    production-size random weights; ~25 detections/camera like real scenes."""
+    import dataclasses as dc
+
+    from cm3d_tpu.config import MaskStageConfig
+    from cm3d_tpu.models.detic import DETIC_SWINB, Detic
+    from cm3d_tpu.models.sam import SAM_VIT_H, Sam
+    from cm3d_tpu.models.swin import SWIN_B
+    from cm3d_tpu.pipelines.masks import _batched_model_fns, generate_frame_masks
+    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES as VOCAB
+
+    rng = np.random.default_rng(0)
+    detic_cfg = dc.replace(
+        DETIC_SWINB, dtype=dtype, swin=dc.replace(SWIN_B, dtype=dtype)
+    )
+    sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype)
+    detic_model, sam_model = Detic(detic_cfg), Sam(sam_cfg)
+    clf = jnp.asarray(rng.standard_normal((detic_cfg.embed_dim, len(VOCAB))).astype(np.float32))
+    img0 = jnp.zeros((IMG_H, IMG_W, 3), jnp.float32)
+    dshapes = jax.eval_shape(
+        lambda r: detic_model.init(r, img0, clf), jax.random.PRNGKey(0)
+    )["params"]
+    dparams = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), dshapes)
+    sshapes = jax.eval_shape(
+        lambda r: sam_model.init(r, jnp.zeros((1024, 1024, 3)), jnp.zeros((1, 4))),
+        jax.random.PRNGKey(0),
+    )["params"]
+    sparams = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), sshapes)
+    models = _batched_model_fns(
+        detic_model, dparams, clf, sam_model, sparams, VOCAB
+    )
+
+    # realistic detection load: ~25 boxes/cam regardless of random weights
+    raw_detic = models.detic
+
+    def detic_realistic(images):
+        boxes, scores, classes, valid = raw_detic(images)
+        b = np.asarray(boxes)
+        n, d = b.shape[:2]
+        k = 25
+        vb = np.zeros((n, d), bool)
+        vb[:, :k] = True
+        fake_boxes = rng.uniform(0, 500, (n, d, 4)).astype(np.float32)
+        fake_boxes[..., 2:] += fake_boxes[..., :2] + 30
+        return (fake_boxes, rng.random((n, d)).astype(np.float32) * 0.9 + 0.1,
+                rng.integers(0, len(VOCAB), (n, d)), vb)
+
+    models = dataclasses.replace(models, detic=detic_realistic)
+
+    frames = [
+        [rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8) for _ in range(C)]
+        for _ in range(2)
+    ]
+    cfg = MaskStageConfig()
+    fm = generate_frame_masks(models, frames[0], cfg)  # compile
+    print(f"warmup frame: {len(fm.labels)} masks", flush=True)
+
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        fm = generate_frame_masks(models, frames[i % 2], cfg)
+    dt = (time.perf_counter() - t0) / n_frames
+    print(f"mask stage end-to-end ({dtype}): {dt*1000:.0f} ms/keyframe "
+          f"= {1/dt:.2f} kf/s ({C/dt:.2f} images/s)", flush=True)
+    return 1 / dt
+
+
+import os as _os
+if _os.environ.get("MASK_BENCH_E2E"):
+    bench_end_to_end()
+else:
+    main()
