@@ -193,6 +193,10 @@ class MaskStageConfig:
     multimask_output: bool = False  # SAM (:397)
     max_detections: int = 128  # padded detections per image (TPU static shape)
     max_masks_total: int = 128  # bit-plane capacity per keyframe (= lift max_masks)
+    # SAM prompt padding buckets: decode compiles once per bucket and each
+    # frame picks the smallest bucket >= its busiest camera (most frames
+    # have ~25 boxes/cam; always padding to 128 wastes ~4x decode time)
+    prompt_buckets: tuple = (32,)
     dtype: str = "bfloat16"  # model compute dtype ("float32" for strict parity)
 
 

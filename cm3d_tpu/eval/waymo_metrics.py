@@ -37,14 +37,12 @@ def metrics_binary_path(fast: bool = False) -> Optional[str]:
     return str(p) if p else None
 
 
-def run_detection_metrics(pred_bin: str, gt_bin: str) -> Tuple[str, Dict[str, float]]:
-    """Invoke the binary; returns (stdout_text, ap_dict) — parsing identical
-    to the reference's string-splitting (linear_matching.py:486-527)."""
-    binary = metrics_binary_path()
-    if binary is None:
-        raise RuntimeError("could not build compute_detection_metrics_main")
-    text = subprocess.check_output([binary, pred_bin, gt_bin]).decode()
-
+def parse_metrics_stdout(text: str) -> Dict[str, float]:
+    """Parse the metrics tool stdout — string-splitting identical to the
+    reference (linear_matching.py:486-527). The positional assumption (the
+    first 8 "mAP "/"mAPH " occurrences are the OBJECT_TYPE lines) holds for
+    the REAL binary's full output including its range-bucket breakdown,
+    pinned by tests/fixtures/waymo_metrics_real_stdout.txt."""
     ap_dict = {k: 0.0 for k in AP_KEYS}
     map_splits = text.split("mAP ")
     maph_splits = text.split("mAPH ")
@@ -63,7 +61,16 @@ def run_detection_metrics(pred_bin: str, gt_bin: str) -> Tuple[str, Dict[str, fl
             ap_dict[f"Vehicle/{lvl} mAPH"] + ap_dict[f"Pedestrian/{lvl} mAPH"]
             + ap_dict[f"Cyclist/{lvl} mAPH"]
         ) / 3
-    return text, ap_dict
+    return ap_dict
+
+
+def run_detection_metrics(pred_bin: str, gt_bin: str) -> Tuple[str, Dict[str, float]]:
+    """Invoke the binary; returns (stdout_text, ap_dict)."""
+    binary = metrics_binary_path()
+    if binary is None:
+        raise RuntimeError("could not build compute_detection_metrics_main")
+    text = subprocess.check_output([binary, pred_bin, gt_bin]).decode()
+    return text, parse_metrics_stdout(text)
 
 
 def _lib():

@@ -318,12 +318,21 @@ static double heading_weight(double a, double b) {
   return std::max(0.0, 1.0 - d / M_PI);
 }
 
+// BEV center range of a box (Waymo RANGE breakdown shards by it).
+static double box_range(const Obj* o) {
+  return std::sqrt(o->box[0] * o->box[0] + o->box[1] * o->box[1]);
+}
+
 // level: 1 -> evaluate on L1 gts only (preds matched to L2 gts ignored);
 // 2 -> all gts. GT difficulty: L2 iff num_points <= 5.
+// [range_lo, range_hi): objects outside the shard are dropped before
+// matching (the real tool shards one global match by range; identical
+// except when a match would cross a bucket boundary).
 static void evaluate_type(
     const std::map<std::pair<std::string, int64_t>, std::vector<const Obj*>>& preds,
     const std::map<std::pair<std::string, int64_t>, std::vector<const Obj*>>& gts,
-    const TypeCfg& tc, int level, double* out_ap, double* out_aph) {
+    const TypeCfg& tc, int level, double* out_ap, double* out_aph,
+    double range_lo = -1.0, double range_hi = 1e30) {
   std::vector<ScoredTP> rows;
   long npos = 0;
   std::map<std::pair<std::string, int64_t>, char> all_frames;
@@ -334,10 +343,16 @@ static void evaluate_type(
     std::vector<const Obj*> p, g;
     auto ip = preds.find(fr.first);
     if (ip != preds.end())
-      for (auto* o : ip->second) if (o->type == tc.type) p.push_back(o);
+      for (auto* o : ip->second)
+        if (o->type == tc.type && box_range(o) >= range_lo &&
+            box_range(o) < range_hi)
+          p.push_back(o);
     auto ig = gts.find(fr.first);
     if (ig != gts.end())
-      for (auto* o : ig->second) if (o->type == tc.type) g.push_back(o);
+      for (auto* o : ig->second)
+        if (o->type == tc.type && box_range(o) >= range_lo &&
+            box_range(o) < range_hi)
+          g.push_back(o);
 
     std::vector<char> g_is_l2(g.size());
     for (size_t j = 0; j < g.size(); j++) g_is_l2[j] = g[j]->num_points <= 5;
@@ -417,12 +432,35 @@ int main(int argc, char** argv) {
   for (auto& o : preds) pmap[{o.context, o.ts}].push_back(&o);
   for (auto& o : gts) gmap[{o.context, o.ts}].push_back(&o);
 
+  // Line inventory and order pinned to the real
+  // compute_detection_metrics_main stdout (captured fixture:
+  // tests/fixtures/waymo_metrics_real_stdout.txt): all OBJECT_TYPE lines,
+  // then RANGE_TYPE lines per type x {[0,30), [30,50), [50,+inf)} x level.
+  // (The reference repo's binary also prints debug box dumps before the
+  // metric lines; its parser splits on "mAP " so they are inert and not
+  // reproduced here.)
   for (const auto& tc : kTypes) {
     for (int level = 1; level <= 2; level++) {
       double ap = 0, aph = 0;
       evaluate_type(pmap, gmap, tc, level, &ap, &aph);
       std::printf("OBJECT_TYPE_TYPE_%s_LEVEL_%d: [mAP %.6g] [mAPH %.6g]\n",
                   tc.name, level, ap, aph);
+    }
+  }
+  struct RangeCfg { double lo, hi; const char* name; };
+  static const RangeCfg kRanges[] = {
+      {0.0, 30.0, "[0, 30)"},
+      {30.0, 50.0, "[30, 50)"},
+      {50.0, 1e30, "[50, +inf)"},
+  };
+  for (const auto& tc : kTypes) {
+    for (const auto& rc : kRanges) {
+      for (int level = 1; level <= 2; level++) {
+        double ap = 0, aph = 0;
+        evaluate_type(pmap, gmap, tc, level, &ap, &aph, rc.lo, rc.hi);
+        std::printf("RANGE_TYPE_%s_%s_LEVEL_%d: [mAP %.6g] [mAPH %.6g]\n",
+                    tc.name, rc.name, level, ap, aph);
+      }
     }
   }
   return 0;

@@ -43,13 +43,15 @@ def pack_masks_np(masks: np.ndarray) -> np.ndarray:
 
 
 def unpack_masks_np(words: np.ndarray, num_masks: int) -> np.ndarray:
-    """Host-side unpack: [W, H, Mw] uint32 -> [M, W, H] bool (for tests)."""
+    """Host-side unpack: [W, H, Mw] uint32 -> [M, W, H] bool.
+
+    One C-level unpackbits over little-endian byte views (the per-mask
+    shift/and loop was ~1 s/frame at 128 masks x 1024x576)."""
     w, h, mw = words.shape
     assert num_masks <= mw * 32
-    out = np.zeros((num_masks, w, h), bool)
-    for m in range(num_masks):
-        out[m] = (words[:, :, m >> 5] >> np.uint32(m & 31)) & 1
-    return out
+    b = np.ascontiguousarray(words).astype("<u4").view(np.uint8)
+    bits = np.unpackbits(b.reshape(w, h, mw * 4), axis=-1, bitorder="little")
+    return np.moveaxis(bits, -1, 0)[:num_masks].astype(bool)
 
 
 def erode3x3_packed(words: jax.Array) -> jax.Array:

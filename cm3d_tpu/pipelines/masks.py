@@ -34,10 +34,13 @@ class MaskModels:
     dispatch per keyframe per model, not one per camera; the reference loops
     cameras sequentially, gen_2d_masks_detic.py:277).
 
-    detic(images: list of per-camera RGB uint8) ->
+    prepare(images: list of per-camera RGB uint8) -> frame inputs: ONE
+        uint8 upload shared by detector and segmenter (normalization happens
+        on device — the f32 host image was 4x the transfer bytes).
+    detic(frame) ->
         (boxes [C,D,4] xyxy image px, scores [C,D], class_ids [C,D], valid
         [C,D]) — device arrays, converted by the caller.
-    sam_encode(images) -> per-camera embeddings [C, ...] (device; dispatch
+    sam_encode(frame) -> per-camera embeddings [C, ...] (device; dispatch
         is async, so it overlaps the detic host post-processing).
     sam_decode_planes(emb, boxes_img [C,P,4], n_boxes [C], cam_hw, mask_wh,
         num_words) -> [W, H, num_words] uint32 bit-planes (device): decode +
@@ -46,6 +49,7 @@ class MaskModels:
     vocabulary: detector vocabulary strings (class_ids index this)
     """
 
+    prepare: Callable
     detic: Callable
     sam_encode: Callable
     sam_decode_planes: Callable
@@ -99,8 +103,9 @@ def generate_frame_masks(
         max(w for _, w in cam_hw), max(h for h, _ in cam_hw)
     )
 
-    emb = models.sam_encode(images)  # async dispatch
-    det = models.detic(images)
+    frame_inputs = models.prepare(images)
+    emb = models.sam_encode(frame_inputs)  # async dispatch
+    det = models.detic(frame_inputs)
     boxes_b, scores_b, cids_b, valid_b = [np.asarray(x) for x in det]
 
     p = cfg.max_detections
@@ -141,8 +146,12 @@ def generate_frame_masks(
             [], [], [], np.zeros((0, plane_wh[0], plane_wh[1]), np.uint8)
         )
 
+    # smallest prompt bucket that fits the busiest camera (fewer padded
+    # prompts through the decoder; one compile per bucket size)
+    pmax = int(n_boxes.max())
+    bucket = next((b for b in sorted(cfg.prompt_buckets) if b >= pmax), p)
     planes = models.sam_decode_planes(
-        emb, prompts, n_boxes, cam_hw, plane_wh, nw
+        emb, prompts[:, :bucket], n_boxes, cam_hw, plane_wh, nw
     )
     dense = unpack_masks_np(np.asarray(planes), total).astype(np.uint8)
     return FrameMasks(all_labels, all_scores, all_cams, dense)
@@ -224,7 +233,6 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
     import jax
     import jax.numpy as jnp
 
-    from cm3d_tpu.models.detic import preprocess_bgr
     from cm3d_tpu.models.sam import preprocess_image
     from cm3d_tpu.ops.maskpack import make_plane_postprocess
 
@@ -236,24 +244,81 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
     sam_params = jax.device_put(sam_params)
     classifier = jax.device_put(classifier)
 
+    def prepare(images):
+        """One uint8 canvas upload for the whole camera ring."""
+        hs = [im.shape[0] for im in images]
+        ws = [im.shape[1] for im in images]
+        hmax, wmax = max(hs), max(ws)
+        canvas = np.zeros((len(images), hmax, wmax, 3), np.uint8)
+        for i, im in enumerate(images):
+            canvas[i, : hs[i], : ws[i]] = im
+        hw = np.stack([hs, ws], axis=1).astype(np.int32)
+        # fast SAM path: provider already thumbnailed longest side to the
+        # SAM input size, so the resize is the identity
+        scale1 = (
+            all(max(h, w) == img_size for h, w in zip(hs, ws))
+            and hmax <= img_size and wmax <= img_size
+        )
+        return {
+            "dev": jax.device_put(canvas),
+            "hw": jnp.asarray(hw),
+            "images": images,
+            "scale1": scale1,
+        }
+
+    def _norm_and_mask(img_u8, hw_c, mean, std):
+        """u8 -> f32 normalized with the zero padding restored to exact 0
+        (both reference preprocessors pad AFTER normalization)."""
+        h, w = img_u8.shape[0], img_u8.shape[1]
+        x = (img_u8.astype(jnp.float32) - mean) / std
+        row = jnp.arange(h)[:, None] < hw_c[0]
+        col = jnp.arange(w)[None, :] < hw_c[1]
+        return x * (row & col)[..., None].astype(jnp.float32)
+
+    from cm3d_tpu.models.detic import DETIC_PIXEL_MEAN, DETIC_PIXEL_STD
+    from cm3d_tpu.models.sam import SAM_PIXEL_MEAN, SAM_PIXEL_STD
+
     @jax.jit
-    def detic_batch(p, clf, x):
-        det = jax.vmap(
-            lambda i: detic_model.apply({"params": p}, i, clf)
-        )(x)
+    def detic_batch(p, clf, x_u8, hw):
+        h, w = x_u8.shape[1], x_u8.shape[2]
+        ph = -(-h // 32) * 32
+        pw = -(-w // 32) * 32
+
+        def one(img, hw_c):
+            x = _norm_and_mask(
+                img[..., ::-1], hw_c,
+                jnp.asarray(DETIC_PIXEL_MEAN), jnp.asarray(DETIC_PIXEL_STD),
+            )
+            x = jnp.pad(x, ((0, ph - h), (0, pw - w), (0, 0)))
+            return detic_model.apply({"params": p}, x, clf)
+
+        det = jax.vmap(one)(x_u8, hw)
         return det.boxes, det.scores, det.classes, det.valid
 
-    def detic(images):
-        pre = [preprocess_bgr(im[:, :, ::-1]) for im in images]
-        hp = max(a.shape[0] for a in pre)
-        wp = max(a.shape[1] for a in pre)
-        x = np.zeros((len(pre), hp, wp, 3), np.float32)
-        for i, a in enumerate(pre):
-            x[i, : a.shape[0], : a.shape[1]] = a
-        return detic_batch(detic_params, classifier, jnp.asarray(x))
+    def detic(frame):
+        return detic_batch(detic_params, classifier, frame["dev"], frame["hw"])
 
     @jax.jit
-    def enc_scan(p, xs):
+    def enc_scan_u8(p, xs_u8, hw):
+        h, w = xs_u8.shape[1], xs_u8.shape[2]
+
+        def body(carry, x_hw):
+            x_u8, hw_c = x_hw
+            x = _norm_and_mask(
+                x_u8, hw_c,
+                jnp.asarray(SAM_PIXEL_MEAN), jnp.asarray(SAM_PIXEL_STD),
+            )
+            x = jnp.pad(x, ((0, img_size - h), (0, img_size - w), (0, 0)))
+            e = sam_model.apply(
+                {"params": p}, x[None], method=sam_model.encode_image
+            )
+            return carry, e[0]
+
+        _, es = jax.lax.scan(body, 0, (xs_u8, hw))
+        return es
+
+    @jax.jit
+    def enc_scan_f32(p, xs):
         def body(carry, x):
             e = sam_model.apply(
                 {"params": p}, x[None], method=sam_model.encode_image
@@ -263,9 +328,14 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         _, es = jax.lax.scan(body, 0, xs)
         return es
 
-    def sam_encode(images):
-        x = np.stack([preprocess_image(im, img_size) for im in images])
-        return enc_scan(sam_params, jnp.asarray(x))
+    def sam_encode(frame):
+        if frame["scale1"]:
+            return enc_scan_u8(sam_params, frame["dev"], frame["hw"])
+        # general path: host resize to the SAM input square (PIL bilinear)
+        x = np.stack(
+            [preprocess_image(im, img_size) for im in frame["images"]]
+        )
+        return enc_scan_f32(sam_params, jnp.asarray(x))
 
     @functools.lru_cache(maxsize=8)
     def _decode_planes_fn(cam_hw, mask_wh, nw):
@@ -296,7 +366,8 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
             sam_params, emb, boxes, n_boxes
         )
 
-    return MaskModels(detic, sam_encode, sam_decode_planes, tuple(vocabulary))
+    return MaskModels(prepare, detic, sam_encode, sam_decode_planes,
+                      tuple(vocabulary))
 
 
 def build_real_models(

@@ -85,3 +85,43 @@ def test_run_mask_stage_and_resume(tmp_path, fake_models):
     fm = store.read_frame("sc-a", 0)
     assert fm is not None
     assert len(fm.labels) == fm.masks.shape[0]
+
+
+def test_run_mask_stage_mid_scene_kill_and_restart(tmp_path, fake_models):
+    """Kill-and-restart parity (SURVEY §5 failure row): a run that died
+    after frame 0 of a scene — artifacts written, no manifest entry —
+    resumes by generating only the missing frame, and the final artifacts
+    equal a never-interrupted run's."""
+    images = {(s, f): [(RNG.random((48, 64, 3)) * 255).astype(np.uint8)]
+              for s in ["sc-kill"] for f in range(3)}
+
+    def provider(scene, frame):
+        calls.append((scene, frame))
+        return images[(scene, frame)]
+
+    # clean reference run
+    calls = []
+    clean = tmp_path / "clean"
+    run_mask_stage(fake_models, provider, ["sc-kill"], lambda s: 3,
+                   str(clean), verbose=False)
+
+    # interrupted run: frame 0 written, manifest never marked
+    killed = tmp_path / "killed"
+    store = MaskArtifactStore(killed)
+    fm0 = store.read_frame("sc-kill", 0)
+    assert fm0 is None
+    frame0 = MaskArtifactStore(clean).read_frame("sc-kill", 0)
+    store.write_frame("sc-kill", 0, frame0)
+    assert store.completed_scenes() == set()
+
+    calls = []
+    run_mask_stage(fake_models, provider, ["sc-kill"], lambda s: 3,
+                   str(killed), verbose=False)
+    assert sorted(calls) == [("sc-kill", 1), ("sc-kill", 2)]  # frame 0 skipped
+    assert store.completed_scenes() == {"sc-kill"}
+
+    for f in range(3):
+        a = MaskArtifactStore(clean).read_frame("sc-kill", f)
+        b = store.read_frame("sc-kill", f)
+        assert a.labels == b.labels
+        np.testing.assert_array_equal(a.masks, b.masks)
