@@ -24,21 +24,12 @@ import jax
 import jax.numpy as jnp
 
 
-def upsample_logits(logits: jax.Array, side: int) -> jax.Array:
-    """Bilinear-upsample [P, hm, wm] logits to [P, side, side].
-
-    Half-pixel-center sampling with edge clamping — identical to the host
-    oracle in pipelines.masks._logits_to_masks (SamPredictor semantics).
-    """
-    p, hm, wm = logits.shape
-    return jax.image.resize(logits, (p, side, side), method="bilinear")
-
-
 def make_plane_postprocess(
     mask_wh: Tuple[int, int],
     cam_hw: Sequence[Tuple[int, int]],
     num_words: int,
     chunk: int = 16,
+    rect: bool = False,
 ):
     """Build a jittable fn: (logits [C, P, hm, wm], n_boxes [C]) ->
     planes [W, H, num_words] uint32.
@@ -53,6 +44,9 @@ def make_plane_postprocess(
       num_words: Mw words of 32 mask bits.
       chunk: prompts upsampled per scan step (bounds the [chunk, side, side]
         f32 intermediate).
+      rect: logits come from a rect-encoded SAM (SamConfig.rect_encode):
+        they cover the image directly at 1/4 resolution, so upsample by an
+        exact 4x per axis instead of to the padded square.
     """
     w_plane, h_plane = mask_wh
     lanes = num_words * 4  # (word, byte) lanes
@@ -67,7 +61,7 @@ def make_plane_postprocess(
 
         for ci in range(c):
             h_c, w_c = cam_hw[ci]
-            side = max(h_c, w_c)
+            up_hw = (4 * hm, 4 * wm) if rect else (max(h_c, w_c),) * 2
             bit = offsets[ci] + jnp.arange(p, dtype=jnp.int32)
             ok = (jnp.arange(p) < n_boxes[ci]) & (bit < num_words * 32)
             word = jnp.clip(bit >> 5, 0, num_words - 1)
@@ -88,7 +82,10 @@ def make_plane_postprocess(
 
             def body(carry, inp):
                 lg_c, lm_c = inp  # [chunk, hm, wm], [lanes, chunk]
-                up = upsample_logits(lg_c.astype(jnp.float32), side)
+                up = jax.image.resize(
+                    lg_c.astype(jnp.float32),
+                    (chunk,) + up_hw, method="bilinear",
+                )
                 m = (up[:, :h_c, :w_c] > 0).astype(jnp.float32)  # [chunk,h,w]
                 m = jnp.swapaxes(m, 1, 2)  # [chunk, w_c, h_c]
                 m = jnp.pad(

@@ -86,39 +86,39 @@ def classwise_nms_np(boxes, scores, labels, iou_thresh=0.75):
     return keep
 
 
-def generate_frame_masks(
+def start_frame_masks(
     models: MaskModels,
     images: List[np.ndarray],  # per-camera RGB uint8 (already thumbnailed)
     cfg: MaskStageConfig = MaskStageConfig(),
     mask_wh: Optional[Tuple[int, int]] = None,
-) -> FrameMasks:
-    """One keyframe: detect + segment the whole camera ring batched.
-
-    Device timeline: sam_encode dispatches first (it does not depend on the
-    detections), detic results sync while the encoder runs, the host does
-    class mapping + class-wise NMS, then one fused decode->bit-plane call.
-    """
+) -> dict:
+    """Run a keyframe through the LAST device dispatch (upload -> SAM encode
+    -> Detic -> host NMS -> fused decode dispatch) and return a handle;
+    `finish_frame_masks` downloads + unpacks the planes. The split keeps the
+    device queue bubble-free across frames — frame N's decode is enqueued
+    BEFORE frame N+1's encoder — while frame N's unpack + RLE writes and
+    frame N+1's image IO run on the host under the device compute."""
     cam_hw = tuple((im.shape[0], im.shape[1]) for im in images)
     plane_wh = mask_wh or (
         max(w for _, w in cam_hw), max(h for h, _ in cam_hw)
     )
-
     frame_inputs = models.prepare(images)
     emb = models.sam_encode(frame_inputs)  # async dispatch
-    det = models.detic(frame_inputs)
+    det = models.detic(frame_inputs)  # async dispatch
     boxes_b, scores_b, cids_b, valid_b = [np.asarray(x) for x in det]
+    n_cams = len(cam_hw)
 
     p = cfg.max_detections
     cap = cfg.max_masks_total
     nw = num_words(cap)
-    prompts = np.zeros((len(images), p, 4), np.float32)
-    n_boxes = np.zeros(len(images), np.int32)
+    prompts = np.zeros((n_cams, p, 4), np.float32)
+    n_boxes = np.zeros(n_cams, np.int32)
     all_labels: List[str] = []
     all_scores: List[float] = []
     all_cams: List[int] = []
     total = 0
 
-    for cam_idx in range(len(images)):
+    for cam_idx in range(n_cams):
         v = valid_b[cam_idx]
         boxes = boxes_b[cam_idx][v]
         scores = scores_b[cam_idx][v]
@@ -141,20 +141,48 @@ def generate_frame_masks(
         all_cams.extend([cam_idx] * k)
         total += k
 
-    if total == 0:
+    planes = None
+    if total:
+        # smallest prompt bucket that fits the busiest camera (fewer padded
+        # prompts through the decoder; one compile per bucket size)
+        pmax = int(n_boxes.max())
+        bucket = next((b for b in sorted(cfg.prompt_buckets) if b >= pmax), p)
+        planes = models.sam_decode_planes(  # async dispatch
+            emb, prompts[:, :bucket], n_boxes, cam_hw, plane_wh, nw
+        )
+    return {
+        "planes": planes, "total": total, "plane_wh": plane_wh,
+        "labels": all_labels, "scores": all_scores, "cams": all_cams,
+    }
+
+
+def finish_frame_masks(
+    models: MaskModels,
+    handle: dict,
+    cfg: MaskStageConfig = MaskStageConfig(),
+) -> FrameMasks:
+    """Download + unpack the planes of a frame started by start_frame_masks."""
+    plane_wh = handle["plane_wh"]
+    if handle["planes"] is None:
         return FrameMasks(
             [], [], [], np.zeros((0, plane_wh[0], plane_wh[1]), np.uint8)
         )
+    dense = unpack_masks_np(
+        np.asarray(handle["planes"]), handle["total"]
+    ).astype(np.uint8)
+    return FrameMasks(handle["labels"], handle["scores"], handle["cams"], dense)
 
-    # smallest prompt bucket that fits the busiest camera (fewer padded
-    # prompts through the decoder; one compile per bucket size)
-    pmax = int(n_boxes.max())
-    bucket = next((b for b in sorted(cfg.prompt_buckets) if b >= pmax), p)
-    planes = models.sam_decode_planes(
-        emb, prompts[:, :bucket], n_boxes, cam_hw, plane_wh, nw
+
+def generate_frame_masks(
+    models: MaskModels,
+    images: List[np.ndarray],
+    cfg: MaskStageConfig = MaskStageConfig(),
+    mask_wh: Optional[Tuple[int, int]] = None,
+) -> FrameMasks:
+    """One keyframe end to end: detect + segment the camera ring batched."""
+    return finish_frame_masks(
+        models, start_frame_masks(models, images, cfg, mask_wh), cfg
     )
-    dense = unpack_masks_np(np.asarray(planes), total).astype(np.uint8)
-    return FrameMasks(all_labels, all_scores, all_cams, dense)
 
 
 def _logits_to_masks(logits: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
@@ -195,22 +223,81 @@ def run_mask_stage(
 
     image_provider(scene, frame) -> list of per-camera RGB uint8 arrays.
     """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     store = MaskArtifactStore(out_dir)
     todo = store.remaining_scenes(scenes) if resume else list(scenes)
     t0 = time.time()
     n_frames = 0
-    for scene in todo:
-        nf = frames_per_scene(scene)
-        for f in range(nf):
-            if resume and store.has_frame(scene, f):
-                continue
-            images = image_provider(scene, f)
-            fm = generate_frame_masks(models, images, cfg)
-            store.write_frame(scene, f, fm)
-            n_frames += 1
-        store.mark_scene_complete(scene, nf)
-        if verbose:
-            print(f"{scene}: {nf} frames done")
+
+    frames_per = {scene: frames_per_scene(scene) for scene in todo}
+    work = [
+        (scene, f)
+        for scene in todo
+        for f in range(frames_per[scene])
+        if not (resume and store.has_frame(scene, f))
+    ]
+    remaining = {scene: 0 for scene in todo}
+    for scene, _ in work:
+        remaining[scene] += 1
+
+    def _maybe_complete(scene):
+        if remaining[scene] == 0:
+            store.mark_scene_complete(scene, frames_per[scene])
+            if verbose:
+                print(f"{scene}: {frames_per[scene]} frames done")
+
+    for scene in todo:  # scenes fully present but never marked (mid-run kill)
+        _maybe_complete(scene)
+
+    # Three-way overlap (the reference is strictly sequential,
+    # gen_2d_masks_detic.py:259-277): a 2-deep image-IO prefetch thread, the
+    # device chewing frame N, and the host writing frame N-1's artifacts.
+    pending = None  # (scene, f, handle)
+
+    def _finish(entry):
+        nonlocal n_frames
+        scene, f, handle = entry
+        fm = finish_frame_masks(models, handle, cfg)
+        store.write_frame(scene, f, fm)
+        remaining[scene] -= 1
+        _maybe_complete(scene)
+        n_frames += 1
+
+    # finish (result download + unpack + RLE write) runs on its own worker:
+    # np.asarray releases the GIL during the device->host transfer, so it
+    # overlaps the main thread's next start_frame_masks. At most one finish
+    # outstanding (ordering + bounded memory).
+    with ThreadPoolExecutor(max_workers=1) as io_pool, \
+            ThreadPoolExecutor(max_workers=1) as finish_pool:
+        futs = deque()
+        idx = 0
+        finish_fut = None
+
+        def _prefetch():
+            nonlocal idx
+            while idx < len(work) and len(futs) < 2:
+                sf = work[idx]
+                futs.append((sf, io_pool.submit(image_provider, *sf)))
+                idx += 1
+
+        _prefetch()
+        while futs:
+            (scene, f), fut = futs.popleft()
+            images = fut.result()
+            _prefetch()
+            handle = start_frame_masks(models, images, cfg)
+            if pending is not None:
+                if finish_fut is not None:
+                    finish_fut.result()
+                finish_fut = finish_pool.submit(_finish, pending)
+            pending = (scene, f, handle)
+        if finish_fut is not None:
+            finish_fut.result()
+        if pending is not None:
+            _finish(pending)
+
     if verbose and n_frames:
         dt = time.time() - t0
         print(f"Took {dt:.1f} seconds for {n_frames} frames "
@@ -308,7 +395,11 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
                 x_u8, hw_c,
                 jnp.asarray(SAM_PIXEL_MEAN), jnp.asarray(SAM_PIXEL_STD),
             )
-            x = jnp.pad(x, ((0, img_size - h), (0, img_size - w), (0, 0)))
+            if not sam_model.cfg.rect_encode:
+                # SamPredictor semantics: encode the zero-padded square
+                x = jnp.pad(
+                    x, ((0, img_size - h), (0, img_size - w), (0, 0))
+                )
             e = sam_model.apply(
                 {"params": p}, x[None], method=sam_model.encode_image
             )
@@ -338,8 +429,8 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         return enc_scan_f32(sam_params, jnp.asarray(x))
 
     @functools.lru_cache(maxsize=8)
-    def _decode_planes_fn(cam_hw, mask_wh, nw):
-        post = make_plane_postprocess(mask_wh, cam_hw, nw)
+    def _decode_planes_fn(cam_hw, mask_wh, nw, rect):
+        post = make_plane_postprocess(mask_wh, cam_hw, nw, rect=rect)
         # image px -> SAM-input px resize factor, static per camera geometry
         scales = np.array(
             [img_size / max(h, w) for h, w in cam_hw], np.float32
@@ -362,9 +453,12 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         return run
 
     def sam_decode_planes(emb, boxes, n_boxes, cam_hw, mask_wh, nw):
-        return _decode_planes_fn(tuple(cam_hw), tuple(mask_wh), int(nw))(
-            sam_params, emb, boxes, n_boxes
-        )
+        # rect-encoded embeddings have a cropped (non-square) grid
+        hw_grid = sam_model.cfg.embed_hw
+        rect = tuple(emb.shape[1:3]) != (hw_grid, hw_grid)
+        return _decode_planes_fn(
+            tuple(cam_hw), tuple(mask_wh), int(nw), bool(rect)
+        )(sam_params, emb, boxes, n_boxes)
 
     return MaskModels(prepare, detic, sam_encode, sam_decode_planes,
                       tuple(vocabulary))
@@ -377,6 +471,7 @@ def build_real_models(
     bpe_path: str,
     vocabulary=CUSTOM_VOCABULARY_NUSCENES,
     dtype: str = "bfloat16",
+    rect_encode: bool = False,
 ) -> MaskModels:
     """Full-size models from released torch checkpoints, jitted batched."""
     import jax.numpy as jnp
@@ -403,7 +498,8 @@ def build_real_models(
         DETIC_SWINB, dtype=dtype,
         swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype),
     )
-    sam_cfg = dataclasses.replace(SAM_VIT_H, dtype=dtype)
+    sam_cfg = dataclasses.replace(SAM_VIT_H, dtype=dtype,
+                                  rect_encode=rect_encode)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
         vocabulary,

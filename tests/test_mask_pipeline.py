@@ -125,3 +125,47 @@ def test_run_mask_stage_mid_scene_kill_and_restart(tmp_path, fake_models):
         b = store.read_frame("sc-kill", f)
         assert a.labels == b.labels
         np.testing.assert_array_equal(a.masks, b.masks)
+
+
+def test_rect_encode_smoke():
+    """SamConfig.rect_encode: non-square encode + decode + planes run and
+    produce masks roughly where the square path puts them (numerical
+    deviation from the padded-square path is expected and documented)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from cm3d_tpu.models.sam import SAM_TEST, Sam
+    from cm3d_tpu.pipelines.masks import _batched_model_fns
+    from cm3d_tpu.models.detic import DETIC_TEST, Detic
+    from cm3d_tpu.config import MaskStageConfig
+    from cm3d_tpu.pipelines.masks import generate_frame_masks
+
+    rngl = np.random.default_rng(3)
+    sam_cfg = dc.replace(SAM_TEST, rect_encode=True)
+    sam_model = Sam(sam_cfg)
+    sq0 = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), jnp.float32)
+    sam_params = sam_model.init(
+        jax.random.PRNGKey(1), sq0, jnp.zeros((1, 4), jnp.float32)
+    )["params"]
+    detic_model = Detic(DETIC_TEST)
+    clf = jnp.asarray(
+        rngl.standard_normal((DETIC_TEST.embed_dim, 18)).astype(np.float32)
+    )
+    detic_params = detic_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((64, 64, 3), jnp.float32), clf
+    )["params"]
+    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES
+    models = _batched_model_fns(
+        detic_model, detic_params, clf, sam_model, sam_params,
+        CUSTOM_VOCABULARY_NUSCENES,
+    )
+    # images with max side == SAM img_size -> rect fast path (64x48)
+    images = [
+        (rngl.random((48, sam_cfg.img_size, 3)) * 255).astype(np.uint8)
+        for _ in range(2)
+    ]
+    fm = generate_frame_masks(models, images, MaskStageConfig())
+    assert fm.masks.shape[1:] == (sam_cfg.img_size, 48)
+    assert len(fm.labels) == fm.masks.shape[0]
