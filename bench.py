@@ -19,6 +19,30 @@ import time
 import numpy as np
 
 
+def main_masks() -> None:
+    """2D mask stage (Detic+SAM) throughput at production geometry with
+    random full-size weights — `python bench.py --stage masks`. Prints one
+    JSON line. Measured numbers for this round: MASK_BENCH_r02.json."""
+    import os
+
+    os.environ["MASK_BENCH_E2E"] = "1"
+    import io
+    import contextlib
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        exec(open("scripts/bench_masks.py").read(), {"__name__": "bench"})
+    m = re.search(r"run_mask_stage.*?= ([0-9.]+) kf/s", buf.getvalue())
+    kf = float(m.group(1)) if m else 0.0
+    print(json.dumps({
+        "metric": "mask_stage_keyframes_per_sec_per_chip",
+        "value": kf,
+        "unit": "keyframes/sec",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     import jax
 
@@ -75,4 +99,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--stage" in sys.argv and "masks" in sys.argv:
+        main_masks()
+    else:
+        main()
