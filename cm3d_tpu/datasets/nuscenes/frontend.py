@@ -189,13 +189,33 @@ class NuScenesFrontend:
         drivable: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> Optional[Tuple[Keyframe, KeyframeMeta]]:
         """Assemble one padded Keyframe; None if mask artifacts are missing."""
-        cfg = self.cfg
-        m_pad = cfg.max_masks
         packed = self.store.read_frame_packed(
-            scene_name, frame_num, num_words(m_pad), self.mask_wh
+            scene_name, frame_num, num_words(self.cfg.max_masks), self.mask_wh
         )
         if packed is None:
             return None
+        return self.assemble_keyframe(
+            scene_name, frame_num, sample, lane_points, packed, drivable
+        )
+
+    def assemble_keyframe(
+        self,
+        scene_name: str,
+        frame_num: int,
+        sample: dict,
+        lane_points: np.ndarray,
+        packed: Tuple,
+        drivable: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ) -> Tuple[Keyframe, KeyframeMeta]:
+        """Build a Keyframe from already-materialized mask data — either the
+        artifact store's packed read or the mask stage's device bit-planes
+        (the fused masks->lift path, no artifact round trip).
+
+        packed: (labels [M] str, scores [M], cams [M], mask_bits
+        [W, H, ceil(max_masks/32)] uint32).
+        """
+        cfg = self.cfg
+        m_pad = cfg.max_masks
         labels_raw, scores_raw, cams_raw, mask_bits = packed
 
         pts = self.aggregate_sweeps(sample)

@@ -1,0 +1,177 @@
+"""Fused pseudo-label pipeline: images -> masks -> 3D boxes in ONE process.
+
+The reference is two CLIs glued by an on-disk artifact store
+(gen_2d_masks_detic.py writes {frame}_data.json + {frame}_masks.pkl,
+2d_to_3d.py reads them back — SURVEY.md §1 "layer boundaries are files on
+disk"). That contract still exists here (pipelines.masks +
+pipelines.lift), but because the mask stage's device postprocess already
+emits the lift's bit-plane format (ops.maskpack), the two stages also fuse
+directly: the SAM decode's [W, H, Mw] planes drop into the Keyframe
+untouched — no RLE encode, no pickle, no decode-back. One process, one
+device, pseudo-labels out.
+
+Optionally still writes the reference-layout artifacts (--mask_dir) so the
+two-stage contract (resume, parity testing) is preserved.
+
+Usage:
+  python -m cm3d_tpu.pipelines.e2e --dataroot D --version v1.0-mini \
+      --scenes scene-0061 --out preds.json --fake_weights
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
+from cm3d_tpu.datasets.types import stack_keyframes
+from cm3d_tpu.parallel import make_keyframe_step_fn
+from cm3d_tpu.pipelines.masks import (
+    MaskModels,
+    finish_frame_masks,
+    start_frame_masks,
+)
+
+
+def run_e2e(
+    dataroot: str,
+    version: str,
+    scenes: List[str],
+    out_path: str,
+    models: MaskModels,
+    lift_cfg: LiftStageConfig = LiftStageConfig(),
+    mask_cfg: MaskStageConfig = MaskStageConfig(),
+    thumbnail: int = 1024,
+    mask_dir: Optional[str] = None,
+    batch_size: int = 4,
+    verbose: bool = True,
+    mask_wh: Optional[tuple] = None,
+) -> dict:
+    import jax
+    from PIL import Image
+
+    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+    from cm3d_tpu.datasets.nuscenes import NuScenesFrontend, SubmissionWriter
+    from cm3d_tpu.datasets.nuscenes.tables import CAM_LIST
+
+    assert mask_cfg.max_masks_total == lift_cfg.max_masks, (
+        "fused path requires the mask stage's bit-plane capacity to equal "
+        "the lift's padded mask count"
+    )
+    store = MaskArtifactStore(mask_dir) if mask_dir else None
+    frontend = NuScenesFrontend(
+        dataroot, version, store, lift_cfg,
+        mask_wh=mask_wh or (thumbnail, thumbnail * 9 // 16),
+    )
+    step = jax.jit(make_keyframe_step_fn(lift_cfg))
+    writer = SubmissionWriter()
+    t0 = time.perf_counter()
+    n_frames = 0
+    pending: list = []
+
+    def flush():
+        nonlocal pending, n_frames
+        if not pending:
+            return
+        n_real = len(pending)
+        frames = [kf for kf, _ in pending]
+        frames += [frames[-1]] * (batch_size - n_real)
+        batch = stack_keyframes(frames)
+        _, boxes = step(batch.frames)
+        boxes_np = jax.tree.map(np.asarray, boxes)
+        for i, (_, meta) in enumerate(pending[:n_real]):
+            writer.add_device_outputs(
+                meta.sample_token, jax.tree.map(lambda x: x[i], boxes_np)
+            )
+        n_frames += n_real
+        pending = []
+
+    for scene_name in scenes:
+        scene = frontend.nusc.scene_by_name(scene_name)
+        nmap = frontend._map_for_scene(scene)
+        lane_points = nmap.all_lane_points(0.5)
+        drivable = (
+            frontend.drivable_for_scene(scene)
+            if lift_cfg.drivable_filter else None
+        )
+        for frame_num, sample in enumerate(frontend.nusc.iter_samples(scene)):
+            images = []
+            for cam in CAM_LIST:
+                sd = frontend.nusc.get("sample_data", sample["data"][cam])
+                im = Image.open(f"{dataroot}/{sd['filename']}").convert("RGB")
+                im.thumbnail((thumbnail, thumbnail))
+                images.append(np.asarray(im))
+
+            # 2D stage: planes stay in the lift's bit-plane layout
+            handle = start_frame_masks(models, images, mask_cfg)
+            if handle["planes"] is None:
+                continue
+            planes = np.asarray(handle["planes"])
+            packed = (handle["labels"], handle["scores"], handle["cams"],
+                      planes)
+            if store is not None:  # optional reference-layout artifacts
+                store.write_frame(
+                    scene_name, frame_num, finish_frame_masks(
+                        models, handle, mask_cfg
+                    )
+                )
+
+            kf, meta = frontend.assemble_keyframe(
+                scene_name, frame_num, sample, lane_points, packed, drivable
+            )
+            pending.append((kf, meta))
+            if len(pending) >= batch_size:
+                flush()
+        if store is not None:
+            store.mark_scene_complete(scene_name, frame_num + 1)
+    flush()
+
+    submission = writer.write(out_path)
+    if verbose:
+        dt = time.perf_counter() - t0
+        n_boxes = sum(len(v) for v in submission["results"].values())
+        print(f"e2e: {n_frames} keyframes -> {n_boxes} boxes in {dt:.1f}s "
+              f"({n_frames / max(dt, 1e-9):.2f} kf/s)")
+    return submission
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="CM3D-TPU fused images->masks->boxes pipeline"
+    )
+    p.add_argument("--dataroot", required=True)
+    p.add_argument("--version", default="v1.0-mini")
+    p.add_argument("--scenes", required=True, help="comma-separated names")
+    p.add_argument("--out", default="pseudolabels.json")
+    p.add_argument("--mask_dir", default="",
+                   help="also write reference-layout mask artifacts here")
+    p.add_argument("--thumbnail", type=int, default=1024)
+    p.add_argument("--fake_weights", action="store_true")
+    p.add_argument("--detic_ckpt", default="")
+    p.add_argument("--sam_ckpt", default="")
+    p.add_argument("--clip_ckpt", default="")
+    p.add_argument("--bpe_path", default="")
+    p.add_argument("--rect_encode", action="store_true",
+                   help="SAM rectangle encode (faster; small deviation)")
+    args = p.parse_args(argv)
+
+    from cm3d_tpu.pipelines.masks import build_fake_models, build_real_models
+
+    if args.fake_weights:
+        models = build_fake_models()
+    else:
+        models = build_real_models(
+            args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
+            rect_encode=args.rect_encode,
+        )
+    run_e2e(
+        args.dataroot, args.version, args.scenes.split(","), args.out,
+        models, thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
+    )
+
+
+if __name__ == "__main__":
+    main()
