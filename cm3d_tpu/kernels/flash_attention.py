@@ -1,0 +1,123 @@
+"""Flash attention with SAM's decomposed relative-position bias (Pallas).
+
+SAM ViT-H's four global-attention blocks at 4096 tokens are the encoder's
+hot spot: the XLA path materializes the [heads, 4096, 4096] logits plus the
+rel-pos broadcast tensors in HBM (~10 ms/block even after layout fixes).
+This kernel streams one query block at a time through VMEM — logits, bias
+add, softmax and the value matmul never touch HBM. The decomposed bias
+(bias[q, k] = rel_h[q, row(k)] + rel_w[q, col(k)], Kirillov et al. 2023 /
+ViTDet) is applied inside the kernel from its two compact [N, KH]/[N, KW]
+factors, so nothing quadratic is ever materialized.
+
+Numerics: logits accumulate in f32 on the MXU from bf16 q/k (the XLA path
+computed them in bf16 — the kernel is strictly more precise), softmax in
+f32, probabilities cast to the value dtype for the second matmul (same as
+the XLA path).
+
+Reference behavior replaced: the attention inside ViTAttention for global
+blocks (models/sam.py), i.e. torch SAM's `image_encoder` attention
+(SamPredictor checkpoints; see models/convert_sam.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, o_ref):
+    q = q_ref[0]  # [Bq, dp] (pre-scaled)
+    k = k_ref[0]  # [N, dp]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Bq, N] f32
+    # bias[q, k] = rh[q, row(k)] + rw[q, col(k)], expanded to [Bq, N] with
+    # 0/1 matrices on the MXU (Mosaic cannot merge a [Bq, KH, KW] minor
+    # pair back into lanes). bf16 inputs are EXACT here: every output
+    # element is one rh/rw value times 1.0 — and bf16 matmuls run the MXU
+    # at full rate (f32 is 1/8).
+    s = s + jax.lax.dot_general(
+        rh_ref[0], eh_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + jax.lax.dot_general(
+        rw_ref[0], ew_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, dp]
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention_relpos(
+    q: jax.Array,  # [H, N, d] — already scaled by head_dim**-0.5
+    k: jax.Array,  # [H, N, d]
+    v: jax.Array,  # [H, N, d]
+    rel_h: jax.Array,  # [H, N, KH] f32 bias rows (q . get_rel_pos table)
+    rel_w: jax.Array,  # [H, N, KW] f32 bias cols; KH * KW == N
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q k^T + rel bias) v without materializing [H, N, N] in HBM.
+
+    Returns [H, N, d] in q's dtype.
+    """
+    h, n, d = q.shape
+    kh, kw = rel_h.shape[-1], rel_w.shape[-1]
+    assert kh * kw == n, (kh, kw, n)
+
+    dp = -(-d // 128) * 128  # pad head_dim to the lane width
+    pad = [(0, 0), (0, 0), (0, dp - d)]
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+
+    # 256-row query blocks: logits tile [256, N] f32 = 4 MB at N=4096
+    # (512-row blocks exceed VMEM next to the resident k/v + e matrices)
+    bq = n
+    for cand in (256, 128):
+        if n % cand == 0 and n > cand:
+            bq = cand
+            break
+
+    # 0/1 expansion matrices: eh[r, k] = [row(k) == r], ew[c, k] = [col(k) == c]
+    # follow the compute dtype: bf16 runs the MXU at full rate (f32 is
+    # 1/8) and the 0/1 expansion itself is exact in any dtype; the bias
+    # values were already computed in the model's compute dtype upstream
+    bdt = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
+    karange = jnp.arange(n)
+    eh = (karange[None, :] // kw == jnp.arange(kh)[:, None]).astype(bdt)
+    ew = (karange[None, :] % kw == jnp.arange(kw)[:, None]).astype(bdt)
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((h, n, dp), q.dtype),
+        grid=(h, n // bq),  # qi innermost: k/v blocks stay resident per head
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda hh, qi: (hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp), lambda hh, qi: (hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dp), lambda hh, qi: (hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, kh), lambda hh, qi: (hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, kw), lambda hh, qi: (hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, n), lambda hh, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kw, n), lambda hh, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda hh, qi: (hh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kp, vp, rel_h.astype(bdt), rel_w.astype(bdt), eh, ew)
+    return out[:, :, :d]

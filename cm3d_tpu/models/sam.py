@@ -45,6 +45,14 @@ class SamConfig:
     decoder_mlp_dim: int = 2048
     num_multimask_outputs: int = 3
     dtype: str = "float32"  # compute dtype ("bfloat16" for TPU MXU speed)
+    # Pallas flash attention for the global (non-windowed) encoder blocks
+    # (kernels/flash_attention.py): logits/softmax stream through VMEM
+    # instead of materializing [heads, N, N] in HBM. Bit-identical checksum
+    # to the XLA path, but MEASURED SLOWER at batch-1/N=4096 on v5e (132 vs
+    # 114 ms/encode: per-grid-step overhead beats the HBM traffic it
+    # saves), so off by default. It is the enabler for batched global
+    # attention (the XLA path OOMs at batch 6) and for longer grids.
+    flash_global_attn: bool = False
     # Encode non-square images without padding to the full square. The
     # official SamPredictor pads to img_size x img_size and the padding
     # tokens participate in global attention; skipping them saves ~44% of
@@ -73,6 +81,7 @@ class ViTAttention(nn.Module):
     heads: int
     input_hw: Tuple[int, int]  # token grid this block sees
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False  # Pallas flash path for large (global) grids
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -85,19 +94,43 @@ class ViTAttention(nn.Module):
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * self.heads, h * w, head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = (q * (head_dim ** -0.5)) @ jnp.swapaxes(k, -2, -1)
         rel_h = self.param(
             "rel_pos_h", nn.initializers.zeros, (2 * self.input_hw[0] - 1, head_dim)
         )
         rel_w = self.param(
             "rel_pos_w", nn.initializers.zeros, (2 * self.input_hw[1] - 1, head_dim)
         )
-        attn = add_decomposed_rel_pos(
-            attn, q, rel_h.astype(self.dtype), rel_w.astype(self.dtype), (h, w), (h, w)
+
+        n = h * w
+        use_flash = (
+            self.flash
+            and n >= 1024 and n % 128 == 0
+            and jax.default_backend() == "tpu"
         )
-        # softmax reduction in f32 regardless of compute dtype
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        x = (attn @ v).reshape(b, self.heads, h * w, head_dim)
+        if use_flash:
+            from cm3d_tpu.kernels.flash_attention import flash_attention_relpos
+            from cm3d_tpu.models.common import get_rel_pos
+
+            rh = get_rel_pos(h, h, rel_h).astype(self.dtype)
+            rw = get_rel_pos(w, w, rel_w).astype(self.dtype)
+            r_q = q.reshape(-1, h, w, head_dim)
+            bias_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh).reshape(-1, n, h)
+            bias_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw).reshape(-1, n, w)
+            out = flash_attention_relpos(
+                q * (head_dim ** -0.5), k, v, bias_h, bias_w
+            )
+            x = out.reshape(b, self.heads, n, head_dim)
+        else:
+            attn = (q * (head_dim ** -0.5)) @ jnp.swapaxes(k, -2, -1)
+            attn = add_decomposed_rel_pos(
+                attn, q, rel_h.astype(self.dtype), rel_w.astype(self.dtype),
+                (h, w), (h, w),
+            )
+            # softmax reduction in f32 regardless of compute dtype
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            x = (attn @ v).reshape(b, self.heads, h * w, head_dim)
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
 
@@ -108,6 +141,7 @@ class ViTBlock(nn.Module):
     window_size: int  # 0 = global attention
     grid_hw: Tuple[int, int]
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -119,7 +153,10 @@ class ViTBlock(nn.Module):
             attn_hw = (self.window_size, self.window_size)
         else:
             attn_hw = self.grid_hw
-        x = ViTAttention(self.dim, self.heads, attn_hw, self.dtype, name="attn")(x)
+        x = ViTAttention(
+            self.dim, self.heads, attn_hw, self.dtype,
+            flash=self.flash and self.window_size == 0, name="attn",
+        )(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, hw)
         x = shortcut + x
@@ -159,6 +196,7 @@ class ImageEncoderViT(nn.Module):
                 wsz,
                 (hw, hw),
                 dt,
+                flash=cfg.flash_global_attn,
                 name=f"block{i}",
             )(x)
         # neck
