@@ -599,6 +599,8 @@ def main(argv=None):
     p.add_argument("--clip_ckpt", default="")
     p.add_argument("--bpe_path", default="")
     p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--host_shard", action="store_true",
+                   help="multi-host: keep only this process's scene stride")
     args = p.parse_args(argv)
 
     from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, CUSTOM_VOCABULARY_WAYMO
@@ -608,6 +610,10 @@ def main(argv=None):
         "kitti": _kitti_provider,
         "waymo": _waymo_provider,
     }[args.dataset](args)
+    if args.host_shard:
+        from cm3d_tpu.parallel.multihost import shard_for_host
+
+        scene_names = shard_for_host(scene_names)
 
     vocab = (CUSTOM_VOCABULARY_WAYMO if args.dataset == "waymo"
              else CUSTOM_VOCABULARY_NUSCENES)
