@@ -47,6 +47,11 @@ class NuScenesTables:
         self.dataroot = Path(dataroot)
         self.version = version
         table_dir = self.dataroot / version
+        if not table_dir.is_dir():
+            raise FileNotFoundError(
+                f"nuScenes version dir not found: {table_dir} (a missing "
+                f"version must fail loudly, not run over empty tables)"
+            )
         self._tables: Dict[str, List[dict]] = {}
         self._index: Dict[str, Dict[str, dict]] = {}
         for name in _TABLES:

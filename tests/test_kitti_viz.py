@@ -76,3 +76,54 @@ def test_top_to_image_and_bev_drawing(tmp_path):
     assert bev.shape == img.shape + (3,)
     # something red got drawn
     assert (bev[..., 0].astype(int) - bev[..., 1].astype(int) > 50).any()
+
+
+def test_viewer3d_html_roundtrip(tmp_path):
+    """The WebGL viewer embeds the exact point payload + box wireframes."""
+    import base64
+    import json
+    import re
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_kitti import CALIB_TXT
+
+    from cm3d_tpu.datasets.kitti import Calibration, Object3d
+    from cm3d_tpu.datasets.kitti.viz3d import boxes_to_segments, export_scene_html
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([1, -25, -1.8, 0], [65, 25, 0.3, 1], (1000, 4)).astype(
+        np.float32
+    )
+    (tmp_path / "c.txt").write_text(CALIB_TXT)
+    calib = Calibration(tmp_path / "c.txt")
+    obj = Object3d(
+        "Pedestrian", 0, 0, 0, np.zeros(4), 1.8, 0.6, 0.7,
+        tuple(calib.project_velo_to_rect(np.array([[12.0, 3, -0.5]]))[0]), 0.4,
+    )
+    out = export_scene_html(pts, str(tmp_path / "v.html"), [obj], calib)
+    html = open(out).read()
+
+    meta = json.loads(re.search(r"const META = (\{.*?\});\n", html).group(1))
+    assert meta["n"] == 1000
+    assert meta["nseg"] == 12  # one box wireframe
+    assert meta["labels"][0]["t"] == "Pedestrian"
+
+    b64 = re.search(r'decode\("([A-Za-z0-9+/=]+)"\);   // xyzi', html).group(1)
+    back = np.frombuffer(base64.b64decode(b64), np.float32).reshape(-1, 4)
+    np.testing.assert_allclose(back, pts, rtol=1e-6)
+
+    # wireframe segments live near the object's velodyne-frame position
+    segs, cols, labels = boxes_to_segments([obj], calib)
+    assert segs.shape == (12, 2, 3) and cols.shape == (12, 3)
+    center = segs.reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(center[:2], [12.0, 3.0], atol=1.0)
+
+    # subsampling path
+    out2 = export_scene_html(
+        pts, str(tmp_path / "v2.html"), max_points=100
+    )
+    meta2 = json.loads(
+        re.search(r"const META = (\{.*?\});\n", open(out2).read()).group(1)
+    )
+    assert meta2["n"] == 100
