@@ -72,6 +72,35 @@ class MaskArtifactStore:
             pickle.dump(rles, f)
         os.replace(tmp, d / f"{frame_num}_masks.pkl")
 
+    def write_frame_rles(
+        self,
+        scene_name: str,
+        frame_num: int,
+        labels: List[str],
+        detection_scores: List[float],
+        cam_nums: List[int],
+        rles: List[dict],
+    ) -> None:
+        """Write a frame from already-encoded COCO RLE dicts (the mask
+        driver encodes straight from packed bit-planes — ops.rle
+        .encode_packed_many — so no dense mask stack ever exists)."""
+        assert len(labels) == len(detection_scores) == len(cam_nums) == len(rles)
+        d = self._scene_dir(scene_name)
+        d.mkdir(parents=True, exist_ok=True)
+        data = {
+            "labels": list(labels),
+            "detection_scores": [float(s) for s in detection_scores],
+            "cam_nums": [int(c) for c in cam_nums],
+        }
+        tmp = d / f".{frame_num}_data.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, d / f"{frame_num}_data.json")
+        tmp = d / f".{frame_num}_masks.pkl.tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(rles, f)
+        os.replace(tmp, d / f"{frame_num}_masks.pkl")
+
     def mark_scene_complete(self, scene_name: str, num_frames: int) -> None:
         manifest = self.load_manifest()
         manifest[scene_name] = num_frames

@@ -95,6 +95,86 @@ long rle_string_decode(const char *s, long slen, uint32_t *out_counts) {
     return m;
 }
 
+/* ---- packed bit-plane -> RLE encode (the mask-stage write hot path) ----
+ *
+ * Input: Y-MAJOR bit-planes [H, W, mw] uint32 — bit mask_idx%32 of word
+ * (y*W + x)*mw + mask_idx/32. COCO counts scan the [W, H] mask in Fortran
+ * order (x fastest, then y), which in this layout is a fully SEQUENTIAL
+ * memory walk. (The lift-side [W, H, mw] layout scans with a 9 KB stride
+ * per pixel — measured 10x slower; callers transpose or ask the device for
+ * y-major planes.) Unpacking 128 dense masks and re-scanning them
+ * dominated host time (~760 ms/keyframe measured); these two single-pass
+ * functions encode ALL masks straight from the planes by tracking per-mask
+ * run starts and emitting only on bit CHANGES (XOR with the previous
+ * pixel's words), so per-pixel work is O(mw) + O(#flips).
+ *
+ * Pass 1: count runs per mask (exact allocation).
+ * Pass 2: fill per-mask count arrays at caller-provided offsets.
+ */
+
+/* Pass 1: out_m[mask] = number of RLE counts for that mask. */
+void rle_packed_count_runs(const uint32_t *words, long W, long H, long mw,
+                           long n_masks, uint32_t *out_m) {
+    long n_words_mask = (n_masks + 31) / 32;
+    if (n_words_mask > mw) n_words_mask = mw;
+    if (n_words_mask > 64) n_words_mask = 64; /* prev[] capacity */
+    uint32_t *flips = (uint32_t *)calloc((size_t)n_masks, sizeof(uint32_t));
+    uint32_t prev[64] = {0};
+    const long n = W * H;
+    for (long f = 0; f < n; f++) {
+        const uint32_t *cur = words + (size_t)f * mw;
+        for (long wo = 0; wo < n_words_mask; wo++) {
+            uint32_t d = cur[wo] ^ prev[wo];
+            prev[wo] = cur[wo];
+            while (d) {
+                int b = __builtin_ctz(d);
+                d &= d - 1;
+                long m = wo * 32 + b;
+                if (m < n_masks) flips[m]++;
+            }
+        }
+    }
+    /* every flip emits one count, plus the trailing run to pixel n */
+    for (long m = 0; m < n_masks; m++) out_m[m] = flips[m] + 1;
+    free(flips);
+}
+
+/* Pass 2: fill counts. offsets[m] = start index into counts_buf for mask m
+ * (capacity out_m[m] from pass 1). Returns 0. */
+long rle_packed_fill_runs(const uint32_t *words, long W, long H, long mw,
+                          long n_masks, const int64_t *offsets,
+                          uint32_t *counts_buf) {
+    long n_words_mask = (n_masks + 31) / 32;
+    if (n_words_mask > mw) n_words_mask = mw;
+    if (n_words_mask > 64) n_words_mask = 64; /* prev[] capacity */
+    int64_t *wpos = (int64_t *)malloc((size_t)n_masks * sizeof(int64_t));
+    int64_t *start = (int64_t *)calloc((size_t)n_masks, sizeof(int64_t));
+    for (long m = 0; m < n_masks; m++) wpos[m] = offsets[m];
+    uint32_t prev[64] = {0};
+    const long n = W * H;
+    for (long f = 0; f < n; f++) {
+        const uint32_t *cur = words + (size_t)f * mw;
+        for (long wo = 0; wo < n_words_mask; wo++) {
+            uint32_t d = cur[wo] ^ prev[wo];
+            prev[wo] = cur[wo];
+            while (d) {
+                int b = __builtin_ctz(d);
+                d &= d - 1;
+                long m = wo * 32 + b;
+                if (m < n_masks) {
+                    counts_buf[wpos[m]++] = (uint32_t)(f - start[m]);
+                    start[m] = f;
+                }
+            }
+        }
+    }
+    for (long m = 0; m < n_masks; m++)
+        counts_buf[wpos[m]++] = (uint32_t)(n - start[m]);
+    free(wpos);
+    free(start);
+    return 0;
+}
+
 /* Decode a compressed RLE string DIRECTLY into packed uint32 bit-planes,
  * skipping the dense mask entirely (the dense->pack path dominates host
  * time at production scale). The RLE covers an [h, w] Fortran-order mask

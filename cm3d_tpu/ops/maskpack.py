@@ -30,9 +30,12 @@ def make_plane_postprocess(
     num_words: int,
     chunk: int = 16,
     rect: bool = False,
+    layout: str = "xy",
 ):
     """Build a jittable fn: (logits [C, P, hm, wm], n_boxes [C]) ->
-    planes [W, H, num_words] uint32.
+    planes [W, H, num_words] uint32 (layout "xy", the lift step's input)
+    or [H, W, num_words] (layout "yx", sequential for the host COCO-RLE
+    encoder — rle.encode_packed_many scans Fortran order zero-copy).
 
     Masks are bit-indexed camera-major in artifact order: mask p of camera c
     gets bit offset(c) + p where offset = cumsum(n_boxes). Prompts beyond
@@ -50,6 +53,9 @@ def make_plane_postprocess(
     """
     w_plane, h_plane = mask_wh
     lanes = num_words * 4  # (word, byte) lanes
+    if layout not in ("xy", "yx"):
+        raise ValueError(f"layout must be 'xy' or 'yx', got {layout!r}")
+    xy = layout == "xy"
 
     def postprocess(logits: jax.Array, n_boxes: jax.Array) -> jax.Array:
         c, p, hm, wm = logits.shape
@@ -87,21 +93,28 @@ def make_plane_postprocess(
                     (chunk,) + up_hw, method="bilinear",
                 )
                 m = (up[:, :h_c, :w_c] > 0).astype(jnp.float32)  # [chunk,h,w]
-                m = jnp.swapaxes(m, 1, 2)  # [chunk, w_c, h_c]
-                m = jnp.pad(
-                    m, ((0, 0), (0, w_plane - w_c), (0, h_plane - h_c))
-                ).reshape(chunk, w_plane * h_plane)
+                if xy:
+                    m = jnp.swapaxes(m, 1, 2)  # [chunk, w_c, h_c]
+                    m = jnp.pad(
+                        m, ((0, 0), (0, w_plane - w_c), (0, h_plane - h_c))
+                    )
+                else:
+                    m = jnp.pad(
+                        m, ((0, 0), (0, h_plane - h_c), (0, w_plane - w_c))
+                    )
+                m = m.reshape(chunk, w_plane * h_plane)
                 return carry + lm_c @ m, None
 
             acc, _ = jax.lax.scan(
                 body, acc, (lg, jnp.moveaxis(lm, 1, 0)), length=n_chunks
             )
 
-        by = acc.reshape(num_words, 4, w_plane, h_plane).astype(jnp.uint32)
+        shp = (w_plane, h_plane) if xy else (h_plane, w_plane)
+        by = acc.reshape((num_words, 4) + shp).astype(jnp.uint32)
         planes = (
             by[:, 0] | (by[:, 1] << 8) | (by[:, 2] << 16) | (by[:, 3] << 24)
         )
-        return jnp.moveaxis(planes, 0, -1)  # [W, H, num_words]
+        return jnp.moveaxis(planes, 0, -1)  # [W, H, nw] or [H, W, nw]
 
     return postprocess
 

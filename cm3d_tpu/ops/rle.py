@@ -31,6 +31,8 @@ def _lib():
             lib.rle_string_encode.restype = ctypes.c_long
             lib.rle_string_decode.restype = ctypes.c_long
             lib.rle_decode_packed.restype = ctypes.c_long
+            lib.rle_packed_count_runs.restype = None
+            lib.rle_packed_fill_runs.restype = ctypes.c_long
             _LIB = lib
     return _LIB
 
@@ -164,6 +166,62 @@ def _string_decode_np(s: bytes) -> np.ndarray:
             x += counts[-2]
         counts.append(x)
     return np.asarray(counts, np.int64)
+
+
+def encode_packed_many(
+    words: np.ndarray, n_masks: int, layout: str = "xy"
+) -> List[Dict]:
+    """Encode the first n_masks bit-planes straight to COCO RLE dicts (no
+    dense [M, W, H] intermediate — the dense unpack + per-mask rescan cost
+    ~760 ms/keyframe at production scale). Byte-identical to encode() on
+    the unpacked masks.
+
+    layout "xy": words is [W, H, mw] (the lift-side layout) — transposed
+    here because the COCO Fortran scan is only sequential in y-major.
+    layout "yx": words is [H, W, mw] (ops.maskpack layout="yx") — zero-copy.
+
+    Falls back to the numpy path when the C library is unavailable."""
+    if n_masks <= 0:
+        return []
+    if layout == "xy":
+        words = np.ascontiguousarray(np.swapaxes(words, 0, 1), np.uint32)
+    elif layout != "yx":
+        raise ValueError(f"layout must be 'xy' or 'yx', got {layout!r}")
+    words = np.ascontiguousarray(words, np.uint32)
+    H, W, mw = words.shape
+    lib = _lib()
+    if lib is None:
+        from cm3d_tpu.ops.bitmask import unpack_masks_np
+
+        return encode_many(
+            unpack_masks_np(np.swapaxes(words, 0, 1), n_masks).astype(np.uint8)
+        )
+    n_runs = np.empty(n_masks, np.uint32)
+    wp = words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    lib.rle_packed_count_runs(
+        wp, ctypes.c_long(W), ctypes.c_long(H), ctypes.c_long(mw),
+        ctypes.c_long(n_masks),
+        n_runs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    offsets = np.zeros(n_masks, np.int64)
+    np.cumsum(n_runs[:-1], out=offsets[1:])
+    counts_buf = np.empty(int(n_runs.sum()), np.uint32)
+    lib.rle_packed_fill_runs(
+        wp, ctypes.c_long(W), ctypes.c_long(H), ctypes.c_long(mw),
+        ctypes.c_long(n_masks),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    out: List[Dict] = []
+    for m in range(n_masks):
+        cnts = counts_buf[offsets[m] : offsets[m] + n_runs[m]]
+        sbuf = ctypes.create_string_buffer(int(n_runs[m]) * 7 + 1)
+        slen = lib.rle_string_encode(
+            cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_long(int(n_runs[m])), sbuf,
+        )
+        out.append({"size": [W, H], "counts": sbuf.raw[:slen]})
+    return out
 
 
 def decode_many_packed(rles: List[Dict], num_words: int) -> Optional[np.ndarray]:

@@ -106,7 +106,9 @@ def run_e2e(
                 images.append(np.asarray(im))
 
             # 2D stage: planes stay in the lift's bit-plane layout
-            handle = start_frame_masks(models, images, mask_cfg)
+            handle = start_frame_masks(
+                models, images, mask_cfg, plane_layout="xy"
+            )
             if handle["planes"] is None:
                 continue
             planes = np.asarray(handle["planes"])

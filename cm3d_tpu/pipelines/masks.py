@@ -43,9 +43,11 @@ class MaskModels:
     sam_encode(frame) -> per-camera embeddings [C, ...] (device; dispatch
         is async, so it overlaps the detic host post-processing).
     sam_decode_planes(emb, boxes_img [C,P,4], n_boxes [C], cam_hw, mask_wh,
-        num_words) -> [W, H, num_words] uint32 bit-planes (device): decode +
-        upsample + threshold + transpose + bit-pack fused in one jit
-        (cm3d_tpu.ops.maskpack), ~9 MB off-device per keyframe.
+        num_words, layout="xy"|"yx") -> [W, H, num_words] (xy) or
+        [H, W, num_words] (yx) uint32 bit-planes (device): decode +
+        upsample + threshold + bit-pack fused in one jit
+        (cm3d_tpu.ops.maskpack), ~9 MB off-device per keyframe. "xy" feeds
+        the lift step; "yx" is sequential for the host COCO-RLE encoder.
     vocabulary: detector vocabulary strings (class_ids index this)
     """
 
@@ -91,6 +93,7 @@ def start_frame_masks(
     images: List[np.ndarray],  # per-camera RGB uint8 (already thumbnailed)
     cfg: MaskStageConfig = MaskStageConfig(),
     mask_wh: Optional[Tuple[int, int]] = None,
+    plane_layout: str = "yx",
 ) -> dict:
     """Run a keyframe through the LAST device dispatch (upload -> SAM encode
     -> Detic -> host NMS -> fused decode dispatch) and return a handle;
@@ -103,8 +106,14 @@ def start_frame_masks(
         max(w for _, w in cam_hw), max(h for h, _ in cam_hw)
     )
     frame_inputs = models.prepare(images)
-    emb = models.sam_encode(frame_inputs)  # async dispatch
+    # Detic is dispatched FIRST: the host must sync on its boxes (for NMS +
+    # prompts), and queueing it behind the 6-camera SAM encode blocked the
+    # host for the whole encode too (~900 ms vs ~240 ms measured). With
+    # detic ahead, the host is free during the encode to run NMS, dispatch
+    # the decode, and prepare + upload the NEXT frame under the device
+    # compute.
     det = models.detic(frame_inputs)  # async dispatch
+    emb = models.sam_encode(frame_inputs)  # async dispatch
     boxes_b, scores_b, cids_b, valid_b = [np.asarray(x) for x in det]
     n_cams = len(cam_hw)
 
@@ -148,10 +157,12 @@ def start_frame_masks(
         pmax = int(n_boxes.max())
         bucket = next((b for b in sorted(cfg.prompt_buckets) if b >= pmax), p)
         planes = models.sam_decode_planes(  # async dispatch
-            emb, prompts[:, :bucket], n_boxes, cam_hw, plane_wh, nw
+            emb, prompts[:, :bucket], n_boxes, cam_hw, plane_wh, nw,
+            plane_layout,
         )
     return {
         "planes": planes, "total": total, "plane_wh": plane_wh,
+        "layout": plane_layout,
         "labels": all_labels, "scores": all_scores, "cams": all_cams,
     }
 
@@ -167,9 +178,10 @@ def finish_frame_masks(
         return FrameMasks(
             [], [], [], np.zeros((0, plane_wh[0], plane_wh[1]), np.uint8)
         )
-    dense = unpack_masks_np(
-        np.asarray(handle["planes"]), handle["total"]
-    ).astype(np.uint8)
+    planes = np.asarray(handle["planes"])
+    if handle["layout"] == "yx":
+        planes = np.ascontiguousarray(np.swapaxes(planes, 0, 1))
+    dense = unpack_masks_np(planes, handle["total"]).astype(np.uint8)
     return FrameMasks(handle["labels"], handle["scores"], handle["cams"], dense)
 
 
@@ -259,8 +271,24 @@ def run_mask_stage(
     def _finish(entry):
         nonlocal n_frames
         scene, f, handle = entry
-        fm = finish_frame_masks(models, handle, cfg)
-        store.write_frame(scene, f, fm)
+        if handle["planes"] is None:
+            store.write_frame_rles(
+                scene, f, handle["labels"], handle["scores"],
+                handle["cams"], [],
+            )
+        else:
+            # packed planes -> COCO RLE straight in C: no dense [M, W, H]
+            # intermediate (unpack + rescan cost ~760 ms/keyframe)
+            from cm3d_tpu.ops import rle as rle_codec
+
+            rles = rle_codec.encode_packed_many(
+                np.asarray(handle["planes"]), handle["total"],
+                layout=handle["layout"],
+            )
+            store.write_frame_rles(
+                scene, f, handle["labels"], handle["scores"],
+                handle["cams"], rles,
+            )
         remaining[scene] -= 1
         _maybe_complete(scene)
         n_frames += 1
@@ -429,8 +457,10 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         return enc_scan_f32(sam_params, jnp.asarray(x))
 
     @functools.lru_cache(maxsize=8)
-    def _decode_planes_fn(cam_hw, mask_wh, nw, rect):
-        post = make_plane_postprocess(mask_wh, cam_hw, nw, rect=rect)
+    def _decode_planes_fn(cam_hw, mask_wh, nw, rect, layout):
+        post = make_plane_postprocess(
+            mask_wh, cam_hw, nw, rect=rect, layout=layout
+        )
         # image px -> SAM-input px resize factor, static per camera geometry
         scales = np.array(
             [img_size / max(h, w) for h, w in cam_hw], np.float32
@@ -452,12 +482,13 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
 
         return run
 
-    def sam_decode_planes(emb, boxes, n_boxes, cam_hw, mask_wh, nw):
+    def sam_decode_planes(emb, boxes, n_boxes, cam_hw, mask_wh, nw,
+                          layout="xy"):
         # rect-encoded embeddings have a cropped (non-square) grid
         hw_grid = sam_model.cfg.embed_hw
         rect = tuple(emb.shape[1:3]) != (hw_grid, hw_grid)
         return _decode_planes_fn(
-            tuple(cam_hw), tuple(mask_wh), int(nw), bool(rect)
+            tuple(cam_hw), tuple(mask_wh), int(nw), bool(rect), str(layout)
         )(sam_params, emb, boxes, n_boxes)
 
     return MaskModels(prepare, detic, sam_encode, sam_decode_planes,

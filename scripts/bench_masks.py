@@ -247,15 +247,19 @@ def bench_end_to_end(dtype="bfloat16", n_frames=6):
     for i in range(128):
         x, y = rng.integers(0, IMG_W - 150), rng.integers(0, IMG_H - 100)
         blob[i, x:x + 120, y:y + 90] = 1
-    blob_planes = pack_masks_np(blob)
+    blob_planes = {
+        "xy": pack_masks_np(blob),
+        "yx": np.ascontiguousarray(np.swapaxes(pack_masks_np(blob), 0, 1)),
+    }
 
-    def dec_blob(emb, boxes, n_boxes, cam_hw, mask_wh, nw):
-        real = raw_dec(emb, boxes, n_boxes, cam_hw, mask_wh, nw)
+    def dec_blob(emb, boxes, n_boxes, cam_hw, mask_wh, nw, layout="xy"):
+        real = raw_dec(emb, boxes, n_boxes, cam_hw, mask_wh, nw, layout)
+        planes = blob_planes[layout]
 
         class _Lazy:
             def __array__(self, dtype=None, copy=None):
                 np.asarray(real)  # device decode + transfer still timed
-                return blob_planes
+                return planes
 
         return _Lazy()
 

@@ -91,3 +91,57 @@ def test_artifact_store_resume_and_corruption(tmp_path):
     (tmp_path / "a" / "0_masks.pkl").write_bytes(b"garbage")
     assert store.read_frame("a", 0) is None
     assert store.read_frame("nope", 5) is None
+
+
+def test_encode_packed_many_parity_and_edges():
+    """Packed-plane -> COCO RLE must be byte-identical to the dense encoder
+    in both layouts, including empty / full / pixel-0 / noisy masks."""
+    from cm3d_tpu.ops import rle
+    from cm3d_tpu.ops.bitmask import pack_masks_np
+
+    rng = np.random.default_rng(3)
+    W, H, M = 61, 37, 70  # odd sizes, >2 words of masks
+    dense = np.zeros((M, W, H), np.uint8)
+    for i in range(M - 4):
+        x, y = rng.integers(0, W - 10), rng.integers(0, H - 8)
+        dense[i, x : x + 9, y : y + 7] = 1
+    dense[M - 4] = 0                    # empty
+    dense[M - 3] = 1                    # full
+    dense[M - 2, 0, 0] = 1              # set at scan origin
+    dense[M - 1] = (rng.random((W, H)) < 0.5).astype(np.uint8)  # noise
+    words_xy = pack_masks_np(dense)
+    words_yx = np.ascontiguousarray(np.swapaxes(words_xy, 0, 1))
+
+    want = rle.encode_many(dense)
+    for got in (
+        rle.encode_packed_many(words_xy, M, layout="xy"),
+        rle.encode_packed_many(words_yx, M, layout="yx"),
+    ):
+        assert len(got) == M
+        for a, b in zip(got, want):
+            assert a["size"] == b["size"] == [W, H]
+            assert a["counts"] == b["counts"]
+        # and they decode back to the dense masks
+        np.testing.assert_array_equal(rle.decode_many(got), dense)
+
+    assert rle.encode_packed_many(words_xy, 0) == []
+
+
+def test_write_frame_rles_roundtrip(tmp_path):
+    """The driver's packed write path produces artifacts read_frame can
+    decode identically to the dense write path."""
+    from cm3d_tpu.ops import rle
+    from cm3d_tpu.ops.bitmask import pack_masks_np
+
+    rng = np.random.default_rng(4)
+    masks = (rng.random((3, 16, 12)) < 0.4).astype(np.uint8)
+    words = pack_masks_np(masks)
+    rles = rle.encode_packed_many(words, 3, layout="xy")
+
+    store = MaskArtifactStore(tmp_path)
+    store.write_frame_rles("sc", 7, ["car", "truck", "bicycle"],
+                           [0.9, 0.5, 0.2], [0, 1, 1], rles)
+    fm = store.read_frame("sc", 7)
+    assert fm.labels == ["car", "truck", "bicycle"]
+    assert fm.cam_nums == [0, 1, 1]
+    np.testing.assert_array_equal(fm.masks, masks)
