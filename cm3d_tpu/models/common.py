@@ -84,6 +84,38 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
     return rel_pos[rel.astype(jnp.int32)]
 
 
+def add_decomposed_rel_pos_bnhc(
+    attn: jax.Array,
+    q: jax.Array,
+    rel_pos_h: jax.Array,
+    rel_pos_w: jax.Array,
+    q_hw: Tuple[int, int],
+    k_hw: Tuple[int, int],
+) -> jax.Array:
+    """add_decomposed_rel_pos for heads-minor q (no explicit transposes).
+
+    attn: [B, heads, qh*qw, kh*kw]; q: [B, qh*qw, heads, head_dim] — the
+    layout the qkv projection emits naturally. The head transposition rides
+    inside the bias einsums (dot batch dims) and every reshape merges
+    adjacent axes only, so nothing materializes a layout copy.
+    """
+    qh, qw = q_hw
+    kh, kw = k_hw
+    rh = get_rel_pos(qh, kh, rel_pos_h)  # [qh, kh, d]
+    rw = get_rel_pos(qw, kw, rel_pos_w)  # [qw, kw, d]
+    b, _, heads, _ = q.shape
+    r_q = q.reshape(b, qh, qw, heads, -1)
+    rel_h = jnp.einsum("bhwnc,hkc->bnhwk", r_q, rh).reshape(
+        b, heads, qh * qw, kh, 1
+    )
+    rel_w = jnp.einsum("bhwnc,wkc->bnhwk", r_q, rw).reshape(
+        b, heads, qh * qw, 1, kw
+    )
+    attn = attn.reshape(b, heads, qh * qw, kh, kw)
+    attn = attn + rel_h + rel_w
+    return attn.reshape(b, heads, qh * qw, kh * kw)
+
+
 def add_decomposed_rel_pos(
     attn: jax.Array,
     q: jax.Array,

@@ -24,7 +24,7 @@ import flax.linen as nn
 from cm3d_tpu.models.common import (
     LayerNorm2d,
     MLPBlock,
-    add_decomposed_rel_pos,
+    add_decomposed_rel_pos_bnhc,
     window_partition,
     window_unpartition,
 )
@@ -47,11 +47,15 @@ class SamConfig:
     dtype: str = "float32"  # compute dtype ("bfloat16" for TPU MXU speed)
     # Pallas flash attention for the global (non-windowed) encoder blocks
     # (kernels/flash_attention.py): logits/softmax stream through VMEM
-    # instead of materializing [heads, N, N] in HBM. Bit-identical checksum
-    # to the XLA path, but MEASURED SLOWER at batch-1/N=4096 on v5e (132 vs
-    # 114 ms/encode: per-grid-step overhead beats the HBM traffic it
-    # saves), so off by default. It is the enabler for batched global
-    # attention (the XLA path OOMs at batch 6) and for longer grids.
+    # instead of materializing [heads, N, N] in HBM. The kernel itself is
+    # 3x faster than the XLA attention (1.6 vs 5.3 ms/block in-graph,
+    # identical outputs), but the FULL encode is slower with it (105 vs 86
+    # ms at batch-1/N=4096 on v5e): the custom-call boundary breaks XLA's
+    # elementwise fusions around every block (converts/pads that fused into
+    # the attention consumers reappear as ~+18 ms of standalone kernels) —
+    # verified across three operand/layout formulations. Off by default;
+    # it remains the enabler for batched global attention (the XLA path
+    # OOMs at batch 6) and for longer grids.
     flash_global_attn: bool = False
     # Encode non-square images without padding to the full square. The
     # official SamPredictor pads to img_size x img_size and the padding
@@ -91,8 +95,10 @@ class ViTAttention(nn.Module):
             x.reshape(b, h * w, self.dim)
         )
         qkv = qkv.reshape(b, h * w, 3, self.heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3, b * self.heads, h * w, head_dim)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # heads stay MINOR ([b, n, heads, hd]): the old transpose to
+        # [b*heads, n, hd] materialized full qkv layout copies; einsum
+        # contractions below carry the head transposition inside the dots.
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         rel_h = self.param(
             "rel_pos_h", nn.initializers.zeros, (2 * self.input_hw[0] - 1, head_dim)
@@ -108,21 +114,34 @@ class ViTAttention(nn.Module):
             and jax.default_backend() == "tpu"
         )
         if use_flash:
-            from cm3d_tpu.kernels.flash_attention import flash_attention_relpos
+            from cm3d_tpu.kernels.flash_attention import flash_attention_qkv
             from cm3d_tpu.models.common import get_rel_pos
 
             rh = get_rel_pos(h, h, rel_h).astype(self.dtype)
             rw = get_rel_pos(w, w, rel_w).astype(self.dtype)
-            r_q = q.reshape(-1, h, w, head_dim)
-            bias_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh).reshape(-1, n, h)
-            bias_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw).reshape(-1, n, w)
-            out = flash_attention_relpos(
-                q * (head_dim ** -0.5), k, v, bias_h, bias_w
+            # Layout firewall: the bias einsums below have a batch dim on
+            # the token-grid row axis; without the barrier XLA propagates
+            # their x-major layout preference back through qkv into the
+            # whole residual stream (degenerate T(1,128) tilings on every
+            # block, +18 ms/encode measured).
+            qkv_f = jax.lax.optimization_barrier(qkv)
+            q_f = qkv_f[:, :, 0]
+            # bias einsums on the raw (unscaled) q, all reshapes merge/split
+            # adjacent axes only — nothing here forces a layout copy
+            r_q5 = q_f.reshape(b, h, w, self.heads, head_dim)
+            bias_h = jnp.einsum("bxyhc,xkc->bhxyk", r_q5, rh).reshape(
+                b, self.heads, n, h
             )
-            x = out.reshape(b, self.heads, n, head_dim)
+            bias_w = jnp.einsum("bxyhc,ykc->bhxyk", r_q5, rw).reshape(
+                b, self.heads, n, w
+            )
+            out = flash_attention_qkv(qkv_f, bias_h, bias_w)  # [b, n, heads, hd]
+            x = out.reshape(b, h, w, self.dim)
         else:
-            attn = (q * (head_dim ** -0.5)) @ jnp.swapaxes(k, -2, -1)
-            attn = add_decomposed_rel_pos(
+            attn = jnp.einsum(
+                "bqhc,bkhc->bhqk", q * (head_dim ** -0.5), k
+            )  # [b, heads, n, n]
+            attn = add_decomposed_rel_pos_bnhc(
                 attn, q, rel_h.astype(self.dtype), rel_w.astype(self.dtype),
                 (h, w), (h, w),
             )
@@ -130,8 +149,9 @@ class ViTAttention(nn.Module):
             attn = jax.nn.softmax(
                 attn.astype(jnp.float32), axis=-1
             ).astype(self.dtype)
-            x = (attn @ v).reshape(b, self.heads, h * w, head_dim)
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, h, w, self.dim)
+            x = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(
+                b, h, w, self.dim
+            )
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
 
 

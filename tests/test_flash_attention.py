@@ -83,3 +83,41 @@ def test_sam_encoder_flash_flag_consistency():
     params = model.init(jax.random.PRNGKey(0), img, jnp.zeros((1, 4)))["params"]
     emb = model.apply({"params": params}, img[None], method=model.encode_image)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_flash_qkv_matches_xla_path():
+    """The layout-neutral qkv entry point (natural [B,N,3,H,d] operand) must
+    match the dense XLA reference including the in-kernel q scaling."""
+    from cm3d_tpu.kernels.flash_attention import flash_attention_qkv
+    from cm3d_tpu.models.common import get_rel_pos
+
+    b, heads, gh, gw, d = 2, 3, 16, 32, 24
+    n = gh * gw
+    scale = d ** -0.5
+    qkv = RNG.standard_normal((b, n, 3, heads, d)).astype(np.float32)
+    rel_pos_h = RNG.standard_normal((2 * gh - 1, d)).astype(np.float32) * 0.2
+    rel_pos_w = RNG.standard_normal((2 * gw - 1, d)).astype(np.float32) * 0.2
+
+    rh = get_rel_pos(gh, gh, jnp.asarray(rel_pos_h))
+    rw = get_rel_pos(gw, gw, jnp.asarray(rel_pos_w))
+    q5 = jnp.asarray(qkv[:, :, 0]).reshape(b, gh, gw, heads, d)
+    bias_h = jnp.einsum("bxyhc,xkc->bhxyk", q5, rh).reshape(b, heads, n, gh)
+    bias_w = jnp.einsum("bxyhc,ykc->bhxyk", q5, rw).reshape(b, heads, n, gw)
+
+    out = flash_attention_qkv(
+        jnp.asarray(qkv), bias_h, bias_w, interpret=True
+    )  # [b, n, heads, d]
+
+    # dense reference per (batch, head)
+    q = np.moveaxis(qkv[:, :, 0], -2, 1)  # [b, heads, n, d]
+    k = np.moveaxis(qkv[:, :, 1], -2, 1)
+    v = np.moveaxis(qkv[:, :, 2], -2, 1)
+    s = np.einsum("bhqd,bhkd->bhqk", q * scale, k).reshape(
+        b, heads, n, gh, gw
+    )
+    s = s + np.asarray(bias_h).reshape(b, heads, n, gh, 1)
+    s = s + np.asarray(bias_w).reshape(b, heads, n, 1, gw)
+    s = s.reshape(b, heads, n, n)
+    p = jax.nn.softmax(jnp.asarray(s), axis=-1)
+    ref = np.einsum("bhqk,bhkd->bqhd", np.asarray(p), v)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
