@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: order-preserving row compaction as one-hot matmuls.
+
+The lift step's dominant device cost is NOT its top_k sorts (~10 ms/batch)
+but the gathers that follow them (~64 ms/batch measured: take_along_axis of
+ids/words/coords through compacted positions — TPU gathers run ~12
+cycles/element). This kernel replaces each top_k + gather pair entirely:
+
+  out[r, :, l] = values[r, :, i_l]   where i_l = position of the l-th True
+                                     of sel[r] (ascending; l >= count -> 0)
+
+computed as dest = cumsum(sel) - 1 and a tiled one-hot contraction
+`values_chunk [3D, S_T] @ (dest_chunk == l_range) [S_T, L_T]` on the MXU.
+Exactness at full bf16 MXU rate: the one-hot factor is 0/1 (exact in
+bf16) and each f32 value is pre-split into three bf16 components
+(v = hi + lo + rest, 8+8+8 >= 24 mantissa bits, each split Sterbenz-exact),
+so every output column reconstructs the original f32 bit-exactly from one
+nonzero term per component. The D-major orientation keeps MXU utilization
+high at small D (the [L, S] x [S, D] form wastes 128/D of the array).
+
+Monotonicity of dest makes chunk-skipping trivial: an output tile
+[l0, l0+L_T) only needs source chunks whose cumulative-count span
+intersects it; per-(row, tile) chunk ranges are precomputed in XLA
+(searchsorted on the chunk-boundary counts) and scalar-prefetched. Several
+rows ride in each program to amortize per-program overhead.
+
+Used by ops/lift.py to replace its compaction gathers; reference
+semantics: src/nuscenes/2d_to_3d.py:597-647 (the per-mask point gathers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_L_T = 512   # output tile (lanes of the one-hot matmul)
+_S_T = 2048  # source chunk (sublanes of the one-hot matmul)
+_RB = 8      # rows per program
+
+
+def _compact_kernel(lo_ref, hi_ref, dest_ref, vals_ref, out_ref,
+                    *, d, l_t, s_t, rb):
+    """One program = `rb` rows.
+
+    lo_ref/hi_ref: scalar-prefetch [R * n_ltiles] int32 — source-chunk
+    range per output tile (flattened 1-D: 2-D scalar arrays pad to 128
+    lanes in SMEM and blow its 1 MB budget).
+    dest_ref: [rb, 1, S] int32 (-1 at unselected positions).
+    vals_ref: [rb, D, S] f32. out_ref: [rb, D, L] f32.
+
+    The 3-way bf16 split happens IN-KERNEL: outside, XLA's excess-precision
+    folding eliminates f32->bf16->f32 round trips, silently zeroing the
+    lo/rest components (observed on v5e); Mosaic compiles the converts
+    literally.
+    """
+    r0 = pl.program_id(0) * rb
+    n_ltiles = out_ref.shape[2] // l_t
+    for j in range(rb):  # static unroll over the program's rows
+        for lt in range(n_ltiles):
+            l0 = lt * l_t
+            lr = l0 + jax.lax.broadcasted_iota(jnp.int32, (1, l_t), 1)
+
+            def body(ci, acc, j=j, lr=lr):
+                dchunk = dest_ref[j, 0, pl.ds(ci * s_t, s_t)].reshape(s_t, 1)
+                oh = (dchunk == lr).astype(jnp.bfloat16)  # [s_t, l_t]
+                vf = vals_ref[j, :, pl.ds(ci * s_t, s_t)]  # [d, s_t] f32
+                vh = vf.astype(jnp.bfloat16)
+                r1 = vf - vh.astype(jnp.float32)
+                vl = r1.astype(jnp.bfloat16)
+                vm = (r1 - vl.astype(jnp.float32)).astype(jnp.bfloat16)
+                v3 = jnp.concatenate([vh, vl, vm], axis=0)  # [3d, s_t]
+                return acc + jax.lax.dot_general(
+                    v3, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            acc = jax.lax.fori_loop(
+                lo_ref[(r0 + j) * n_ltiles + lt],
+                hi_ref[(r0 + j) * n_ltiles + lt],
+                body, jnp.zeros((3 * d, l_t), jnp.float32),
+            )
+            out_ref[j, :, pl.ds(l0, l_t)] = (
+                acc[:d] + acc[d : 2 * d] + acc[2 * d :]
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("limit", "interpret"))
+def compact_rows_pallas(
+    sel: jax.Array,      # [R, S] bool
+    values: jax.Array,   # [R, D, S] f32
+    limit: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns out [R, D, limit] f32 with out[r, :, l] = values[r, :, i_l].
+
+    i_l = ascending position of the l-th selected entry of sel[r]; columns
+    at l >= count(r) are exactly 0. BIT-EXACT equivalent of (and
+    replacement for)
+    `ids, ok = _compact_topk(sel, limit); take_along_axis(values, ids)`.
+    """
+    r, s = sel.shape
+    d = values.shape[1]
+    assert values.shape == (r, d, s), (values.shape, (r, d, s))
+    s_t = min(_S_T, s)
+    assert s % s_t == 0, (s, s_t)
+    l_t = min(_L_T, limit)
+    assert limit % l_t == 0, (limit, l_t)
+    rb = _RB if r % _RB == 0 else 1
+    n_chunks = s // s_t
+    n_ltiles = limit // l_t
+
+    c = jnp.cumsum(sel.astype(jnp.int32), axis=1)  # [R, S] inclusive
+    dest = jnp.where(sel, c - 1, -1)
+
+    # chunk-boundary counts: bounds[r, i] = #selected before chunk i
+    bounds = jnp.concatenate(
+        [jnp.zeros((r, 1), jnp.int32), c[:, s_t - 1 :: s_t]], axis=1
+    )  # [R, n_chunks + 1]
+    l0s = jnp.arange(n_ltiles, dtype=jnp.int32) * l_t  # [n_ltiles]
+    # lo = first chunk with bounds[i+1] > l0 ; hi = first with bounds[i] >= l0+l_t
+    lo = jnp.sum(
+        bounds[:, None, 1:] <= l0s[None, :, None], axis=2
+    ).astype(jnp.int32)  # [R, n_ltiles]
+    hi = jnp.sum(
+        bounds[:, None, :-1] < (l0s + l_t)[None, :, None], axis=2
+    ).astype(jnp.int32)
+    hi = jnp.minimum(hi, n_chunks)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # lo, hi
+        grid=(r // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, 1, s), lambda i, lo, hi: (i, 0, 0)),
+            pl.BlockSpec((rb, d, s), lambda i, lo, hi: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rb, d, limit), lambda i, lo, hi: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_compact_kernel, d=d, l_t=l_t, s_t=s_t, rb=rb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, d, limit), jnp.float32),
+        interpret=interpret,
+    )(lo.reshape(-1), hi.reshape(-1), dest[:, None, :],
+      values.astype(jnp.float32))

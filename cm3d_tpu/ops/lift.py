@@ -57,6 +57,11 @@ class LiftParams:
     erode: bool = True  # reference erodes every mask 3x3 (:526-528)
 
 
+# None = auto (Pallas compaction on TPU, top_k+gather elsewhere); tests can
+# force either path for on-chip A/B parity.
+_USE_PALLAS_COMPACT = None
+
+
 class LiftOutputs(NamedTuple):
     centroids: jax.Array  # [M, 3] global-frame medoid per mask
     has_points: jax.Array  # [M] bool: mask produced a centroid
@@ -178,12 +183,38 @@ def lift_keyframe(
     truncated = counts > k
 
     # --- Per-mask compaction NU -> K (ascending order preserved). ---
-    pos_k, valid_k = _compact_topk(sel, k)  # [M, K] into NU
-    ids_per_mask = ids_u[mask_cam]  # [M, NU] global point ids
-    idx_buf = jnp.take_along_axis(ids_per_mask, pos_k, axis=1)  # [M, K]
-    idx_buf = jnp.where(valid_k, idx_buf, 0)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        if _USE_PALLAS_COMPACT is None else _USE_PALLAS_COMPACT
+    )
+    if use_pallas:
+        # One Pallas one-hot-matmul compaction produces the compacted
+        # coords AND ids directly (kernels/compact_pallas.py): the top_k +
+        # two take_along_axis gathers it replaces were the step's largest
+        # device cost (~44 ms/batch-8; TPU gathers run ~12 cycles/element).
+        from cm3d_tpu.kernels.compact_pallas import compact_rows_pallas
 
-    coords = pts_xyz[idx_buf]  # [M, K, 3]
+        coords_u = pts_xyz[ids_u]  # [C, NU, 3] (small: C*NU rows)
+        vals_c = jnp.concatenate(
+            [
+                jnp.moveaxis(coords_u, -1, 1),  # [C, 3, NU]
+                ids_u[:, None, :].astype(jnp.float32),  # exact: N < 2^24
+            ],
+            axis=1,
+        )  # [C, 4, NU]
+        out = compact_rows_pallas(sel, vals_c[mask_cam], k)  # [M, 4, K]
+        coords = jnp.moveaxis(out[:, :3], 1, -1)  # [M, K, 3]
+        idx_buf = out[:, 3].astype(jnp.int32)  # [M, K] (0 at invalid slots)
+        valid_k = (
+            jnp.arange(k, dtype=jnp.int32)[None, :]
+            < jnp.minimum(counts, k)[:, None]
+        )
+    else:
+        pos_k, valid_k = _compact_topk(sel, k)  # [M, K] into NU
+        ids_per_mask = ids_u[mask_cam]  # [M, NU] global point ids
+        idx_buf = jnp.take_along_axis(ids_per_mask, pos_k, axis=1)  # [M, K]
+        idx_buf = jnp.where(valid_k, idx_buf, 0)
+        coords = pts_xyz[idx_buf]  # [M, K, 3]
 
     # --- Medoid per mask (reference get_medoid, 2d_to_3d.py:116-119). ---
     med_local = masked_medoid(coords, valid_k)  # [M]
