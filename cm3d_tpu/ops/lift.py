@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from cm3d_tpu.geometry.pointcloud import project_to_camera
 from cm3d_tpu.ops.bitmask import erode3x3_packed, extract_bit
-from cm3d_tpu.ops.medoid import masked_medoid
+from cm3d_tpu.ops.medoid import masked_medoid_rows
 from cm3d_tpu.ops.nms import circle_nms_keep
 from cm3d_tpu.ops.pushback import push_centroid
 from cm3d_tpu.ops.lanes import nearest_lane
@@ -203,7 +203,7 @@ def lift_keyframe(
             axis=1,
         )  # [C, 4, NU]
         out = compact_rows_pallas(sel, vals_c[mask_cam], k)  # [M, 4, K]
-        coords = jnp.moveaxis(out[:, :3], 1, -1)  # [M, K, 3]
+        coords_dm = out[:, :3]  # [M, 3, K] — stays D-major end to end
         idx_buf = out[:, 3].astype(jnp.int32)  # [M, K] (0 at invalid slots)
         valid_k = (
             jnp.arange(k, dtype=jnp.int32)[None, :]
@@ -214,10 +214,10 @@ def lift_keyframe(
         ids_per_mask = ids_u[mask_cam]  # [M, NU] global point ids
         idx_buf = jnp.take_along_axis(ids_per_mask, pos_k, axis=1)  # [M, K]
         idx_buf = jnp.where(valid_k, idx_buf, 0)
-        coords = pts_xyz[idx_buf]  # [M, K, 3]
+        coords_dm = jnp.moveaxis(pts_xyz[idx_buf], -1, 1)  # [M, 3, K]
 
     # --- Medoid per mask (reference get_medoid, 2d_to_3d.py:116-119). ---
-    med_local = masked_medoid(coords, valid_k)  # [M]
+    med_local = masked_medoid_rows(coords_dm, valid_k)  # [M]
     med_global = jnp.take_along_axis(idx_buf, med_local[:, None], axis=1)[:, 0]
     centroids = pts_xyz[med_global]
     centroids = jnp.where(has_points[:, None], centroids, 0.0)
@@ -225,14 +225,14 @@ def lift_keyframe(
     # --- BEV principal-axis yaw (device replacement for the reference
     # KITTI open3d OBB fit, kitti/2d_to_3d.py:855-876,1524; closed-form
     # eigenvector of the 2x2 xy covariance). ---
-    vf = valid_k.astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(vf, axis=1), 1.0)
-    xy = coords[..., :2] * vf[..., None]
-    mean = jnp.sum(xy, axis=1) / cnt[:, None]
-    d = (coords[..., :2] - mean[:, None, :]) * vf[..., None]
-    sxx = jnp.sum(d[..., 0] * d[..., 0], axis=1)
-    syy = jnp.sum(d[..., 1] * d[..., 1], axis=1)
-    sxy = jnp.sum(d[..., 0] * d[..., 1], axis=1)
+    vf = valid_k.astype(jnp.float32)[:, None, :]  # [M, 1, K]
+    cnt = jnp.maximum(jnp.sum(vf[:, 0], axis=1), 1.0)
+    xy = coords_dm[:, :2] * vf  # [M, 2, K]
+    mean = jnp.sum(xy, axis=2) / cnt[:, None]
+    d = (coords_dm[:, :2] - mean[..., None]) * vf
+    sxx = jnp.sum(d[:, 0] * d[:, 0], axis=1)
+    syy = jnp.sum(d[:, 1] * d[:, 1], axis=1)
+    sxy = jnp.sum(d[:, 0] * d[:, 1], axis=1)
     pca_yaws = 0.5 * jnp.arctan2(2 * sxy, sxx - syy)
 
     return LiftOutputs(

@@ -47,6 +47,23 @@ def masked_medoid(points: jax.Array, valid: jax.Array) -> jax.Array:
     return _masked_medoid_xla(points, valid)
 
 
+def masked_medoid_rows(rows: jax.Array, valid: jax.Array) -> jax.Array:
+    """Batched medoid from D-major coords. rows [M, 3, K], valid [M, K].
+
+    Same result as masked_medoid(transpose(rows)), but on TPU the Pallas
+    kernel consumes [M, 3, K] directly (the compaction kernel's output
+    layout) — no [M, K, 3] intermediate."""
+    if jax.default_backend() == "tpu":
+        from cm3d_tpu.kernels.medoid_pallas import medoid_distance_sums_rows_pallas
+
+        sums = medoid_distance_sums_rows_pallas(
+            rows.astype(jnp.float32), valid
+        )
+        sums = jnp.where(valid, sums, jnp.inf)
+        return jnp.argmin(sums, axis=-1).astype(jnp.int32)
+    return _masked_medoid_xla(jnp.moveaxis(rows, 1, -1), valid)
+
+
 def _masked_medoid_xla(points: jax.Array, valid: jax.Array) -> jax.Array:
     m, k, _ = points.shape
     chunk = min(_CHUNK, k)
