@@ -94,18 +94,25 @@ def start_frame_masks(
     cfg: MaskStageConfig = MaskStageConfig(),
     mask_wh: Optional[Tuple[int, int]] = None,
     plane_layout: str = "yx",
+    prepared: Optional[dict] = None,
 ) -> dict:
     """Run a keyframe through the LAST device dispatch (upload -> SAM encode
     -> Detic -> host NMS -> fused decode dispatch) and return a handle;
     `finish_frame_masks` downloads + unpacks the planes. The split keeps the
     device queue bubble-free across frames — frame N's decode is enqueued
     BEFORE frame N+1's encoder — while frame N's unpack + RLE writes and
-    frame N+1's image IO run on the host under the device compute."""
+    frame N+1's image IO run on the host under the device compute.
+
+    `prepared` (models.prepare output) lets the driver run the canvas
+    assembly + u8 upload on its prefetch thread a full frame early, so the
+    ~10 MB tunnel transfer overlaps the previous frame's compute."""
+    frame_inputs = prepared if prepared is not None else models.prepare(images)
+    if images is None:
+        images = frame_inputs["images"]
     cam_hw = tuple((im.shape[0], im.shape[1]) for im in images)
     plane_wh = mask_wh or (
         max(w for _, w in cam_hw), max(h for h, _ in cam_hw)
     )
-    frame_inputs = models.prepare(images)
     # Detic is dispatched FIRST: the host must sync on its boxes (for NMS +
     # prompts), and queueing it behind the 6-camera SAM encode blocked the
     # host for the whole encode too (~900 ms vs ~240 ms measured). With
@@ -303,19 +310,24 @@ def run_mask_stage(
         idx = 0
         finish_fut = None
 
+        def _fetch_and_prepare(sf):
+            # canvas assembly + u8 device_put on the IO thread: the upload
+            # is enqueued a frame early and rides under device compute
+            return models.prepare(image_provider(*sf))
+
         def _prefetch():
             nonlocal idx
             while idx < len(work) and len(futs) < 2:
                 sf = work[idx]
-                futs.append((sf, io_pool.submit(image_provider, *sf)))
+                futs.append((sf, io_pool.submit(_fetch_and_prepare, sf)))
                 idx += 1
 
         _prefetch()
         while futs:
             (scene, f), fut = futs.popleft()
-            images = fut.result()
+            prepared = fut.result()
             _prefetch()
-            handle = start_frame_masks(models, images, cfg)
+            handle = start_frame_masks(models, None, cfg, prepared=prepared)
             if pending is not None:
                 if finish_fut is not None:
                     finish_fut.result()
