@@ -133,7 +133,13 @@ def _compact_rows_impl(sel, values, limit, interpret):
     assert s % s_t == 0, (s, s_t)
     l_t = min(_L_T, limit)
     assert limit % l_t == 0, (limit, l_t)
-    rb = _RB if r % _RB == 0 else 1
+    # rows per program, shrunk so the double-buffered per-program blocks
+    # (vals [rb, D, S] f32 + dest [rb, 1, S] i32 + out) stay ~<=4 MB —
+    # at S=131072 even rb=2 would overrun the 16 MB VMEM budget
+    row_bytes = (d + 1) * s * 4 + d * limit * 4
+    rb = max(1, min(_RB, (4 << 20) // max(row_bytes, 1)))
+    while rb > 1 and r % rb:
+        rb -= 1
     n_chunks = s // s_t
     n_ltiles = limit // l_t
 

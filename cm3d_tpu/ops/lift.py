@@ -11,8 +11,10 @@ point cloud once per mask — with a TPU-shaped dataflow:
      preserving, so later stages never touch out-of-view points,
   3. ONE uint32 word gather per (camera, point) from bit-packed masks
      (cm3d_tpu.ops.bitmask) + vectorized bit tests -> [M, NC] membership,
-  4. top_k compaction per mask (NC -> K) of selected point ids,
-  5. batched chunked medoid over [M, K, 3].
+  4. per-mask compaction (NU -> K) of point coords+ids via the Pallas
+     one-hot-matmul kernel (kernels/compact_pallas.py; top_k+gather on
+     non-TPU backends),
+  5. batched count-bounded Pallas medoid over D-major [M, 3, K] coords.
 
 Everything is fixed-shape: points, masks and boxes are padded with validity
 masks, so the whole keyframe step compiles once and `vmap`s/shards over a
