@@ -54,23 +54,10 @@ class MaskArtifactStore:
     # -- write ------------------------------------------------------------
 
     def write_frame(self, scene_name: str, frame_num: int, fm: FrameMasks) -> None:
-        d = self._scene_dir(scene_name)
-        d.mkdir(parents=True, exist_ok=True)
-        data = {
-            "labels": fm.labels,
-            "detection_scores": [float(s) for s in fm.detection_scores],
-            "cam_nums": [int(c) for c in fm.cam_nums],
-        }
-        tmp = d / f".{frame_num}_data.json.tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f)
-        os.replace(tmp, d / f"{frame_num}_data.json")
-
-        rles = rle.encode_many(fm.masks)
-        tmp = d / f".{frame_num}_masks.pkl.tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(rles, f)
-        os.replace(tmp, d / f"{frame_num}_masks.pkl")
+        self.write_frame_rles(
+            scene_name, frame_num, fm.labels, fm.detection_scores,
+            fm.cam_nums, rle.encode_many(fm.masks),
+        )
 
     def write_frame_rles(
         self,

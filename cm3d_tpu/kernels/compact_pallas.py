@@ -129,10 +129,19 @@ def _compact_rows_impl(sel, values, limit, interpret):
     r, s = sel.shape
     d = values.shape[1]
     assert values.shape == (r, d, s), (values.shape, (r, d, s))
+    # Pad S / limit up to tile multiples (padding is unselected / sliced
+    # off), so arbitrary geometries work — the lift derives NU/K from the
+    # point-cloud size, which need not hit the production multiples.
     s_t = min(_S_T, s)
-    assert s % s_t == 0, (s, s_t)
+    if s % s_t:
+        pad = s_t - s % s_t
+        sel = jnp.pad(sel, ((0, 0), (0, pad)))
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, pad)))
+        s += pad
+    out_limit = limit
     l_t = min(_L_T, limit)
-    assert limit % l_t == 0, (limit, l_t)
+    if limit % l_t:
+        limit += l_t - limit % l_t
     # rows per program, shrunk so the double-buffered per-program blocks
     # (vals [rb, D, S] f32 + dest [rb, 1, S] i32 + out) stay ~<=4 MB —
     # at S=131072 even rb=2 would overrun the 16 MB VMEM budget
@@ -169,10 +178,11 @@ def _compact_rows_impl(sel, values, limit, interpret):
         ],
         out_specs=pl.BlockSpec((rb, d, limit), lambda i, lo, hi: (i, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_compact_kernel, d=d, l_t=l_t, s_t=s_t, rb=rb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, d, limit), jnp.float32),
         interpret=interpret,
     )(lo.reshape(-1), hi.reshape(-1), dest[:, None, :],
       values.astype(jnp.float32))
+    return out[:, :, :out_limit]

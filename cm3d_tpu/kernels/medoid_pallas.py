@@ -7,9 +7,9 @@ matrix is never materialized in HBM — with exact fp32 VPU arithmetic
 (per-dimension differences, no |a|^2+|b|^2-2ab cancellation), so results
 bit-match the numpy/torch oracle.
 
-Layout: coordinates arrive twice, lane-major [R, K] per dimension for the
-row broadcast and sublane-major [R, K, 1] for the column broadcast, so the
-kernel never transposes.
+Layout: coordinates arrive once, lane-major [R, 3, K] (the compaction
+kernel's native output); column broadcasts come from in-kernel
+[1, TILE] -> [TILE, 1] relayouts of its slices.
 """
 
 from __future__ import annotations

@@ -60,7 +60,8 @@ class LiftParams:
 
 
 # None = auto (Pallas compaction on TPU, top_k+gather elsewhere); tests can
-# force either path for on-chip A/B parity.
+# force True/False for on-chip A/B parity, or "interpret" to run the Pallas
+# path through the interpreter on CPU (integration coverage off-chip).
 _USE_PALLAS_COMPACT = None
 
 
@@ -204,7 +205,10 @@ def lift_keyframe(
             ],
             axis=1,
         )  # [C, 4, NU]
-        out = compact_rows_pallas(sel, vals_c[mask_cam], k)  # [M, 4, K]
+        out = compact_rows_pallas(
+            sel, vals_c[mask_cam], k,
+            interpret=(_USE_PALLAS_COMPACT == "interpret"),
+        )  # [M, 4, K]
         coords_dm = out[:, :3]  # [M, 3, K] — stays D-major end to end
         idx_buf = out[:, 3].astype(jnp.int32)  # [M, K] (0 at invalid slots)
         valid_k = (

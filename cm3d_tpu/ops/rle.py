@@ -190,6 +190,10 @@ def encode_packed_many(
     words = np.ascontiguousarray(words, np.uint32)
     H, W, mw = words.shape
     lib = _lib()
+    # The C scanner tracks at most 64 words (2048 masks) of per-pixel state;
+    # beyond that it would SILENTLY emit empty RLEs — use the dense path.
+    if n_masks > 64 * 32:
+        lib = None
     if lib is None:
         from cm3d_tpu.ops.bitmask import unpack_masks_np
 

@@ -198,9 +198,15 @@ def generate_frame_masks(
     cfg: MaskStageConfig = MaskStageConfig(),
     mask_wh: Optional[Tuple[int, int]] = None,
 ) -> FrameMasks:
-    """One keyframe end to end: detect + segment the camera ring batched."""
+    """One keyframe end to end: detect + segment the camera ring batched.
+
+    Asks for "xy" planes: this path unpacks to dense [M, W, H] masks, which
+    reads the lift-side layout zero-copy (the driver's "yx" default exists
+    for the straight-to-RLE write path)."""
     return finish_frame_masks(
-        models, start_frame_masks(models, images, cfg, mask_wh), cfg
+        models,
+        start_frame_masks(models, images, cfg, mask_wh, plane_layout="xy"),
+        cfg,
     )
 
 

@@ -57,3 +57,51 @@ def test_compact_rows_under_vmap():
     )
     for i in range(b):
         np.testing.assert_array_equal(out[i], _reference(sel[i], values[i], limit))
+
+
+def test_compact_rows_odd_shapes_padded():
+    """Non-tile-multiple S and limit work (internal padding + slice-back)."""
+    r, s, d, limit = 3, 3000, 2, 1000  # 3000 % 2048 != 0, 1000 % 512 != 0
+    sel = RNG.random((r, s)) < 0.3
+    values = RNG.standard_normal((r, d, s)).astype(np.float32)
+    out = np.asarray(
+        compact_rows_pallas(jnp.asarray(sel), jnp.asarray(values), limit,
+                            interpret=True)
+    )
+    assert out.shape == (r, d, limit)
+    np.testing.assert_array_equal(out, _reference(sel, values, limit))
+
+
+def test_lift_pallas_branch_matches_topk_on_cpu():
+    """The TPU-default compaction branch of lift_keyframe, run through the
+    Pallas interpreter, must match the top_k+gather branch bit-for-bit —
+    integration coverage for the glue (vals assembly, id roundtrip,
+    valid_k) that CI's CPU backend never exercises otherwise."""
+    import cm3d_tpu.ops.lift as lift_mod
+    from cm3d_tpu.config import LiftStageConfig
+    from cm3d_tpu.datasets.synthetic import SyntheticConfig, make_keyframe
+    from cm3d_tpu.datasets.types import stack_keyframes
+    from cm3d_tpu.parallel import make_keyframe_step_fn
+
+    cfg = LiftStageConfig(
+        max_points=1500, max_masks=16, max_points_per_mask=300,
+        max_points_per_camera=1024, max_points_in_masks=640,
+        max_lane_points=256,
+    )
+    syn = SyntheticConfig(num_cameras=2, image_w=128, image_h=96,
+                          points_per_frame=1200, objects_per_frame=5)
+    rng = np.random.default_rng(7)
+    batch = stack_keyframes(
+        [make_keyframe(syn, cfg, rng) for _ in range(2)]
+    )
+    outs = {}
+    try:
+        for mode in ("interpret", False):
+            lift_mod._USE_PALLAS_COMPACT = mode
+            step = jax.jit(make_keyframe_step_fn(cfg))
+            outs[mode] = jax.tree.map(np.asarray, step(batch.frames))
+    finally:
+        lift_mod._USE_PALLAS_COMPACT = None
+    a, b = outs["interpret"], outs[False]
+    for got, want in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(got, want)
