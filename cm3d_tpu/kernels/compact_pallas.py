@@ -41,6 +41,30 @@ _S_T = 2048  # source chunk (sublanes of the one-hot matmul)
 _RB = 8      # rows per program
 
 
+def split3_bf16(vf):
+    """Exact 3-way bf16 split of an f32 value block (8+8+8 >= 24 mantissa
+    bits; each step Sterbenz-exact). MUST run INSIDE a Pallas kernel: in
+    plain XLA the excess-precision pass folds f32->bf16->f32 round trips
+    and silently zeroes the lo/rest components (measured on v5e)."""
+    vh = vf.astype(jnp.bfloat16)
+    r1 = vf - vh.astype(jnp.float32)
+    vl = r1.astype(jnp.bfloat16)
+    vm = (r1 - vl.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([vh, vl, vm], axis=0)
+
+
+def check_interpret_backend(interpret):
+    """interpret=True under a TPU default backend runs the kernel body
+    through XLA:TPU, where the in-kernel bf16 split gets folded away —
+    results come back bf16-truncated with no error. Fail fast instead."""
+    if interpret and jax.default_backend() != "cpu":
+        raise RuntimeError(
+            "Pallas interpret mode is only numerically exact on the cpu "
+            f"backend (got {jax.default_backend()}): XLA:TPU folds the "
+            "in-kernel bf16 value split"
+        )
+
+
 def _compact_kernel(lo_ref, hi_ref, dest_ref, vals_ref, out_ref,
                     *, d, l_t, s_t, rb):
     """One program = `rb` rows.
@@ -67,11 +91,7 @@ def _compact_kernel(lo_ref, hi_ref, dest_ref, vals_ref, out_ref,
                 dchunk = dest_ref[j, 0, pl.ds(ci * s_t, s_t)].reshape(s_t, 1)
                 oh = (dchunk == lr).astype(jnp.bfloat16)  # [s_t, l_t]
                 vf = vals_ref[j, :, pl.ds(ci * s_t, s_t)]  # [d, s_t] f32
-                vh = vf.astype(jnp.bfloat16)
-                r1 = vf - vh.astype(jnp.float32)
-                vl = r1.astype(jnp.bfloat16)
-                vm = (r1 - vl.astype(jnp.float32)).astype(jnp.bfloat16)
-                v3 = jnp.concatenate([vh, vl, vm], axis=0)  # [3d, s_t]
+                v3 = split3_bf16(vf)  # [3d, s_t]
                 return acc + jax.lax.dot_general(
                     v3, oh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -122,6 +142,7 @@ def compact_rows_pallas(
     `ids, ok = _compact_topk(sel, limit); take_along_axis(values, ids)`.
     Under vmap the batch folds into R (one kernel launch, no scan).
     """
+    check_interpret_backend(interpret)
     return _compact_vmappable(int(limit), bool(interpret))(sel, values)
 
 

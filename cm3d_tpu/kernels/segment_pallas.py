@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cm3d_tpu.kernels.compact_pallas import check_interpret_backend, split3_bf16
+
 _L_T = 512
 _S_T = 2048
 _RB = 8
@@ -52,11 +54,7 @@ def _segment_kernel(lo_ref, hi_ref, cell_ref, vals_ref, mx_ref,
                 oh = (cchunk == lr)  # [s_t, l_t] bool
                 ohb = oh.astype(jnp.bfloat16)
                 vf = vals_ref[j, :, pl.ds(ci * s_t, s_t)]  # [d, s_t] f32
-                vh = vf.astype(jnp.bfloat16)
-                r1 = vf - vh.astype(jnp.float32)
-                vl = r1.astype(jnp.bfloat16)
-                vm = (r1 - vl.astype(jnp.float32)).astype(jnp.bfloat16)
-                v3 = jnp.concatenate([vh, vl, vm], axis=0)  # [3d, s_t]
+                v3 = split3_bf16(vf)  # [3d, s_t]
                 acc_s = acc_s + jax.lax.dot_general(
                     v3, ohb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -113,6 +111,7 @@ def segment_sum_max_pallas(
     maxs[r, c] = max of maxvals (empty cells -> -inf). Ids >= n_cells act
     as a sink (they sort to the end and never match an output column).
     """
+    check_interpret_backend(interpret)
     return _segment_vmappable(int(n_cells), bool(interpret))(
         cell, values, maxvals
     )

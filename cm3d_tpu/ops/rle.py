@@ -183,17 +183,20 @@ def encode_packed_many(
     Falls back to the numpy path when the C library is unavailable."""
     if n_masks <= 0:
         return []
+    # The C scanner tracks at most 64 words (2048 masks) of per-pixel state;
+    # beyond that it would SILENTLY emit empty RLEs — use the dense path
+    # (checked BEFORE the layout transpose so the fallback pays no copy).
+    lib = None if n_masks > 64 * 32 else _lib()
     if layout == "xy":
-        words = np.ascontiguousarray(np.swapaxes(words, 0, 1), np.uint32)
-    elif layout != "yx":
+        if lib is not None:
+            words = np.ascontiguousarray(np.swapaxes(words, 0, 1), np.uint32)
+    elif layout == "yx":
+        if lib is None:
+            words = np.swapaxes(words, 0, 1)  # dense path expects [W, H, mw]
+    else:
         raise ValueError(f"layout must be 'xy' or 'yx', got {layout!r}")
     words = np.ascontiguousarray(words, np.uint32)
     H, W, mw = words.shape
-    lib = _lib()
-    # The C scanner tracks at most 64 words (2048 masks) of per-pixel state;
-    # beyond that it would SILENTLY emit empty RLEs — use the dense path.
-    if n_masks > 64 * 32:
-        lib = None
     if lib is None:
         from cm3d_tpu.ops.bitmask import unpack_masks_np
 

@@ -78,10 +78,12 @@ def pillarize(points: jax.Array, valid: jax.Array, cfg: PillarConfig):
     if use_pallas:
         from cm3d_tpu.kernels.segment_pallas import segment_sum_max_pallas
 
-        zmax_col = jnp.where(in_range, z, -jnp.inf)
-        cell_s, dx_s, dy_s, zz_s, ii_s, ones_s, zm_s = jax.lax.sort(
-            (cell, dx, dy, zz, ii, ones, zmax_col), num_keys=1
+        cell_s, dx_s, dy_s, zz_s, ii_s, ones_s = jax.lax.sort(
+            (cell, dx, dy, zz, ii, ones), num_keys=1
         )
+        # the max channel is just z masked by in_range — derived after the
+        # sort instead of riding it as a seventh operand
+        zm_s = jnp.where(ones_s > 0, zz_s, -jnp.inf)
         vals = jnp.stack([dx_s, dy_s, zz_s, ii_s, ones_s], axis=0)  # [5, N]
         sums, maxs = segment_sum_max_pallas(
             cell_s[None], vals[None], zm_s[None], n_cells,
