@@ -281,18 +281,51 @@ class PromptEncoder(nn.Module):
         return emb, dense
 
 
+class Up2x2(nn.Module):
+    """2x2 stride-2 transposed conv as matmul + depth-to-space.
+
+    Mathematically identical (each output 2x2 block depends on exactly one
+    input pixel: out[2i+di, 2j+dj, o] = sum_c in[i,j,c] * K[di,dj,o,c]),
+    but the matmul form runs the MXU at full tilt where XLA's gradient-conv
+    lowering of ConvTranspose crawled (~7% util measured). Param tree is
+    ConvTranspose(transpose_kernel=True)-compatible: kernel [2, 2, O, I]."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, self.features, cin),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kmat = jnp.transpose(kernel, (3, 0, 1, 2)).reshape(
+            cin, 4 * self.features
+        )
+        y = x.reshape(-1, cin).astype(self.dtype) @ kmat.astype(self.dtype)
+        y = y.reshape(b, h, w, 2, 2, self.features)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            b, 2 * h, 2 * w, self.features
+        )
+        return y + bias.astype(self.dtype)
+
+
 class DecoderAttention(nn.Module):
     dim: int
     heads: int
     downsample: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v):
         inner = self.dim // self.downsample
         head_dim = inner // self.heads
-        qp = nn.Dense(inner, name="q_proj")(q)
-        kp = nn.Dense(inner, name="k_proj")(k)
-        vp = nn.Dense(inner, name="v_proj")(v)
+        qp = nn.Dense(inner, dtype=self.dtype, name="q_proj")(q)
+        kp = nn.Dense(inner, dtype=self.dtype, name="k_proj")(k)
+        vp = nn.Dense(inner, dtype=self.dtype, name="v_proj")(v)
 
         def split(x):
             b, n, _ = x.shape
@@ -302,12 +335,15 @@ class DecoderAttention(nn.Module):
 
         qh, kh, vh = split(qp), split(kp), split(vp)
         attn = jax.nn.softmax(
-            (qh / np.sqrt(head_dim)) @ jnp.swapaxes(kh, -2, -1), axis=-1
-        )
+            ((qh / np.sqrt(head_dim)) @ jnp.swapaxes(kh, -2, -1)).astype(
+                jnp.float32
+            ),
+            axis=-1,
+        ).astype(vh.dtype)
         out = attn @ vh
         b, h, n, d = out.shape
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
-        return nn.Dense(self.dim, name="out_proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 
 class TwoWayBlock(nn.Module):
@@ -315,39 +351,41 @@ class TwoWayBlock(nn.Module):
     heads: int
     mlp_dim: int
     skip_first_layer_pe: bool
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
+        dt = self.dtype
         if self.skip_first_layer_pe:
             # first layer: attention REPLACES queries (no residual, no PE)
-            queries = DecoderAttention(self.dim, self.heads, name="self_attn")(
-                queries, queries, queries
-            )
+            queries = DecoderAttention(
+                self.dim, self.heads, dtype=dt, name="self_attn"
+            )(queries, queries, queries)
         else:
             q = queries + query_pe
-            queries = queries + DecoderAttention(self.dim, self.heads, name="self_attn")(
-                q, q, queries
-            )
-        queries = nn.LayerNorm(name="norm1")(queries)
+            queries = queries + DecoderAttention(
+                self.dim, self.heads, dtype=dt, name="self_attn"
+            )(q, q, queries)
+        queries = nn.LayerNorm(name="norm1")(queries).astype(dt)
 
         q = queries + query_pe
         k = keys + key_pe
         queries = queries + DecoderAttention(
-            self.dim, self.heads, 2, name="cross_attn_token_to_image"
+            self.dim, self.heads, 2, dtype=dt, name="cross_attn_token_to_image"
         )(q, k, keys)
-        queries = nn.LayerNorm(name="norm2")(queries)
+        queries = nn.LayerNorm(name="norm2")(queries).astype(dt)
 
-        queries = queries + MLPBlock(self.mlp_dim, self.dim, act="relu", name="mlp")(
-            queries
-        )
-        queries = nn.LayerNorm(name="norm3")(queries)
+        queries = queries + MLPBlock(
+            self.mlp_dim, self.dim, act="relu", dtype=dt, name="mlp"
+        )(queries)
+        queries = nn.LayerNorm(name="norm3")(queries).astype(dt)
 
         q = queries + query_pe
         k = keys + key_pe
         keys = keys + DecoderAttention(
-            self.dim, self.heads, 2, name="cross_attn_image_to_token"
+            self.dim, self.heads, 2, dtype=dt, name="cross_attn_image_to_token"
         )(k, q, queries)
-        keys = nn.LayerNorm(name="norm4")(keys)
+        keys = nn.LayerNorm(name="norm4")(keys).astype(dt)
         return queries, keys
 
 
@@ -360,21 +398,27 @@ class TwoWayTransformer(nn.Module):
         keys = image_embedding.reshape(b, h * w, c)
         key_pe = image_pe.reshape(1, h * w, c)
         key_pe = jnp.broadcast_to(key_pe, keys.shape)
-        queries = point_embedding
+        dt = jnp.dtype(self.cfg.dtype)
+        queries = point_embedding.astype(dt)
+        keys = keys.astype(dt)
+        key_pe = key_pe.astype(dt)
+        point_embedding = point_embedding.astype(dt)
         for i in range(self.cfg.decoder_depth):
             queries, keys = TwoWayBlock(
                 self.cfg.out_dim,
                 self.cfg.decoder_heads,
                 self.cfg.decoder_mlp_dim,
                 skip_first_layer_pe=(i == 0),
+                dtype=dt,
                 name=f"layer{i}",
             )(queries, keys, point_embedding, key_pe)
         q = queries + point_embedding
         k = keys + key_pe
         queries = queries + DecoderAttention(
-            self.cfg.out_dim, self.cfg.decoder_heads, 2, name="final_attn"
+            self.cfg.out_dim, self.cfg.decoder_heads, 2, dtype=dt,
+            name="final_attn"
         )(q, k, keys)
-        queries = nn.LayerNorm(name="norm_final")(queries)
+        queries = nn.LayerNorm(name="norm_final")(queries).astype(dt)
         return queries, keys
 
 
@@ -383,12 +427,15 @@ class HyperMLP(nn.Module):
     out: int
     depth: int = 3
     sigmoid_out: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth - 1):
-            x = nn.relu(nn.Dense(self.hidden, name=f"layer{i}")(x))
-        x = nn.Dense(self.out, name=f"layer{self.depth - 1}")(x)
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype,
+                                 name=f"layer{i}")(x))
+        x = nn.Dense(self.out, dtype=self.dtype,
+                     name=f"layer{self.depth - 1}")(x)
         return jax.nn.sigmoid(x) if self.sigmoid_out else x
 
 
@@ -417,22 +464,27 @@ class MaskDecoder(nn.Module):
         iou_out = hs[:, 0]
         mask_out = hs[:, 1 : 1 + n_mask_tokens]
 
+        dt = jnp.dtype(cfg.dtype)
         h, w = src.shape[1], src.shape[2]
         up = keys.reshape(b, h, w, d)
-        up = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), transpose_kernel=True, name="upscale1")(up)
-        up = LayerNorm2d(name="upscale_ln")(up)
+        up = Up2x2(d // 4, dtype=dt, name="upscale1")(up)
+        up = LayerNorm2d(name="upscale_ln")(up).astype(dt)
         up = nn.gelu(up, approximate=False)
-        up = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), transpose_kernel=True, name="upscale2")(up)
+        up = Up2x2(d // 8, dtype=dt, name="upscale2")(up)
         up = nn.gelu(up, approximate=False)  # [B, 4h, 4w, d//8]
 
         hyper = jnp.stack(
             [
-                HyperMLP(d, d // 8, name=f"hyper{i}")(mask_out[:, i])
+                HyperMLP(d, d // 8, dtype=dt, name=f"hyper{i}")(mask_out[:, i])
                 for i in range(n_mask_tokens)
             ],
             axis=1,
         )  # [B, n_mask_tokens, d//8]
-        masks = jnp.einsum("bnc,bhwc->bnhw", hyper, up)
+        # f32 island: the mask logits get thresholded at 0 downstream
+        masks = jnp.einsum(
+            "bnc,bhwc->bnhw", hyper.astype(jnp.float32),
+            up.astype(jnp.float32)
+        )
         iou_pred = HyperMLP(d, n_mask_tokens, name="iou_head")(iou_out)
         return masks, iou_pred
 
