@@ -298,7 +298,9 @@ class Up2x2(nn.Module):
         b, h, w, cin = x.shape
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            # kernel is [2, 2, out, in]: fan-in must come from the LAST axis
+            # (lecun_normal's default in_axis=-2 would scale by out-features).
+            nn.initializers.lecun_normal(in_axis=-1, out_axis=-2),
             (2, 2, self.features, cin),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))

@@ -183,6 +183,13 @@ def encode_packed_many(
     Falls back to the numpy path when the C library is unavailable."""
     if n_masks <= 0:
         return []
+    if n_masks > words.shape[-1] * 32:
+        # The C scanner clamps to the plane width, so out-of-range masks
+        # would come back as silently-empty RLEs; fail loudly instead.
+        raise ValueError(
+            f"n_masks={n_masks} exceeds plane capacity "
+            f"{words.shape[-1] * 32} (words.shape={words.shape})"
+        )
     # The C scanner tracks at most 64 words (2048 masks) of per-pixel state;
     # beyond that it would SILENTLY emit empty RLEs — use the dense path
     # (checked BEFORE the layout transpose so the fallback pays no copy).
@@ -200,9 +207,9 @@ def encode_packed_many(
     if lib is None:
         from cm3d_tpu.ops.bitmask import unpack_masks_np
 
-        return encode_many(
-            unpack_masks_np(np.swapaxes(words, 0, 1), n_masks).astype(np.uint8)
-        )
+        # words is already [W, H, mw] on this branch (both layouts), which
+        # is exactly what unpack_masks_np expects — no transpose.
+        return encode_many(unpack_masks_np(words, n_masks).astype(np.uint8))
     n_runs = np.empty(n_masks, np.uint32)
     wp = words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
     lib.rle_packed_count_runs(

@@ -127,6 +127,56 @@ def test_encode_packed_many_parity_and_edges():
     assert rle.encode_packed_many(words_xy, 0) == []
 
 
+def test_encode_packed_many_fallback_parity(monkeypatch):
+    """The dense fallback (C lib unavailable, or >2048 masks) must be
+    byte-identical to the C path in BOTH layouts (regression: the fallback
+    used to transpose words a second time, emitting [H, W]-scanned RLEs)."""
+    from cm3d_tpu.ops.bitmask import pack_masks_np
+
+    rng = np.random.default_rng(11)
+    W, H, M = 23, 17, 5
+    dense = (rng.random((M, W, H)) < 0.4).astype(np.uint8)
+    words_xy = pack_masks_np(dense)
+    words_yx = np.ascontiguousarray(np.swapaxes(words_xy, 0, 1))
+    want = rle.encode_many(dense)
+
+    monkeypatch.setattr(rle, "_LIB", None)
+    monkeypatch.setattr(rle, "_LIB_TRIED", True)
+    for got in (
+        rle.encode_packed_many(words_xy, M, layout="xy"),
+        rle.encode_packed_many(words_yx, M, layout="yx"),
+    ):
+        for a, b in zip(got, want):
+            assert a["size"] == b["size"] == [W, H]
+            assert a["counts"] == b["counts"]
+        np.testing.assert_array_equal(rle.decode_many(got), dense)
+
+
+def test_encode_packed_many_over_2048_masks_uses_fallback():
+    """>2048 masks exceeds the C scanner's per-pixel state: must route to
+    the dense path and still match the dense encoder."""
+    from cm3d_tpu.ops.bitmask import pack_masks_np
+
+    rng = np.random.default_rng(12)
+    M = 64 * 32 + 3  # 2051
+    dense = np.zeros((M, 6, 4), np.uint8)
+    idx = rng.integers(0, M, 40)
+    dense[idx, 2, 1] = 1
+    dense[idx, 3, 2] = 1
+    words = pack_masks_np(dense)
+    got = rle.encode_packed_many(words, M, layout="xy")
+    want = rle.encode_many(dense)
+    assert len(got) == M
+    for a, b in zip(got, want):
+        assert a["size"] == b["size"] and a["counts"] == b["counts"]
+
+
+def test_encode_packed_many_rejects_overflow_n_masks():
+    words = np.zeros((4, 4, 1), np.uint32)
+    with pytest.raises(ValueError, match="plane capacity"):
+        rle.encode_packed_many(words, 33, layout="xy")
+
+
 def test_write_frame_rles_roundtrip(tmp_path):
     """The driver's packed write path produces artifacts read_frame can
     decode identically to the dense write path."""
