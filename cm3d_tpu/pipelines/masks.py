@@ -133,21 +133,33 @@ def start_frame_masks(
     all_scores: List[float] = []
     all_cams: List[int] = []
     total = 0
+    counts = {
+        "detections": 0, "nms_suppressed": 0,
+        "dropped_max_detections": 0, "dropped_masks_total": 0,
+        "masks_written": 0,
+    }
 
     for cam_idx in range(n_cams):
         v = valid_b[cam_idx]
         boxes = boxes_b[cam_idx][v]
         scores = scores_b[cam_idx][v]
         class_ids = cids_b[cam_idx][v]
+        counts["detections"] += len(boxes)
         if len(boxes) == 0:
             continue
         labels = [map_class(models.vocabulary[c].lower()) for c in class_ids]
         if cfg.run_nms:
             kept = classwise_nms_np(boxes, scores, labels, cfg.nms_iou)
+            counts["nms_suppressed"] += len(boxes) - len(kept)
             boxes = boxes[kept]
             scores = scores[kept]
             labels = [labels[i] for i in kept]
-        k = min(len(boxes), p, cap - total)
+        # detections past either static cap are DROPPED — count them
+        # (silent loss in the reference-shaped round-2 code; SURVEY §5)
+        k_cam = min(len(boxes), p)
+        counts["dropped_max_detections"] += len(boxes) - k_cam
+        k = min(k_cam, max(cap - total, 0))
+        counts["dropped_masks_total"] += k_cam - k
         if k <= 0:
             continue
         prompts[cam_idx, :k] = boxes[:k]
@@ -156,6 +168,7 @@ def start_frame_masks(
         all_scores.extend(float(s) for s in scores[:k])
         all_cams.extend([cam_idx] * k)
         total += k
+    counts["masks_written"] = total
 
     planes = None
     if total:
@@ -171,6 +184,7 @@ def start_frame_masks(
         "planes": planes, "total": total, "plane_wh": plane_wh,
         "layout": plane_layout,
         "labels": all_labels, "scores": all_scores, "cams": all_cams,
+        "counts": counts,
     }
 
 
@@ -243,14 +257,21 @@ def run_mask_stage(
     cfg: MaskStageConfig = MaskStageConfig(),
     resume: bool = True,
     verbose: bool = True,
+    counters=None,
 ) -> None:
     """Drive the mask stage over scenes; writes reference-layout artifacts.
 
     image_provider(scene, frame) -> list of per-camera RGB uint8 arrays.
+    counters: optional utils.observability.MaskCounters to accumulate into
+    (one is created — and reported when verbose — otherwise).
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    from cm3d_tpu.utils.observability import MaskCounters
+
+    if counters is None:
+        counters = MaskCounters()
     store = MaskArtifactStore(out_dir)
     todo = store.remaining_scenes(scenes) if resume else list(scenes)
     t0 = time.time()
@@ -302,6 +323,7 @@ def run_mask_stage(
                 scene, f, handle["labels"], handle["scores"],
                 handle["cams"], rles,
             )
+        counters.update(handle["counts"])
         remaining[scene] -= 1
         _maybe_complete(scene)
         n_frames += 1
@@ -348,6 +370,7 @@ def run_mask_stage(
         dt = time.time() - t0
         print(f"Took {dt:.1f} seconds for {n_frames} frames "
               f"({n_frames / dt:.2f} frames/sec).")
+        print(counters.report())
 
 
 # ---------------------------------------------------------------------------
@@ -603,8 +626,9 @@ def _kitti_provider(args):
 
 
 def _waymo_provider(args):
-    """frame-lite variant: per-camera JPEGs stored in the npz (reference
-    waymo/gen_2d_masks_detic.py decodes them from the Frame proto)."""
+    """Per-camera JPEGs from frame-lite npz OR raw .tfrecord segments
+    (reference waymo/gen_2d_masks_detic.py decodes them from the Frame
+    proto; raw ingestion here is TF-free via datasets.waymo.frame_proto)."""
     import io
 
     from PIL import Image
@@ -616,7 +640,7 @@ def _waymo_provider(args):
     scene_names = args.scenes.split(",") if args.scenes else fe.scene_names()
 
     def provider(scene, frame):
-        fr = fe.load_frame(fe.frame_files(scene)[frame])
+        fr = fe.load_frame_by_index(scene, frame)
         images = []
         for buf in fr["cam_images_jpeg"]:
             im = Image.open(io.BytesIO(bytes(buf))).convert("RGB")
@@ -624,7 +648,7 @@ def _waymo_provider(args):
             images.append(np.asarray(im))
         return images
 
-    return provider, scene_names, lambda s: len(fe.frame_files(s))
+    return provider, scene_names, lambda s: fe.num_frames(s)
 
 
 def main(argv=None):

@@ -74,6 +74,37 @@ class LiftCounters:
         return json.dumps({"counters": dataclasses.asdict(self)})
 
 
+@dataclasses.dataclass
+class MaskCounters:
+    """2D-stage data-flow accounting, mirroring LiftCounters.
+
+    The reference (and round-2 rebuild) silently dropped detections past
+    the max_detections / max_masks_total caps
+    (gen_2d_masks_detic.py keeps everything; the rebuild pads to static
+    shapes, so the caps are where data can vanish) — every such drop is
+    counted here.
+    """
+
+    frames: int = 0
+    detections: int = 0  # valid detector outputs before NMS
+    nms_suppressed: int = 0
+    dropped_max_detections: int = 0  # per-camera prompt cap
+    dropped_masks_total: int = 0  # per-frame mask budget
+    masks_written: int = 0
+
+    def update(self, frame_counts: Dict[str, int]) -> None:
+        for k, v in frame_counts.items():
+            setattr(self, k, getattr(self, k) + int(v))
+        self.frames += 1
+
+    @property
+    def dropped_total(self) -> int:
+        return self.dropped_max_detections + self.dropped_masks_total
+
+    def report(self) -> str:
+        return json.dumps({"mask_counters": dataclasses.asdict(self)})
+
+
 @contextlib.contextmanager
 def trace(label: str, profile_dir: Optional[str] = None) -> Iterator[None]:
     """Named jax.profiler trace when profile_dir is set; no-op otherwise."""

@@ -127,6 +127,76 @@ def test_run_mask_stage_mid_scene_kill_and_restart(tmp_path, fake_models):
         np.testing.assert_array_equal(a.masks, b.masks)
 
 
+def _stub_models(n_det: int, n_cams: int = 1):
+    """Deterministic stub MaskModels: n_det well-separated detections per
+    camera, trivial planes — lets cap-truncation tests count exactly."""
+    from cm3d_tpu.pipelines.masks import MaskModels
+    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES
+
+    def prepare(images):
+        return {"images": images}
+
+    def detic(frame):
+        boxes = np.zeros((n_cams, n_det, 4), np.float32)
+        for i in range(n_det):  # disjoint boxes: NMS suppresses nothing
+            boxes[:, i] = [20 * i, 0, 20 * i + 10, 10]
+        scores = np.linspace(0.9, 0.5, n_det, dtype=np.float32)[None].repeat(
+            n_cams, 0
+        )
+        cids = np.zeros((n_cams, n_det), np.int32)
+        valid = np.ones((n_cams, n_det), bool)
+        return boxes, scores, cids, valid
+
+    def sam_encode(frame):
+        return None
+
+    def sam_decode_planes(emb, boxes, n_boxes, cam_hw, mask_wh, nw,
+                          layout="xy"):
+        w, h = mask_wh
+        shape = (w, h, nw) if layout == "xy" else (h, w, nw)
+        return np.zeros(shape, np.uint32)
+
+    return MaskModels(prepare, detic, sam_encode, sam_decode_planes,
+                      CUSTOM_VOCABULARY_NUSCENES)
+
+
+def test_truncation_counters_over_cap():
+    """Detections beyond max_detections / max_masks_total must be COUNTED,
+    not silently dropped (VERDICT round-2 weak #3)."""
+    from cm3d_tpu.pipelines.masks import start_frame_masks
+
+    models = _stub_models(n_det=10, n_cams=2)
+    img = [np.zeros((16, 200, 3), np.uint8)] * 2
+    cfg = MaskStageConfig(max_detections=4, max_masks_total=6)
+    handle = start_frame_masks(models, img, cfg)
+    c = handle["counts"]
+    assert c["detections"] == 20
+    assert c["nms_suppressed"] == 0
+    # each camera: 10 -> 4 at the prompt cap (6 dropped each)
+    assert c["dropped_max_detections"] == 12
+    # cam0 writes 4, cam1 limited to 6-4=2 of its 4
+    assert c["dropped_masks_total"] == 2
+    assert c["masks_written"] == 6 == handle["total"]
+
+
+def test_run_mask_stage_accumulates_counters(tmp_path):
+    from cm3d_tpu.utils.observability import MaskCounters
+
+    models = _stub_models(n_det=5)
+    cnt = MaskCounters()
+    run_mask_stage(
+        models, lambda s, f: [np.zeros((16, 100, 3), np.uint8)],
+        ["sc"], lambda s: 3, str(tmp_path), verbose=False,
+        cfg=MaskStageConfig(max_detections=2, max_masks_total=128),
+        counters=cnt,
+    )
+    assert cnt.frames == 3
+    assert cnt.detections == 15
+    assert cnt.dropped_max_detections == 9
+    assert cnt.masks_written == 6
+    assert cnt.dropped_total == 9
+
+
 def test_rect_encode_smoke():
     """SamConfig.rect_encode: non-square encode + decode + planes run and
     produce masks roughly where the square path puts them (numerical
