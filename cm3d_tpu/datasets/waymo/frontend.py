@@ -104,9 +104,45 @@ class WaymoFrontend:
         self.store = mask_store
         self.cfg = lift_cfg if lift_cfg is not None else WAYMO_LIFT
         self.mask_wh = mask_wh
+        self._seg_index: dict = {}  # raw segment -> [(offset, length)]
 
     def scene_names(self) -> List[str]:
-        return sorted(p.name for p in self.root.iterdir() if p.is_dir())
+        """Frame-lite scene dirs AND raw .tfrecord segments, both first-
+        class (raw ingestion is TF-free via frame_proto.parse_frame)."""
+        names = sorted(p.name for p in self.root.iterdir() if p.is_dir())
+        names += sorted(
+            p.name[: -len(".tfrecord")] for p in self.root.glob("*.tfrecord")
+        )
+        return names
+
+    def _segment_path(self, scene: str) -> Optional[Path]:
+        p = self.root / f"{scene}.tfrecord"
+        return p if p.exists() else None
+
+    def _index(self, seg: Path) -> list:
+        if seg not in self._seg_index:
+            from cm3d_tpu.datasets.waymo.tfrecord import index_records
+
+            self._seg_index[seg] = index_records(seg)
+        return self._seg_index[seg]
+
+    def num_frames(self, scene: str) -> int:
+        seg = self._segment_path(scene)
+        if seg is not None:
+            return len(self._index(seg))
+        return len(self.frame_files(scene))
+
+    def load_frame_by_index(self, scene: str, i: int) -> dict:
+        """Frame dict (frame-lite contract) by scene + frame number, from
+        either the npz cache or a raw TFRecord segment."""
+        seg = self._segment_path(scene)
+        if seg is not None:
+            from cm3d_tpu.datasets.waymo.frame_proto import parse_frame
+            from cm3d_tpu.datasets.waymo.tfrecord import read_record
+
+            off, ln = self._index(seg)[i]
+            return parse_frame(read_record(seg, off, ln))
+        return self.load_frame(self.frame_files(scene)[i])
 
     def frame_files(self, scene: str) -> List[Path]:
         return sorted((self.root / scene).glob("frame_*.npz"))
@@ -224,6 +260,18 @@ class WaymoFrontend:
         return kf, meta
 
     def iter_scene(self, scene: str) -> Iterator[Tuple[Keyframe, WaymoFrameMeta]]:
+        seg = self._segment_path(scene)
+        if seg is not None:  # raw segment: one sequential pass, no index
+            from cm3d_tpu.datasets.waymo.frame_proto import parse_frame
+            from cm3d_tpu.datasets.waymo.tfrecord import TFRecordReader
+
+            for frame_num, payload in enumerate(TFRecordReader(seg)):
+                built = self.build_keyframe(
+                    scene, frame_num, parse_frame(payload)
+                )
+                if built is not None:
+                    yield built
+            return
         for frame_num, path in enumerate(self.frame_files(scene)):
             fr = self.load_frame(path)
             built = self.build_keyframe(scene, frame_num, fr)
@@ -274,30 +322,42 @@ def boxes_to_waymo_objects(
 
 
 def create_gt_bin(frames_root: str | Path, out_path: str) -> int:
-    """Reference create_gt_bin.py: laser_labels -> metrics_pb2.Objects bin."""
+    """Reference create_gt_bin.py: laser_labels -> metrics_pb2.Objects bin.
+
+    Consumes frame-lite npz scene dirs AND raw .tfrecord segments (via the
+    TF-free frame_proto parser)."""
     root = Path(frames_root)
     objs: List[WaymoObject] = []
+
+    def _add(fr: dict) -> None:
+        ctx = str(fr["context_name"])
+        ts = int(fr["timestamp_micros"])
+        for b, t, np_, oid in zip(
+            fr["labels_box"], fr["labels_type"], fr["labels_num_points"],
+            fr["labels_id"],
+        ):
+            objs.append(
+                WaymoObject(
+                    box=WaymoBox(*[float(v) for v in b]),
+                    type=int(t),
+                    id=str(oid),
+                    num_lidar_points_in_box=int(np_),
+                    score=0.5,  # reference create_gt_bin.py:24
+                    frame_timestamp_micros=ts,
+                    context_name=ctx,
+                )
+            )
+
     for scene_dir in sorted(p for p in root.iterdir() if p.is_dir()):
         for path in sorted(scene_dir.glob("frame_*.npz")):
             with np.load(path, allow_pickle=True) as z:
-                boxes = z["labels_box"]
-                types = z["labels_type"]
-                npts = z["labels_num_points"]
-                ids = z["labels_id"]
-                ctx = str(z["context_name"])
-                ts = int(z["timestamp_micros"])
-            for b, t, np_, oid in zip(boxes, types, npts, ids):
-                objs.append(
-                    WaymoObject(
-                        box=WaymoBox(*[float(v) for v in b]),
-                        type=int(t),
-                        id=str(oid),
-                        num_lidar_points_in_box=int(np_),
-                        score=0.5,  # reference create_gt_bin.py:24
-                        frame_timestamp_micros=ts,
-                        context_name=ctx,
-                    )
-                )
+                _add({k: z[k] for k in z.files})
+    for seg in sorted(root.glob("*.tfrecord")):
+        from cm3d_tpu.datasets.waymo.frame_proto import parse_frame
+        from cm3d_tpu.datasets.waymo.tfrecord import TFRecordReader
+
+        for payload in TFRecordReader(seg):
+            _add(parse_frame(payload))
     with open(out_path, "wb") as f:
         f.write(encode_objects(objs))
     return len(objs)

@@ -71,6 +71,34 @@ class TFRecordWriter:
         self.close()
 
 
+def index_records(path: str | Path) -> list:
+    """One pass over a TFRecord file collecting (payload_offset, length)
+    per record — enables random access without re-reading payloads."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return out
+            (length,) = struct.unpack("<Q", header)
+            f.seek(4, 1)  # header crc
+            out.append((f.tell(), length))
+            f.seek(length + 4, 1)  # payload + payload crc
+
+
+def read_record(path: str | Path, offset: int, length: int,
+                check_crc: bool = True) -> bytes:
+    """Read one payload found by index_records."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        payload = f.read(length)
+        if check_crc:
+            (pcrc,) = struct.unpack("<I", f.read(4))
+            if masked_crc(payload) != pcrc:
+                raise IOError(f"{path}@{offset}: payload CRC mismatch")
+    return payload
+
+
 class TFRecordReader:
     def __init__(self, path: str | Path, check_crc: bool = True):
         self.path = Path(path)
