@@ -50,6 +50,9 @@ def main(argv=None) -> dict:
     parser.add_argument("--verbose", type=int, default=1)
     parser.add_argument("--drivable_filtering", type=int, default=0)
     parser.add_argument("--object_only", type=int, default=0)
+    parser.add_argument("--render_curves", type=int, default=0,
+                        help="write summary/per-class PR+TP/dist_pr plots "
+                        "to {output_dir}/plots (reference :1172-1177)")
     args = parser.parse_args(argv)
 
     if args.config_path == "":
@@ -105,7 +108,7 @@ def main(argv=None) -> dict:
         meta=meta,
         verbose=bool(args.verbose),
     )
-    return ev.main()
+    return ev.main(render_curves=bool(args.render_curves))
 
 
 if __name__ == "__main__":

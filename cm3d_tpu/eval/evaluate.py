@@ -304,7 +304,7 @@ class DetectionEval:
         )
         self.sample_tokens = self.gt_boxes.sample_tokens
 
-    def main(self) -> dict:
+    def main(self, render_curves: bool = False) -> dict:
         metrics, metric_data, recall_list = evaluate_boxes(
             self.gt_boxes,
             self.pred_boxes,
@@ -315,6 +315,17 @@ class DetectionEval:
 
         summary = metrics.serialize()
         summary["meta"] = dict(self.meta)
+        if render_curves and self.output_dir:
+            # reference plots-dir layout (eval_custom.py:917-921,1045-1068)
+            from cm3d_tpu.eval.render import render_curves as _render
+
+            if self.verbose:
+                print("Rendering PR and TP curves")
+            _render(
+                metric_data, metrics, self.cfg,
+                os.path.join(self.output_dir, "plots"),
+                object_only=self.object_only,
+            )
         if self.output_dir:
             os.makedirs(self.output_dir, exist_ok=True)
             with open(os.path.join(self.output_dir, "metrics_summary.json"), "w") as f:

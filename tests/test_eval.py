@@ -201,3 +201,38 @@ def test_object_only_eval():
     assert list(s["mean_dist_aps"].keys()) == ["object"]
     assert s["mean_dist_aps"]["object"] > 0.8
     assert recalls[0] == 1.0
+
+
+def test_render_curves_writes_reference_plot_layout(tmp_path):
+    """DetectionEval.main(render_curves=True) writes the reference's plots
+    dir: summary.pdf + {class}_pr/_tp.pdf + dist_pr_{th}.pdf
+    (eval_custom.py:1045-1068)."""
+    from cm3d_tpu.eval.evaluate import DetectionEval
+
+    gt = _eval_boxes([
+        _box("s1", (0, 0), attr="vehicle.stopped", num_pts=10),
+        _box("s1", (10, 0), name="pedestrian", size=(0.5, 0.5, 1.8),
+             attr="pedestrian.standing", num_pts=4),
+    ])
+    pred = _eval_boxes([
+        _box("s1", (0.1, 0), score=0.9, attr="vehicle.stopped"),
+        _box("s1", (10.1, 0), name="pedestrian", size=(0.5, 0.5, 1.8),
+             score=0.8, attr="pedestrian.standing"),
+    ])
+    ev = DetectionEval(
+        gt_boxes=gt, pred_boxes=pred, cfg=DETECTION_CVPR_2019,
+        ego_translations={"s1": (0.0, 0.0, 0.0)},
+        output_dir=str(tmp_path), verbose=False,
+    )
+    ev.main(render_curves=True)
+    plots = tmp_path / "plots"
+    expected = ["summary.pdf"]
+    for name in DETECTION_CVPR_2019.class_names:
+        expected += [f"{name}_pr.pdf", f"{name}_tp.pdf"]
+    for th in DETECTION_CVPR_2019.dist_ths:
+        expected.append(f"dist_pr_{th}.pdf")
+    for fn in expected:
+        p = plots / fn
+        assert p.exists() and p.stat().st_size > 500, fn
+    # and the non-render path still writes the summary json
+    assert (tmp_path / "metrics_summary.json").exists()
