@@ -1,0 +1,322 @@
+"""Benchmark functions behind `python bench.py` — real code paths, no
+stdout scraping.
+
+Three numbers (all per single chip):
+  bench_lift       — the fused 3D lift step (Pallas compaction + medoid +
+                     lanes + pushback + circle NMS) at production geometry.
+  bench_mask_stage — the pipelined 2D stage driver (run_mask_stage) with
+                     production-size random weights.
+  bench_e2e        — the fused images -> masks -> boxes path through
+                     pipelines.e2e.run_fused (the same loop the nuScenes
+                     CLI runs), synthetic frames at production geometry.
+
+Model content caveat (mask/e2e): random full-size weights produce the
+production FLOPs/geometry but garbage detections, so the detector output is
+replaced host-side with a realistic ~25 boxes/camera load and the decoded
+planes with realistic blob masks — the device work (Detic, SAM encode,
+SAM decode+postprocess, the lift step) is all real and synced into the
+timeline; only the host-visible CONTENT is swapped (see _realistic_load).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+C = 6  # nuScenes camera ring
+IMG_H, IMG_W = 576, 1024  # 1024-thumbnail geometry (reference :293)
+
+
+def bench_lift(batch_size: int = 8, n_iters: int = 10) -> dict:
+    """Lift-stage throughput: the fused per-keyframe device step (reference
+    src/nuscenes/2d_to_3d.py main loop) at realistic nuScenes scale —
+    131072 aggregated sweep points, 128 masks at 1024x576, 6 cameras."""
+    import jax
+    import jax.numpy as jnp
+
+    from cm3d_tpu.config import LiftStageConfig
+    from cm3d_tpu.datasets.synthetic import SyntheticConfig, make_keyframe
+    from cm3d_tpu.datasets.types import stack_keyframes
+    from cm3d_tpu.parallel import make_keyframe_step_fn
+
+    lift_cfg = LiftStageConfig()
+    syn = SyntheticConfig()
+    rng = np.random.default_rng(0)
+
+    frames = [make_keyframe(syn, lift_cfg, rng) for _ in range(batch_size)]
+    batch = stack_keyframes(frames)
+    device_frames = jax.device_put(batch.frames)
+
+    step = jax.jit(make_keyframe_step_fn(lift_cfg))
+
+    def sync(out):
+        # A real host transfer: on tunneled backends block_until_ready can
+        # return before execution finishes; reading a value cannot.
+        lift, _ = out
+        return float(np.asarray(jnp.sum(lift.centroids)))
+
+    sync(step(device_frames))  # warmup / compile
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_iters):
+        out = step(device_frames)
+    sync(out)  # device stream is serial: syncing the last syncs all
+    dt = time.perf_counter() - t0
+
+    kf_per_sec = n_iters * batch_size / dt
+    target = 50.0  # BASELINE.json: >=50 keyframes/sec/chip on v5e
+    return {
+        "metric": "lift_keyframes_per_sec_per_chip",
+        "value": round(kf_per_sec, 2),
+        "unit": "keyframes/sec",
+        "vs_baseline": round(kf_per_sec / target, 3),
+    }
+
+
+def build_production_fake_models(dtype: str = "bfloat16"):
+    """Production-size Detic-SwinB + SAM-ViT-H with random weights behind
+    the standard batched wrappers (same FLOPs as converted checkpoints)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from cm3d_tpu.models.detic import DETIC_SWINB, Detic
+    from cm3d_tpu.models.sam import SAM_VIT_H, Sam
+    from cm3d_tpu.models.swin import SWIN_B
+    from cm3d_tpu.pipelines.masks import _batched_model_fns
+    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES as VOCAB
+
+    rng = np.random.default_rng(0)
+    detic_cfg = dc.replace(
+        DETIC_SWINB, dtype=dtype, swin=dc.replace(SWIN_B, dtype=dtype)
+    )
+    sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype)
+    detic_model, sam_model = Detic(detic_cfg), Sam(sam_cfg)
+    clf = jnp.asarray(
+        rng.standard_normal((detic_cfg.embed_dim, len(VOCAB))).astype(
+            np.float32
+        )
+    )
+    img0 = jnp.zeros((IMG_H, IMG_W, 3), jnp.float32)
+    dshapes = jax.eval_shape(
+        lambda r: detic_model.init(r, img0, clf), jax.random.PRNGKey(0)
+    )["params"]
+    dparams = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), dshapes)
+    sshapes = jax.eval_shape(
+        lambda r: sam_model.init(
+            r, jnp.zeros((1024, 1024, 3)), jnp.zeros((1, 4))
+        ),
+        jax.random.PRNGKey(0),
+    )["params"]
+    sparams = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), sshapes)
+    return _batched_model_fns(
+        detic_model, dparams, clf, sam_model, sparams, VOCAB
+    )
+
+
+class _Lazy:
+    """numpy payload that first syncs a real device output (keeps the real
+    device work in the timed critical path while swapping the content)."""
+
+    def __init__(self, dev, val):
+        self.dev, self.val = dev, val
+
+    def __array__(self, dtype=None, copy=None):
+        np.asarray(self.dev)  # wait for the real device computation
+        return self.val
+
+
+def _realistic_load(models, boxes_per_cam: int = 25, seed: int = 0):
+    """Wrap a MaskModels so the DETECTOR CONTENT is a realistic ~25
+    boxes/camera and the PLANE CONTENT is realistic blob masks, while the
+    real device dispatches stay in the timeline (see module docstring)."""
+    from cm3d_tpu.ops.bitmask import pack_masks_np
+    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES as VOCAB
+
+    rng = np.random.default_rng(seed)
+    raw_detic = models.detic
+
+    def detic_realistic(frame):
+        boxes, scores, classes, valid = raw_detic(frame)
+        n, d = boxes.shape[:2]
+        vb = np.zeros((n, d), bool)
+        vb[:, :boxes_per_cam] = True
+        fake_boxes = rng.uniform(0, 500, (n, d, 4)).astype(np.float32)
+        fake_boxes[..., 2:] += fake_boxes[..., :2] + 30
+        return (
+            _Lazy(boxes, fake_boxes),
+            rng.random((n, d)).astype(np.float32) * 0.9 + 0.1,
+            rng.integers(0, len(VOCAB), (n, d)),
+            vb,
+        )
+
+    # random weights emit NOISE masks — pathological RLE/lift input. Swap
+    # the plane CONTENT for realistic blobs while keeping the device decode
+    # in the timeline (real SAM masks are contiguous regions).
+    raw_dec = models.sam_decode_planes
+    blob = np.zeros((128, IMG_W, IMG_H), np.uint8)
+    for i in range(128):
+        x, y = rng.integers(0, IMG_W - 150), rng.integers(0, IMG_H - 100)
+        blob[i, x : x + 120, y : y + 90] = 1
+    blob_planes = {
+        "xy": pack_masks_np(blob),
+        "yx": np.ascontiguousarray(np.swapaxes(pack_masks_np(blob), 0, 1)),
+    }
+
+    def dec_blob(emb, boxes, n_boxes, cam_hw, mask_wh, nw, layout="xy"):
+        real = raw_dec(emb, boxes, n_boxes, cam_hw, mask_wh, nw, layout)
+        return _Lazy(real, blob_planes[layout])
+
+    return dataclasses.replace(
+        models, detic=detic_realistic, sam_decode_planes=dec_blob
+    )
+
+
+def bench_mask_stage(
+    dtype: str = "bfloat16", n_frames: int = 8, models=None,
+    io_sleep: float = 0.15,
+) -> dict:
+    """Pipelined 2D-stage throughput: run_mask_stage (IO prefetch + device
+    pipeline + host RLE writes) at production geometry."""
+    import shutil
+    import tempfile
+
+    from cm3d_tpu.config import MaskStageConfig
+    from cm3d_tpu.pipelines.masks import generate_frame_masks, run_mask_stage
+
+    rng = np.random.default_rng(0)
+    if models is None:
+        models = _realistic_load(build_production_fake_models(dtype))
+    frames = [
+        [rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8)
+         for _ in range(C)]
+        for _ in range(2)
+    ]
+    cfg = MaskStageConfig(dtype=dtype)
+    fm = generate_frame_masks(models, frames[0], cfg)  # compile
+    n_warm = len(fm.labels)
+
+    # unpipelined per-frame calls
+    t0 = time.perf_counter()
+    for i in range(max(n_frames // 2, 2)):
+        generate_frame_masks(models, frames[i % 2], cfg)
+    per_frame_ms = (
+        (time.perf_counter() - t0) / max(n_frames // 2, 2) * 1000
+    )
+
+    # full pipelined driver incl. RLE artifact writes
+    out = tempfile.mkdtemp(prefix="maskbench_")
+
+    def provider(scene, frame):
+        time.sleep(io_sleep)  # stand-in for 6 JPEG reads + thumbnail
+        return frames[frame % 2]
+
+    t0 = time.perf_counter()
+    run_mask_stage(models, provider, ["bench"], lambda s: n_frames, out, cfg,
+                   verbose=False)
+    pipelined_ms = (time.perf_counter() - t0) / n_frames * 1000
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "metric": "mask_stage_keyframes_per_sec_per_chip",
+        "value": round(1000.0 / pipelined_ms, 3),
+        "unit": "keyframes/sec",
+        "vs_baseline": None,
+        "per_frame_ms": round(per_frame_ms, 1),
+        "pipelined_ms": round(pipelined_ms, 1),
+        "warmup_masks": n_warm,
+    }
+
+
+def bench_e2e(
+    dtype: str = "bfloat16", n_frames: int = 12, batch_size: int = 4,
+    models=None,
+) -> dict:
+    """Fused end-to-end throughput: images -> Detic -> SAM -> bit-planes ->
+    lift step -> boxes, through pipelines.e2e.run_fused (the production
+    fused loop; planes stay on device). The synthetic keyframes carry
+    production-scale LiDAR/lane payloads; mask planes come from the real
+    SAM decode dispatch (content swapped to realistic blobs)."""
+    import jax
+
+    from cm3d_tpu.config import CLASS_TO_ID, LiftStageConfig, MaskStageConfig
+    from cm3d_tpu.datasets.nuscenes.frontend import get_detection_name
+    from cm3d_tpu.datasets.synthetic import SyntheticConfig, make_keyframe
+    from cm3d_tpu.parallel import make_keyframe_step_fn
+    from cm3d_tpu.pipelines.e2e import run_fused
+
+    lift_cfg = LiftStageConfig()
+    mask_cfg = MaskStageConfig(dtype=dtype)
+    assert mask_cfg.max_masks_total == lift_cfg.max_masks
+    rng = np.random.default_rng(0)
+    if models is None:
+        models = _realistic_load(build_production_fake_models(dtype))
+
+    syn = SyntheticConfig()
+    base_kfs = [make_keyframe(syn, lift_cfg, rng) for _ in range(2)]
+    images = [
+        [rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8)
+         for _ in range(C)]
+        for _ in range(2)
+    ]
+    step = jax.jit(make_keyframe_step_fn(lift_cfg))
+    m_pad = lift_cfg.max_masks
+
+    def frame_source(n):
+        for i in range(n):
+            base = base_kfs[i % 2]
+
+            def assemble(handle, base=base, token=i):
+                # mirror NuScenesFrontend.assemble_keyframe's mask fields,
+                # with the rest of the keyframe from the synthetic frontend
+                labels = handle["labels"]
+                m_real = min(len(labels), m_pad)
+                mask_cam = np.zeros(m_pad, np.int32)
+                mask_label = np.zeros(m_pad, np.int32)
+                mask_score = np.zeros(m_pad, np.float32)
+                mask_valid = np.zeros(m_pad, bool)
+                for j in range(m_real):
+                    name = get_detection_name(labels[j])
+                    if name not in CLASS_TO_ID:
+                        continue
+                    mask_cam[j] = handle["cams"][j]
+                    mask_label[j] = CLASS_TO_ID[name]
+                    mask_score[j] = handle["scores"][j]
+                    mask_valid[j] = True
+                kf = base._replace(
+                    mask_bits=np.asarray(handle["planes"]),
+                    mask_cam=mask_cam,
+                    mask_label=mask_label,
+                    mask_score=mask_score,
+                    mask_valid=mask_valid,
+                )
+                return kf, token
+
+            yield images[i % 2], assemble
+
+    boxes_seen = [0]
+
+    def on_boxes(token, b):
+        boxes_seen[0] += int(np.asarray(b.keep).sum())
+
+    # warmup: compiles Detic, SAM encode, the decode bucket, the lift step
+    run_fused(models, step, frame_source(batch_size), mask_cfg, on_boxes,
+              batch_size)
+
+    boxes_seen[0] = 0
+    t0 = time.perf_counter()
+    done = run_fused(models, step, frame_source(n_frames), mask_cfg,
+                     on_boxes, batch_size)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "e2e_keyframes_per_sec_per_chip",
+        "value": round(done / dt, 3),
+        "unit": "keyframes/sec",
+        "vs_baseline": round(done / dt / 50.0, 4),
+        "ms_per_keyframe": round(dt / done * 1000, 1),
+        "boxes_kept": boxes_seen[0],
+    }

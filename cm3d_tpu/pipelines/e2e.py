@@ -27,13 +27,75 @@ from typing import List, Optional
 import numpy as np
 
 from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
-from cm3d_tpu.datasets.types import stack_keyframes
 from cm3d_tpu.parallel import make_keyframe_step_fn
 from cm3d_tpu.pipelines.masks import (
     MaskModels,
     finish_frame_masks,
     start_frame_masks,
 )
+
+
+def run_fused(
+    models: MaskModels,
+    step,
+    frames,
+    mask_cfg: MaskStageConfig,
+    on_boxes,
+    batch_size: int = 4,
+) -> int:
+    """The fused images->masks->boxes core loop (shared by the nuScenes CLI
+    path below and cm3d_tpu.benchmarks.bench_e2e, so the benchmark measures
+    the real code path).
+
+    frames: iterable of (images, assemble) where assemble(handle) returns
+        (Keyframe, token) — or None to skip the frame. handle is the
+        start_frame_masks result; its "planes" is never None here.
+    on_boxes(token, boxes_slice): consume one keyframe's lift outputs
+        (numpy pytree, already sliced to this frame).
+    Returns the number of keyframes that went through the lift step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pending: list = []
+    n_frames = 0
+
+    def _stack(*xs):
+        # device leaves (the mask bit-planes straight from the SAM decode)
+        # stack ON DEVICE: np.stack would round-trip ~9 MB/frame through
+        # the host only to upload it again for the lift step
+        if isinstance(xs[0], jax.Array):
+            return jnp.stack(xs)
+        return np.stack(xs)
+
+    def flush():
+        nonlocal pending, n_frames
+        if not pending:
+            return
+        n_real = len(pending)
+        kfs = [kf for kf, _ in pending]
+        kfs += [kfs[-1]] * (batch_size - n_real)
+        batch = jax.tree.map(_stack, *kfs)
+        _, boxes = step(batch)
+        boxes_np = jax.tree.map(np.asarray, boxes)
+        for i, (_, token) in enumerate(pending[:n_real]):
+            on_boxes(token, jax.tree.map(lambda x: x[i], boxes_np))
+        n_frames += n_real
+        pending = []
+
+    for images, assemble in frames:
+        # 2D stage: planes stay in the lift's bit-plane layout
+        handle = start_frame_masks(models, images, mask_cfg, plane_layout="xy")
+        if handle["planes"] is None:
+            continue
+        out = assemble(handle)
+        if out is None:
+            continue
+        pending.append(out)
+        if len(pending) >= batch_size:
+            flush()
+    flush()
+    return n_frames
 
 
 def run_e2e(
@@ -69,67 +131,56 @@ def run_e2e(
     step = jax.jit(make_keyframe_step_fn(lift_cfg))
     writer = SubmissionWriter()
     t0 = time.perf_counter()
-    n_frames = 0
-    pending: list = []
 
-    def flush():
-        nonlocal pending, n_frames
-        if not pending:
-            return
-        n_real = len(pending)
-        frames = [kf for kf, _ in pending]
-        frames += [frames[-1]] * (batch_size - n_real)
-        batch = stack_keyframes(frames)
-        _, boxes = step(batch.frames)
-        boxes_np = jax.tree.map(np.asarray, boxes)
-        for i, (_, meta) in enumerate(pending[:n_real]):
-            writer.add_device_outputs(
-                meta.sample_token, jax.tree.map(lambda x: x[i], boxes_np)
+    def frame_source():
+        for scene_name in scenes:
+            scene = frontend.nusc.scene_by_name(scene_name)
+            nmap = frontend._map_for_scene(scene)
+            lane_points = nmap.all_lane_points(0.5)
+            drivable = (
+                frontend.drivable_for_scene(scene)
+                if lift_cfg.drivable_filter else None
             )
-        n_frames += n_real
-        pending = []
+            frame_num = -1
+            for frame_num, sample in enumerate(
+                frontend.nusc.iter_samples(scene)
+            ):
+                images = []
+                for cam in CAM_LIST:
+                    sd = frontend.nusc.get("sample_data", sample["data"][cam])
+                    im = Image.open(
+                        f"{dataroot}/{sd['filename']}"
+                    ).convert("RGB")
+                    im.thumbnail((thumbnail, thumbnail))
+                    images.append(np.asarray(im))
 
-    for scene_name in scenes:
-        scene = frontend.nusc.scene_by_name(scene_name)
-        nmap = frontend._map_for_scene(scene)
-        lane_points = nmap.all_lane_points(0.5)
-        drivable = (
-            frontend.drivable_for_scene(scene)
-            if lift_cfg.drivable_filter else None
-        )
-        for frame_num, sample in enumerate(frontend.nusc.iter_samples(scene)):
-            images = []
-            for cam in CAM_LIST:
-                sd = frontend.nusc.get("sample_data", sample["data"][cam])
-                im = Image.open(f"{dataroot}/{sd['filename']}").convert("RGB")
-                im.thumbnail((thumbnail, thumbnail))
-                images.append(np.asarray(im))
-
-            # 2D stage: planes stay in the lift's bit-plane layout
-            handle = start_frame_masks(
-                models, images, mask_cfg, plane_layout="xy"
-            )
-            if handle["planes"] is None:
-                continue
-            planes = np.asarray(handle["planes"])
-            packed = (handle["labels"], handle["scores"], handle["cams"],
-                      planes)
-            if store is not None:  # optional reference-layout artifacts
-                store.write_frame(
-                    scene_name, frame_num, finish_frame_masks(
-                        models, handle, mask_cfg
+                def assemble(handle, scene_name=scene_name,
+                             frame_num=frame_num, sample=sample,
+                             lane_points=lane_points, drivable=drivable):
+                    # planes stay a DEVICE array: the keyframe batch is
+                    # stacked device-side in run_fused, so the bit-planes
+                    # never round-trip through the host
+                    packed = (handle["labels"], handle["scores"],
+                              handle["cams"], handle["planes"])
+                    if store is not None:  # optional reference artifacts
+                        store.write_frame(
+                            scene_name, frame_num,
+                            finish_frame_masks(models, handle, mask_cfg),
+                        )
+                    kf, meta = frontend.assemble_keyframe(
+                        scene_name, frame_num, sample, lane_points, packed,
+                        drivable,
                     )
-                )
+                    return kf, meta.sample_token
 
-            kf, meta = frontend.assemble_keyframe(
-                scene_name, frame_num, sample, lane_points, packed, drivable
-            )
-            pending.append((kf, meta))
-            if len(pending) >= batch_size:
-                flush()
-        if store is not None:
-            store.mark_scene_complete(scene_name, frame_num + 1)
-    flush()
+                yield images, assemble
+            if store is not None and frame_num >= 0:
+                store.mark_scene_complete(scene_name, frame_num + 1)
+
+    n_frames = run_fused(
+        models, step, frame_source(), mask_cfg,
+        writer.add_device_outputs, batch_size,
+    )
 
     submission = writer.write(out_path)
     if verbose:

@@ -174,137 +174,13 @@ def main():
 
 
 
-def bench_end_to_end(dtype="bfloat16", n_frames=6):
-    """Full pipeline path: generate_frame_masks at production geometry with
-    production-size random weights; ~25 detections/camera like real scenes."""
-    import dataclasses as dc
+def bench_end_to_end(dtype="bfloat16", n_frames=8):
+    """Pipelined mask-stage bench — now lives in cm3d_tpu.benchmarks."""
+    from cm3d_tpu.benchmarks import bench_mask_stage
 
-    from cm3d_tpu.config import MaskStageConfig
-    from cm3d_tpu.models.detic import DETIC_SWINB, Detic
-    from cm3d_tpu.models.sam import SAM_VIT_H, Sam
-    from cm3d_tpu.models.swin import SWIN_B
-    from cm3d_tpu.pipelines.masks import _batched_model_fns, generate_frame_masks
-    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES as VOCAB
-
-    rng = np.random.default_rng(0)
-    detic_cfg = dc.replace(
-        DETIC_SWINB, dtype=dtype, swin=dc.replace(SWIN_B, dtype=dtype)
-    )
-    sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype)
-    detic_model, sam_model = Detic(detic_cfg), Sam(sam_cfg)
-    clf = jnp.asarray(rng.standard_normal((detic_cfg.embed_dim, len(VOCAB))).astype(np.float32))
-    img0 = jnp.zeros((IMG_H, IMG_W, 3), jnp.float32)
-    dshapes = jax.eval_shape(
-        lambda r: detic_model.init(r, img0, clf), jax.random.PRNGKey(0)
-    )["params"]
-    dparams = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), dshapes)
-    sshapes = jax.eval_shape(
-        lambda r: sam_model.init(r, jnp.zeros((1024, 1024, 3)), jnp.zeros((1, 4))),
-        jax.random.PRNGKey(0),
-    )["params"]
-    sparams = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), sshapes)
-    models = _batched_model_fns(
-        detic_model, dparams, clf, sam_model, sparams, VOCAB
-    )
-
-    # realistic detection load: ~25 boxes/cam regardless of random weights.
-    # NO np.asarray on the raw outputs here — that would sync the device
-    # inside start_frame_masks and serialize the pipeline.
-    raw_detic = models.detic
-
-    def detic_realistic(frame):
-        boxes, scores, classes, valid = raw_detic(frame)
-        n, d = boxes.shape[:2]
-        k = 25
-        vb = np.zeros((n, d), bool)
-        vb[:, :k] = True
-        fake_boxes = rng.uniform(0, 500, (n, d, 4)).astype(np.float32)
-        fake_boxes[..., 2:] += fake_boxes[..., :2] + 30
-
-        class _Lazy:
-            """numpy payload that first syncs the real device output."""
-
-            def __init__(self, dev, val):
-                self.dev, self.val = dev, val
-
-            def __array__(self, dtype=None, copy=None):
-                np.asarray(self.dev)  # wait for the real detic
-                return self.val
-
-        return (_Lazy(boxes, fake_boxes),
-                rng.random((n, d)).astype(np.float32) * 0.9 + 0.1,
-                rng.integers(0, len(VOCAB), (n, d)), vb)
-
-    models = dataclasses.replace(models, detic=detic_realistic)
-
-    # random weights emit NOISE masks — pathological RLE input. Swap the
-    # plane CONTENT for realistic blobs while keeping the device decode in
-    # the timeline (real SAM masks are contiguous regions).
-    raw_dec = models.sam_decode_planes
-    from cm3d_tpu.ops.bitmask import pack_masks_np
-
-    blob = np.zeros((128, IMG_W, IMG_H), np.uint8)
-    for i in range(128):
-        x, y = rng.integers(0, IMG_W - 150), rng.integers(0, IMG_H - 100)
-        blob[i, x:x + 120, y:y + 90] = 1
-    blob_planes = {
-        "xy": pack_masks_np(blob),
-        "yx": np.ascontiguousarray(np.swapaxes(pack_masks_np(blob), 0, 1)),
-    }
-
-    def dec_blob(emb, boxes, n_boxes, cam_hw, mask_wh, nw, layout="xy"):
-        real = raw_dec(emb, boxes, n_boxes, cam_hw, mask_wh, nw, layout)
-        planes = blob_planes[layout]
-
-        class _Lazy:
-            def __array__(self, dtype=None, copy=None):
-                np.asarray(real)  # device decode + transfer still timed
-                return planes
-
-        return _Lazy()
-
-    models = dataclasses.replace(models, sam_decode_planes=dec_blob)
-
-    frames = [
-        [rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8) for _ in range(C)]
-        for _ in range(2)
-    ]
-    cfg = MaskStageConfig()
-    fm = generate_frame_masks(models, frames[0], cfg)  # compile
-    print(f"warmup frame: {len(fm.labels)} masks", flush=True)
-
-    t0 = time.perf_counter()
-    for i in range(n_frames):
-        fm = generate_frame_masks(models, frames[i % 2], cfg)
-    dt = (time.perf_counter() - t0) / n_frames
-    print(f"mask stage per-frame calls ({dtype}): {dt*1000:.0f} ms/keyframe "
-          f"= {1/dt:.2f} kf/s ({C/dt:.2f} images/s)", flush=True)
-
-    # full pipelined driver incl. RLE artifact writes (IO prefetch + device
-    # pipeline + host overlap)
-    import shutil
-    import tempfile
-
-    from cm3d_tpu.pipelines.masks import run_mask_stage
-
-    out = tempfile.mkdtemp(prefix="maskbench_")
-    nf2 = max(8, n_frames)
-
-    def provider(scene, frame):
-        time.sleep(0.15)  # stand-in for 6 JPEG reads + thumbnail
-        return frames[frame % 2]
-
-    t0 = time.perf_counter()
-    run_mask_stage(models, provider, ["bench"], lambda s: nf2, out, cfg,
-                   verbose=False)
-    dt2 = (time.perf_counter() - t0) / nf2
-    shutil.rmtree(out, ignore_errors=True)
-    print(f"mask stage run_mask_stage ({dtype}): {dt2*1000:.0f} ms/keyframe "
-          f"= {1/dt2:.2f} kf/s ({C/dt2:.2f} images/s)", flush=True)
-    import json as _json
-    with open("/tmp/mask_e2e.json", "w") as f:
-        _json.dump({"per_frame_ms": dt*1000, "pipelined_ms": dt2*1000}, f)
-    return 1 / dt2
+    result = bench_mask_stage(dtype=dtype, n_frames=n_frames)
+    print(json.dumps(result), flush=True)
+    return result["value"]
 
 
 import os as _os
