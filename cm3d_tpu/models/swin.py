@@ -28,9 +28,24 @@ class SwinConfig:
     mlp_ratio: float = 4.0
     out_indices: Tuple[int, ...] = (1, 2, 3)  # strides 8, 16, 32
     dtype: str = "float32"  # compute dtype (params stay f32)
+    # Fused Pallas window-attention block (kernels/window_attn_pallas.py):
+    # absorbs norm1 + qkv + attention + proj, eliminating the window
+    # partition/qkv layout copies (~23 ms of Detic batch-6). None = auto
+    # (on when the default backend is TPU); "interpret" = CPU interpreter
+    # (tests). Param tree is identical either way.
+    fused_attn: bool | str | None = None
 
     def stage_dim(self, i: int) -> int:
         return self.embed_dim * (2 ** i)
+
+    def fused_mode(self) -> str:
+        """Resolve fused_attn -> 'on' | 'off' | 'interpret'."""
+        v = self.fused_attn
+        if v is None:
+            return "on" if jax.default_backend() == "tpu" else "off"
+        if v == "interpret":
+            return "interpret"
+        return "on" if v else "off"
 
 
 SWIN_B = SwinConfig()
@@ -103,6 +118,55 @@ class WindowAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+class _LNParams(nn.Module):
+    """LayerNorm param holder — same tree as nn.LayerNorm (the fused
+    kernel consumes the raw scale/bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """nn.Dense-compatible param holder."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(), (self.din, self.dout)
+            ),
+            self.param("bias", nn.initializers.zeros, (self.dout,)),
+        )
+
+
+class _WinAttnParams(nn.Module):
+    """WindowAttention-compatible param holder (fused kernel path)."""
+
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(self.dim, self.dim * 3, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name="proj")()
+        table = self.param(
+            "rel_pos_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.window - 1) ** 2, self.heads),
+        )
+        return wqkv, bqkv, wproj, bproj, table
+
+
 class SwinBlock(nn.Module):
     dim: int
     heads: int
@@ -110,6 +174,7 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float
     dtype: jnp.dtype = jnp.float32
+    fused_mode: str = "off"  # "on" | "off" | "interpret"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -122,24 +187,31 @@ class SwinBlock(nn.Module):
             shift = 0
 
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
-        pad_b = (window - h % window) % window
-        pad_r = (window - w % window) % window
-        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        hp, wp = h + pad_b, w + pad_r
-        if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
+        if self.fused_mode != "off":
+            x = self._fused_attn(x, window, shift)
         else:
-            mask = None
-        x = x.reshape(b, hp // window, window, wp // window, window, c)
-        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, window * window, c)
-        x = WindowAttention(self.dim, self.heads, window, self.dtype, name="attn")(x, mask)
-        x = x.reshape(b, hp // window, wp // window, window, window, c)
-        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
-        if shift > 0:
-            x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = x[:, :h, :w]
+            x = nn.LayerNorm(name="norm1")(x)
+            pad_b = (window - h % window) % window
+            pad_r = (window - w % window) % window
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            hp, wp = h + pad_b, w + pad_r
+            if shift > 0:
+                x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+                mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
+            else:
+                mask = None
+            x = x.reshape(b, hp // window, window, wp // window, window, c)
+            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+                -1, window * window, c
+            )
+            x = WindowAttention(
+                self.dim, self.heads, window, self.dtype, name="attn"
+            )(x, mask)
+            x = x.reshape(b, hp // window, wp // window, window, window, c)
+            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+            if shift > 0:
+                x = jnp.roll(x, (shift, shift), axis=(1, 2))
+            x = x[:, :h, :w]
         x = shortcut + x
 
         y = nn.LayerNorm(name="norm2")(x)
@@ -147,6 +219,69 @@ class SwinBlock(nn.Module):
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
         return x + y
+
+    def _fused_attn(self, x, window, shift):
+        """norm1 + window attention via the fused Pallas kernel; returns
+        the attention branch output [B, H, W, C] (pre-residual). Param
+        tree identical to the unfused path (holders mirror the modules)."""
+        from cm3d_tpu.kernels.window_attn_pallas import (
+            expand_bias_interleaved,
+            expand_blockdiag,
+            fused_window_attn,
+            pick_group,
+        )
+
+        b, h, w, c = x.shape
+        n = window * window
+        g_ln, b_ln = _LNParams(c, name="norm1")()
+        wqkv, bqkv, wproj, bproj, table = _WinAttnParams(
+            self.dim, self.heads, window, name="attn"
+        )()
+
+        pad_b = (window - h % window) % window
+        pad_r = (window - w % window) % window
+        hp, wp = h + pad_b, w + pad_r
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        n_wx = wp // window
+        grp = pick_group(n_wx, n)
+        n_gx = -(-n_wx // grp)
+        pad_g = n_gx * grp * window - wp  # extra whole windows for grouping
+        if pad_g:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_g), (0, 0)))
+
+        idx = jnp.asarray(_rel_pos_index(window)).reshape(-1)
+        bias = table[idx].reshape(n, n, self.heads)
+        btil = expand_bias_interleaved(
+            jnp.transpose(bias, (2, 0, 1)), window, grp
+        )
+        mtil = None
+        if shift > 0:
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
+            mask = mask.reshape(hp // window, n_wx, n, n)
+            if pad_g:
+                mask = jnp.pad(
+                    mask, ((0, 0), (0, n_gx * grp - n_wx), (0, 0), (0, 0))
+                )
+            mask = mask.reshape(hp // window, n_gx, grp, n, n)
+            mtil = expand_blockdiag(mask, window)
+
+        # bounds only matter when window padding introduced zero tokens
+        # (reference zeroes them POST-norm; the kernel re-zeroes after its
+        # in-kernel LayerNorm). Group padding adds whole garbage windows
+        # that are cropped below, so it needs no masking.
+        bounds = None if (pad_b == 0 and pad_r == 0) else (h, w, wp, shift)
+        out = fused_window_attn(
+            x, g_ln, b_ln, wqkv, bqkv, wproj, bproj, btil, mtil,
+            win=window, G=grp, heads=self.heads, dtype=self.dtype,
+            bounds=bounds,
+            interpret=self.fused_mode == "interpret",
+        )
+        out = out[:, :, :wp].astype(self.dtype)
+        if shift > 0:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        return out[:, :h, :w]
 
 
 class PatchMerging(nn.Module):
@@ -186,6 +321,7 @@ class SwinTransformer(nn.Module):
         x = nn.LayerNorm(name="patch_norm")(x)
 
         outs: Dict[str, jax.Array] = {}
+        fused = cfg.fused_mode()
         for i, depth in enumerate(cfg.depths):
             dim = cfg.stage_dim(i)
             for j in range(depth):
@@ -196,6 +332,7 @@ class SwinTransformer(nn.Module):
                     shift=0 if j % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio,
                     dtype=dt,
+                    fused_mode=fused,
                     name=f"stage{i}_block{j}",
                 )(x)
             if i in cfg.out_indices:

@@ -120,3 +120,53 @@ def test_swin_handles_non_window_divisible_input():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     outs = model.apply({"params": params}, x)
     assert outs["swin0"].shape == (1, 13, 9, 16)
+
+
+@pytest.mark.parametrize("hw", [(64, 48), (52, 36)])
+def test_fused_window_attn_full_model_parity(hw):
+    """Fused Pallas path (interpret mode) == unfused flax path on the FULL
+    backbone, same param tree — window padding, shifted blocks, patch
+    merging all exercised. (52, 36) makes every stage pad."""
+    import dataclasses as dc
+
+    cfg = SWIN_TEST
+    model = SwinTransformer(cfg)
+    model_fused = SwinTransformer(dc.replace(cfg, fused_attn="interpret"))
+    x = jnp.asarray(RNG.random((2, *hw, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    # identical param trees: fused init must produce the same structure
+    pf = model_fused.init(jax.random.PRNGKey(1), x)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(pf)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(pf),
+    ):
+        assert a.shape == b.shape, (ka, a.shape, b.shape)
+
+    ref = model.apply({"params": params}, x)
+    got = model_fused.apply({"params": params}, x)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fused_window_attn_under_vmap():
+    """The Detic camera-ring vmap must fold into the kernel grid."""
+    import dataclasses as dc
+
+    cfg = dc.replace(SWIN_TEST, fused_attn="interpret")
+    model = SwinTransformer(cfg)
+    x = jnp.asarray(RNG.random((3, 1, 32, 24, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x[0])["params"]
+    out_v = jax.vmap(
+        lambda xi: model.apply({"params": params}, xi)
+    )(x)
+    for i in range(3):
+        out_i = model.apply({"params": params}, x[i])
+        for k in out_i:
+            np.testing.assert_allclose(
+                np.asarray(out_v[k][i]), np.asarray(out_i[k]),
+                rtol=2e-4, atol=2e-4,
+            )
