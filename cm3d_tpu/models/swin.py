@@ -34,6 +34,13 @@ class SwinConfig:
     # (on when the default backend is TPU); "interpret" = CPU interpreter
     # (tests). Param tree is identical either way.
     fused_attn: bool | str | None = None
+    # Max tokens per kernel tile (windows per tile G = max_t // win^2).
+    # Block-diagonal attention wastes a factor G of MXU flops, so bigger
+    # is NOT better once tiles are alignment-saturated. SwinB batch-6
+    # backbone sweep (1024x576, bf16, axon v5e): 49 -> 71.1 ms, 98 ->
+    # 64.0, 128 -> 63.7, 256 -> 65.7, 384 -> 84.5, 512 -> 81.3
+    # (unfused: 91.4 ms).
+    fused_group_tokens: int = 128
 
     def stage_dim(self, i: int) -> int:
         return self.embed_dim * (2 ** i)
@@ -175,6 +182,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     dtype: jnp.dtype = jnp.float32
     fused_mode: str = "off"  # "on" | "off" | "interpret"
+    fused_group_tokens: int = 256
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -245,7 +253,7 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         n_wx = wp // window
-        grp = pick_group(n_wx, n)
+        grp = pick_group(n_wx, n, self.fused_group_tokens)
         n_gx = -(-n_wx // grp)
         pad_g = n_gx * grp * window - wp  # extra whole windows for grouping
         if pad_g:
@@ -333,6 +341,7 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=cfg.mlp_ratio,
                     dtype=dt,
                     fused_mode=fused,
+                    fused_group_tokens=cfg.fused_group_tokens,
                     name=f"stage{i}_block{j}",
                 )(x)
             if i in cfg.out_indices:
