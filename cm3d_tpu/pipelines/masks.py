@@ -674,6 +674,10 @@ def main(argv=None):
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--host_shard", action="store_true",
                    help="multi-host: keep only this process's scene stride")
+    p.add_argument("--rect_encode", action="store_true",
+                   help="SAM encodes without square padding: ~35%% faster "
+                   "encode, small documented deviation from SamPredictor "
+                   "(see scripts/measure_rect_encode.py numbers)")
     args = p.parse_args(argv)
 
     from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, CUSTOM_VOCABULARY_WAYMO
@@ -695,7 +699,7 @@ def main(argv=None):
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
-            vocabulary=vocab,
+            vocabulary=vocab, rect_encode=args.rect_encode,
         )
 
     run_nms = (args.dataset != "kitti") if args.run_nms < 0 else bool(args.run_nms)

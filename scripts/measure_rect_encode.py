@@ -58,7 +58,40 @@ def _synthetic_image(rng):
     return img
 
 
+def _make_params(shapes, seed):
+    key = jax.random.PRNGKey(seed)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            jax.random.normal(k, s.shape, s.dtype) * 0.02
+            for k, s in zip(keys, leaves)
+        ],
+    )
+
+
 def main(seeds=(0, 1, 2)):
+    # one jitted (enc, dec) pair per path, reused across seeds (params are
+    # arguments -> no recompiles)
+    fns = {}
+    for rect in (False, True):
+        cfg = dc.replace(SAM_VIT_H, dtype="bfloat16", rect_encode=rect)
+        model = Sam(cfg)
+        shapes = jax.eval_shape(
+            lambda r, m=model: m.init(
+                r, jnp.zeros((1024, 1024, 3)), jnp.zeros((1, 4))
+            ),
+            jax.random.PRNGKey(0),
+        )["params"]
+        enc = jax.jit(lambda p, xi, m=model: m.apply(
+            {"params": p}, xi, method=m.encode_image
+        ))
+        dec = jax.jit(lambda p, e, b, m=model: m.apply(
+            {"params": p}, e, b, method=m.decode_boxes
+        )[0])
+        fns[rect] = (shapes, enc, dec)
+
     results = []
     for seed in seeds:
         rng = np.random.default_rng(seed)
@@ -73,68 +106,73 @@ def main(seeds=(0, 1, 2)):
         boxes_j = jnp.asarray(boxes)
 
         def run(rect):
-            cfg = dc.replace(SAM_VIT_H, dtype="bfloat16", rect_encode=rect)
-            model = Sam(cfg)
-            shapes = jax.eval_shape(
-                lambda r: model.init(
-                    r, jnp.zeros((1024, 1024, 3)), jnp.zeros((1, 4))
-                ),
-                jax.random.PRNGKey(seed),
-            )["params"]
-            key = jax.random.PRNGKey(seed)
-            leaves, treedef = jax.tree_util.tree_flatten(shapes)
-            keys = jax.random.split(key, len(leaves))
-            params = jax.tree_util.tree_unflatten(
-                treedef,
-                [
-                    jax.random.normal(k, s.shape, s.dtype) * 0.02
-                    for k, s in zip(keys, leaves)
-                ],
-            )
+            shapes, enc, dec = fns[rect]
+            params = _make_params(shapes, seed)
             x = jnp.asarray(img[None] if rect else sq[None])
-            enc = jax.jit(lambda p, xi: model.apply(
-                {"params": p}, xi, method=model.encode_image
-            ))
-            dec = jax.jit(lambda p, e, b: model.apply(
-                {"params": p}, e, b, method=model.decode_boxes
-            )[0])
-            t0 = time.perf_counter()
             emb = enc(params, x)
-            np.asarray(jnp.sum(emb.astype(jnp.float32)))
-            t_compile = time.perf_counter() - t0
+            np.asarray(jnp.sum(emb.astype(jnp.float32)))  # compile+sync
             t0 = time.perf_counter()
             for _ in range(5):
                 emb = enc(params, x)
             np.asarray(jnp.sum(emb.astype(jnp.float32)))
             t_enc = (time.perf_counter() - t0) / 5 * 1000
             logits = np.asarray(dec(params, emb[0], boxes_j))
-            return logits, t_enc, t_compile
+            return np.asarray(emb[0], np.float32), logits, t_enc
 
-        log_sq, t_sq, _ = run(False)
-        log_rc, t_rc, _ = run(True)
-        # square logits cover the 1024 square: crop the image region
+        emb_sq, log_sq, t_sq = run(False)
+        emb_rc, log_rc, t_rc = run(True)
+        # random ViT-H weights give degenerate (constant-sign) mask logits,
+        # so thresholded-mask IoU is uninformative; compare the quantities
+        # the threshold consumes instead: image-region EMBEDDINGS and the
+        # decoded LOGIT field (relative error in units of its own spread).
+        gh = IMG_H // 16
+        e_sq = emb_sq[:gh]  # image-region rows of the square-pad encoding
+        e_rc = emb_rc
+        rel = np.linalg.norm(e_rc - e_sq) / np.linalg.norm(e_sq)
+        cos = (e_rc * e_sq).sum(-1) / np.maximum(
+            np.linalg.norm(e_rc, axis=-1) * np.linalg.norm(e_sq, axis=-1),
+            1e-9,
+        )
+        # logits on a common grid: square's crop vs rect (rect grid is the
+        # image region at the same 4x-embed resolution)
         up_sq = _upsample_to(log_sq, 1024, 1024)[:, :IMG_H]
         up_rc = _upsample_to(log_rc, IMG_H, IMG_W)
-        m_sq = up_sq > 0
-        m_rc = up_rc > 0
-        inter = (m_sq & m_rc).sum((1, 2))
+        spread = np.std(up_sq)
+        logit_rel = float(np.sqrt(np.mean((up_rc - up_sq) ** 2)) / spread)
+        flips = float(np.mean((up_rc > 0) != (up_sq > 0)))
+        iou_masks = None
+        m_sq, m_rc = up_sq > 0, up_rc > 0
         union = (m_sq | m_rc).sum((1, 2))
         nz = union > 0
-        iou = np.where(nz, inter / np.maximum(union, 1), 1.0)
+        if nz.any():
+            inter = (m_sq & m_rc).sum((1, 2))
+            iou_masks = float(
+                (inter[nz] / union[nz]).mean()
+            )
         results.append({
             "seed": int(seed),
-            "mean_iou": float(iou.mean()),
-            "min_iou": float(iou.min()),
-            "p10_iou": float(np.percentile(iou, 10)),
+            "emb_rel_err": float(rel),
+            "emb_cos_mean": float(cos.mean()),
+            "emb_cos_min": float(cos.min()),
+            "logit_rms_over_spread": logit_rel,
+            "sign_flip_frac": flips,
+            "mask_iou_nonempty": iou_masks,
             "n_nonempty": int(nz.sum()),
+            "pos_frac_sq": float(m_sq.mean()),
             "enc_ms_square": round(t_sq, 1),
             "enc_ms_rect": round(t_rc, 1),
         })
         print(json.dumps(results[-1]), flush=True)
 
     agg = {
-        "mean_iou": float(np.mean([r["mean_iou"] for r in results])),
-        "min_iou": float(min(r["min_iou"] for r in results)),
+        "emb_rel_err": float(np.mean([r["emb_rel_err"] for r in results])),
+        "emb_cos_min": float(min(r["emb_cos_min"] for r in results)),
+        "logit_rms_over_spread": float(
+            np.mean([r["logit_rms_over_spread"] for r in results])
+        ),
+        "sign_flip_frac": float(
+            np.mean([r["sign_flip_frac"] for r in results])
+        ),
         "enc_ms_square": float(np.mean([r["enc_ms_square"] for r in results])),
         "enc_ms_rect": float(np.mean([r["enc_ms_rect"] for r in results])),
     }
