@@ -41,6 +41,23 @@ from cm3d_tpu.kernels.compact_pallas import check_interpret_backend
 
 NEG = -1e9
 
+# Mosaic's default vmem_limit_bytes is 16 MB regardless of hardware; the
+# target chip (v5e) has 128 MB of physical VMEM. Raising the cap lets the
+# SAM-scale kernels (C=1280: 13.1 MB of weights alone) tile multiple
+# windows per grid step, which is where the MXU utilization comes from.
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params(interpret: bool):
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=VMEM_LIMIT,
+    )
+
 
 def expand_blockdiag(blocks: jax.Array, win: int) -> jax.Array:
     """[..., G, n, n] per-window matrices -> [..., T, T] interleaved
@@ -190,6 +207,7 @@ def _impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, btil, mtil,
             pltpu.VMEM((t, c), dtype),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*args)
     return out.reshape(b, hp, wp, c)
 
@@ -276,3 +294,225 @@ def pick_group(n_wx: int, n_tokens: int, max_t: int = 512) -> int:
     """Windows per kernel tile: as many as fit max_t tokens (flop waste is
     linear in G but alignment wins dominate for small windows)."""
     return max(1, min(n_wx, max_t // n_tokens))
+
+
+# ---------------------------------------------------------------------------
+# SAM variant: decomposed relative-position bias computed IN-KERNEL.
+#
+# SAM's windowed ViT blocks add a q-DEPENDENT bias
+# (models/common.py add_decomposed_rel_pos): bias_h[(r,c),(kx,kc)] =
+# q[(r,c)] . table_h[r - kx + win - 1] (+ the analogous width term), so
+# it cannot be precomputed like Swin's table bias. The Toeplitz structure
+# makes it one small matmul + static diagonal slices per head:
+#   P = q @ table_rev.T                       # [T, 2win-1]
+#   bias_h[r-block, :, kx] = P[..., (win-1-r) + kx]  # forward slice per r
+# (table_rev is the 1-D rel table reversed, so each row's window of
+# relative offsets is a CONTIGUOUS forward slice).
+# ---------------------------------------------------------------------------
+
+
+def _wattn_relpos_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                         wproj_ref, bproj_ref, relh_ref, relw_ref,
+                         out_ref, qkv_s, out_s, *, win, G, heads, C,
+                         dtype, eps, bounds):
+    GW = G * win
+    T = win * GW
+    hd = C // heads
+    two = 2 * win - 1
+
+    xf = x_ref[0, 0, :, 0].reshape(T, C).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
+    if bounds is not None:
+        h_real, w_real, wp_ref, shift = bounds
+        hp = win * pl.num_programs(1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        grow = pl.program_id(1) * win + idx // GW
+        gcol = pl.program_id(2) * GW + idx % GW
+        valid = ((grow + shift) % hp) < h_real
+        valid &= gcol < wp_ref
+        valid &= ((gcol + shift) % wp_ref) < w_real
+        ln = jnp.where(valid, ln, 0.0)
+    qkv_s[:] = (
+        jnp.dot(ln.astype(dtype), wqkv_ref[:],
+                preferred_element_type=jnp.float32)
+        + bqkv_ref[:]
+    ).astype(dtype)
+
+    scale = hd ** -0.5
+    if G > 1:
+        tok_w = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) % GW // win
+        key_w = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) % GW // win
+        offdiag = jnp.where(tok_w == key_w, 0.0, NEG).astype(jnp.float32)
+
+    # Lane-reshape-free bias machinery (Mosaic rejects lane-splitting
+    # shape casts like [T,T] -> [T,win,G,win]):
+    #   bh[t, kx] = ph[t, (win-1) - r(t) + kx] via row-class select-sums,
+    #   broadcast over keys as bh @ Eh with one-hot Eh[kx, j]=(j//GW==kx).
+    ti = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    row_r = ti // GW
+    row_c = ti % win
+    jx = jax.lax.broadcasted_iota(jnp.int32, (win, T), 1)
+    kxi = jax.lax.broadcasted_iota(jnp.int32, (win, T), 0)
+    eh = (jx // GW % win == kxi).astype(dtype)  # [win(kx), T]
+    ew = (jx % win == kxi).astype(dtype)  # [win(kc), T]
+
+    for h in range(heads):
+        q = qkv_s[:, h * hd:(h + 1) * hd]
+        k = qkv_s[:, C + h * hd:C + (h + 1) * hd]
+        v = qkv_s[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        # decomposed rel-pos bias (raw q, reference semantics)
+        ph = jax.lax.dot_general(
+            q, relh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, 2win-1]
+        pw = jax.lax.dot_general(
+            q, relw_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bh = jnp.zeros((T, win), jnp.float32)
+        bw = jnp.zeros((T, win), jnp.float32)
+        for u in range(win):
+            bh = bh + jnp.where(
+                row_r == u, ph[:, win - 1 - u: two - u], 0.0
+            )
+            bw = bw + jnp.where(
+                row_c == u, pw[:, win - 1 - u: two - u], 0.0
+            )
+        # expansion dots in the COMPUTE dtype: the one-hot side is exact
+        # in bf16 and the unfused path's bias einsums run in bf16 too
+        # (f32 HIGHEST here costs 6x MXU passes — measured ~40 ms/encode)
+        s = s + jax.lax.dot_general(
+            bh.astype(dtype), eh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            bw.astype(dtype), ew, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if G > 1:
+            s = s + offdiag
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out_s[:, h * hd:(h + 1) * hd] = jnp.dot(
+            p.astype(dtype), v, preferred_element_type=jnp.float32
+        ).astype(dtype)
+
+    proj = jnp.dot(
+        out_s[:], wproj_ref[:], preferred_element_type=jnp.float32
+    ) + bproj_ref[:]
+    out_ref[0, 0, :, 0] = proj.reshape(win, GW, C).astype(out_ref.dtype)
+
+
+def _impl_relpos(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                 relh_rev, relw_rev, win, G, heads, dtype, eps, interpret,
+                 bounds):
+    b, hp, wp, c = x.shape
+    gw = G * win
+    assert hp % win == 0 and wp % gw == 0, (hp, wp, win, G)
+    n_wy, n_gx = hp // win, wp // gw
+    dtype = jnp.dtype(dtype)
+    two = 2 * win - 1
+
+    x6 = x.reshape(b, n_wy, win, n_gx, gw, c)
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, win, 1, gw, c), lambda bi, i, j: (bi, i, 0, j, 0, 0)
+        ),
+        pl.BlockSpec((c,), lambda bi, i, j: (0,)),
+        pl.BlockSpec((c,), lambda bi, i, j: (0,)),
+        pl.BlockSpec((c, 3 * c), lambda bi, i, j: (0, 0)),
+        pl.BlockSpec((3 * c,), lambda bi, i, j: (0,)),
+        pl.BlockSpec((c, c), lambda bi, i, j: (0, 0)),
+        pl.BlockSpec((c,), lambda bi, i, j: (0,)),
+        pl.BlockSpec((two, c // heads), lambda bi, i, j: (0, 0)),
+        pl.BlockSpec((two, c // heads), lambda bi, i, j: (0, 0)),
+    ]
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = win * gw
+    out = pl.pallas_call(
+        functools.partial(
+            _wattn_relpos_kernel, win=win, G=G, heads=heads, C=c,
+            dtype=dtype, eps=eps, bounds=bounds,
+        ),
+        grid=(b, n_wy, n_gx),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, win, 1, gw, c), lambda bi, i, j: (bi, i, 0, j, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_wy, win, n_gx, gw, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t, 3 * c), dtype),
+            pltpu.VMEM((t, c), dtype),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        x6,
+        ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+        wqkv.astype(dtype), bqkv.astype(jnp.float32),
+        wproj.astype(dtype), bproj.astype(jnp.float32),
+        relh_rev.astype(dtype), relw_rev.astype(dtype),
+    )
+    return out.reshape(b, hp, wp, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _vmappable_relpos(win, G, heads, dtype, eps, interpret, bounds):
+    def call(x, params):
+        return _impl_relpos(
+            x, *params, win, G, heads, dtype, eps, interpret, bounds
+        )
+
+    @jax.custom_batching.custom_vmap
+    def f(x, params):
+        return call(x, params)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, params):
+        assert in_batched[0] and not any(jax.tree.leaves(in_batched[1:]))
+        b2, b = x.shape[:2]
+        out = f(x.reshape(b2 * b, *x.shape[2:]), params)
+        return out.reshape(b2, b, *out.shape[1:]), True
+
+    return f
+
+
+def fused_window_attn_relpos(
+    x: jax.Array,         # [B, Hp, Wp, C] (extra vmap dims fold into B)
+    ln_scale: jax.Array,  # [C]
+    ln_bias: jax.Array,   # [C]
+    wqkv: jax.Array,      # [C, 3C]
+    bqkv: jax.Array,      # [3C]
+    wproj: jax.Array,     # [C, C]
+    bproj: jax.Array,     # [C]
+    rel_pos_h: jax.Array,  # [2*win-1, head_dim] (raw table, un-reversed)
+    rel_pos_w: jax.Array,  # [2*win-1, head_dim]
+    *,
+    win: int,
+    G: int,
+    heads: int,
+    dtype="bfloat16",
+    eps: float = 1e-6,
+    interpret: bool = False,
+    bounds: tuple | None = None,  # (h_real, w_real, wp_ref, 0)
+) -> jax.Array:
+    """SAM windowed-block attention fused (LN + qkv + decomposed-rel-pos
+    attention + proj). Same contract as fused_window_attn, with the
+    q-dependent decomposed bias computed in-kernel (Toeplitz slices)."""
+    check_interpret_backend(interpret)
+    f = _vmappable_relpos(
+        int(win), int(G), int(heads), jnp.dtype(dtype).name, float(eps),
+        bool(interpret),
+        None if bounds is None else tuple(int(v) for v in bounds),
+    )
+    params = (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+              rel_pos_h[::-1], rel_pos_w[::-1])
+    return f(x, params)

@@ -39,6 +39,37 @@ class MLPBlock(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
 
 
+class LNParams(nn.Module):
+    """LayerNorm param holder — same tree as nn.LayerNorm; the fused
+    window-attention kernels consume the raw scale/bias."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class DenseParams(nn.Module):
+    """nn.Dense-compatible param holder."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.din, self.dout),
+            ),
+            self.param("bias", nn.initializers.zeros, (self.dout,)),
+        )
+
+
 def window_partition(x: jax.Array, window: int) -> Tuple[jax.Array, Tuple[int, int]]:
     """[B, H, W, C] -> [B*nW, win, win, C] with bottom/right zero padding."""
     b, h, w, c = x.shape

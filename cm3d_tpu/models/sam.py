@@ -63,6 +63,26 @@ class SamConfig:
     # encoder FLOPs at 1024x576 but is a (small) numerical deviation from
     # the torch model — off by default for parity.
     rect_encode: bool = False
+    # Fused Pallas kernel for the WINDOWED encoder blocks
+    # (kernels/window_attn_pallas.py fused_window_attn_relpos): absorbs
+    # norm1 + qkv + decomposed-rel-pos attention + proj. CLOSED as
+    # net-negative on the axon v5e chip (ViT-H 1024^2 bf16 encode:
+    # unfused 86.0 ms vs fused 106.6/119.0/115.5 ms at group_tokens=
+    # 196/392/980, raised 100 MB VMEM cap, outputs matching to 5e-4) —
+    # unlike Swin, the in-kernel q-dependent decomposed-rel-pos bias
+    # (Toeplitz select-sums + one-hot expansion matmuls) plus f32
+    # LN/softmax VPU work serialized against the MXU outweighs the
+    # window-partition copies it removes. Kept opt-in for future chips;
+    # "interpret" = CPU interpreter (parity tests). Param tree identical.
+    fused_window_attn: bool | str = False
+    # max tokens per fused tile (see SwinConfig.fused_group_tokens)
+    fused_group_tokens: int = 392
+
+    def fused_mode(self) -> str:
+        v = self.fused_window_attn
+        if v == "interpret":
+            return "interpret"
+        return "on" if v else "off"
 
     @property
     def embed_hw(self) -> int:
@@ -155,6 +175,30 @@ class ViTAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
 
 
+class _ViTAttnParams(nn.Module):
+    """ViTAttention-compatible param holder (fused windowed-block path)."""
+
+    dim: int
+    window: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self):
+        from cm3d_tpu.models.common import DenseParams
+
+        wqkv, bqkv = DenseParams(self.dim, self.dim * 3, name="qkv")()
+        wproj, bproj = DenseParams(self.dim, self.dim, name="proj")()
+        rel_h = self.param(
+            "rel_pos_h", nn.initializers.zeros,
+            (2 * self.window - 1, self.head_dim),
+        )
+        rel_w = self.param(
+            "rel_pos_w", nn.initializers.zeros,
+            (2 * self.window - 1, self.head_dim),
+        )
+        return wqkv, bqkv, wproj, bproj, rel_h, rel_w
+
+
 class ViTBlock(nn.Module):
     dim: int
     heads: int
@@ -162,10 +206,17 @@ class ViTBlock(nn.Module):
     grid_hw: Tuple[int, int]
     dtype: jnp.dtype = jnp.float32
     flash: bool = False
+    fused_mode: str = "off"  # windowed blocks: "on" | "off" | "interpret"
+    fused_group_tokens: int = 392
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         shortcut = x
+        if self.window_size > 0 and self.fused_mode != "off":
+            x = shortcut + self._fused_windowed(x)
+            return x + MLPBlock(
+                self.dim * 4, self.dim, dtype=self.dtype, name="mlp"
+            )(nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
         x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         if self.window_size > 0:
             hw = (x.shape[1], x.shape[2])
@@ -184,6 +235,40 @@ class ViTBlock(nn.Module):
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         )
         return x
+
+    def _fused_windowed(self, x):
+        """norm1 + windowed decomposed-rel-pos attention via the fused
+        Pallas kernel; returns the attention branch (pre-residual)."""
+        from cm3d_tpu.kernels.window_attn_pallas import (
+            fused_window_attn_relpos,
+            pick_group,
+        )
+        from cm3d_tpu.models.common import LNParams
+
+        b, h, w, c = x.shape
+        win = self.window_size
+        g_ln, b_ln = LNParams(c, name="norm1")()
+        wqkv, bqkv, wproj, bproj, rel_h, rel_w = _ViTAttnParams(
+            self.dim, win, self.dim // self.heads, name="attn"
+        )()
+
+        pad_b = (win - h % win) % win
+        pad_r = (win - w % win) % win
+        hp, wp = h + pad_b, w + pad_r
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        n_wx = wp // win
+        grp = pick_group(n_wx, win * win, self.fused_group_tokens)
+        n_gx = -(-n_wx // grp)
+        pad_g = n_gx * grp * win - wp
+        if pad_g:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_g), (0, 0)))
+        bounds = None if (pad_b == 0 and pad_r == 0) else (h, w, wp, 0)
+        out = fused_window_attn_relpos(
+            x, g_ln, b_ln, wqkv, bqkv, wproj, bproj, rel_h, rel_w,
+            win=win, G=grp, heads=self.heads, dtype=self.dtype,
+            bounds=bounds, interpret=self.fused_mode == "interpret",
+        )
+        return out[:, :h, :w].astype(self.dtype)
 
 
 class ImageEncoderViT(nn.Module):
@@ -208,6 +293,7 @@ class ImageEncoderViT(nn.Module):
         gh, gw = x.shape[1], x.shape[2]
         assert gh <= hw and gw <= hw, (gh, gw, hw)
         x = x + pos[:, :gh, :gw]
+        fused = cfg.fused_mode()
         for i in range(cfg.encoder_depth):
             wsz = 0 if i in cfg.encoder_global_attn else cfg.window_size
             x = ViTBlock(
@@ -217,6 +303,8 @@ class ImageEncoderViT(nn.Module):
                 (hw, hw),
                 dt,
                 flash=cfg.flash_global_attn,
+                fused_mode=fused,
+                fused_group_tokens=cfg.fused_group_tokens,
                 name=f"block{i}",
             )(x)
         # neck

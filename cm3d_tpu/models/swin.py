@@ -17,6 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from cm3d_tpu.models.common import DenseParams as _DenseParams
+from cm3d_tpu.models.common import LNParams as _LNParams
+
 
 @dataclasses.dataclass(frozen=True)
 class SwinConfig:
@@ -123,36 +126,6 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(bnw, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
-
-
-class _LNParams(nn.Module):
-    """LayerNorm param holder — same tree as nn.LayerNorm (the fused
-    kernel consumes the raw scale/bias)."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        return (
-            self.param("scale", nn.initializers.ones, (self.dim,)),
-            self.param("bias", nn.initializers.zeros, (self.dim,)),
-        )
-
-
-class _DenseParams(nn.Module):
-    """nn.Dense-compatible param holder."""
-
-    din: int
-    dout: int
-
-    @nn.compact
-    def __call__(self):
-        return (
-            self.param(
-                "kernel", nn.initializers.lecun_normal(), (self.din, self.dout)
-            ),
-            self.param("bias", nn.initializers.zeros, (self.dout,)),
-        )
 
 
 class _WinAttnParams(nn.Module):

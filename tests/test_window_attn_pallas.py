@@ -141,3 +141,94 @@ def test_pick_group():
     assert pick_group(37, 49) == 10
     assert pick_group(5, 196) == 2
     assert pick_group(1, 10_000) == 1
+
+
+def _ref_relpos_window_attn(x, g, b, wqkv, bqkv, wproj, bproj, rel_h,
+                            rel_w, win, heads):
+    """Unfused SAM-windowed reference: LN -> partition -> per-head attn
+    with decomposed rel-pos (raw-q bias) -> proj -> unpartition."""
+    B, Hp, Wp, C = x.shape
+    hd = C // heads
+    n = win * win
+    ln = _layernorm(x, g, b)
+    w_ = ln.reshape(B, Hp // win, win, Wp // win, win, C)
+    w_ = w_.transpose(0, 1, 3, 2, 4, 5).reshape(-1, n, C)
+    qkv = w_ @ wqkv + bqkv
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    # Rh[qr, kr] = rel_h[qr - kr + win - 1]
+    idx = np.arange(win)[:, None] - np.arange(win)[None, :] + win - 1
+    Rh = rel_h[idx]  # [win, win, hd]
+    Rw = rel_w[idx]
+    out = np.zeros_like(w_)
+    for bw in range(w_.shape[0]):
+        for h in range(heads):
+            qh = q[bw, :, h * hd:(h + 1) * hd]
+            kh = k[bw, :, h * hd:(h + 1) * hd]
+            vh = v[bw, :, h * hd:(h + 1) * hd]
+            s = (qh * hd ** -0.5) @ kh.T  # [n, n]
+            q4 = qh.reshape(win, win, hd)
+            bias_h = np.einsum("rcd,rkd->rck", q4, Rh)  # [r, c, kx]
+            bias_w = np.einsum("rcd,ckd->rck", q4, Rw)  # [r, c, kc]
+            s = s.reshape(win, win, win, win)
+            s = s + bias_h[:, :, :, None] + bias_w[:, :, None, :]
+            s = s.reshape(n, n)
+            s = s - s.max(-1, keepdims=True)
+            p = np.exp(s)
+            p /= p.sum(-1, keepdims=True)
+            out[bw, :, h * hd:(h + 1) * hd] = p @ vh
+    out = out @ wproj + bproj
+    out = out.reshape(B, Hp // win, Wp // win, win, win, C)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+
+
+@pytest.mark.parametrize("win,G,n_wy,n_gx,C,heads", [
+    (4, 2, 2, 2, 32, 4),
+    (7, 1, 2, 3, 64, 8),
+    (2, 3, 2, 1, 16, 2),
+])
+def test_fused_relpos_matches_reference(win, G, n_wy, n_gx, C, heads):
+    from cm3d_tpu.kernels.window_attn_pallas import fused_window_attn_relpos
+
+    x, g, b, wqkv, bqkv, wproj, bproj, _ = _mk(win, G, n_wy, n_gx, C,
+                                               heads, seed=21)
+    rng = np.random.default_rng(31)
+    hd = C // heads
+    rel_h = rng.normal(0, 0.3, (2 * win - 1, hd)).astype(np.float32)
+    rel_w = rng.normal(0, 0.3, (2 * win - 1, hd)).astype(np.float32)
+    out = fused_window_attn_relpos(
+        jnp.asarray(x), g, b, wqkv, bqkv, wproj, bproj, rel_h, rel_w,
+        win=win, G=G, heads=heads, dtype="float32", interpret=True,
+    )
+    ref = _ref_relpos_window_attn(x, g, b, wqkv, bqkv, wproj, bproj,
+                                  rel_h, rel_w, win, heads)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_sam_encoder_fused_full_parity():
+    """Full SAM_TEST encoder: fused windowed blocks (interpret) == unfused,
+    same param tree, including a non-window-divisible rect grid."""
+    import dataclasses as dc
+
+    from cm3d_tpu.models.sam import SAM_TEST, Sam
+
+    cfg = dc.replace(SAM_TEST, window_size=3)  # 4x4 grid -> pads to 6x6
+    model = Sam(cfg)
+    model_f = Sam(dc.replace(cfg, fused_window_attn="interpret"))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.normal(0, 1, (1, cfg.img_size, cfg.img_size, 3)).astype(
+            np.float32
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x[0]),
+                        jnp.zeros((1, 4)))["params"]
+    pf = model_f.init(jax.random.PRNGKey(0), jnp.zeros_like(x[0]),
+                      jnp.zeros((1, 4)))["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(pf)
+
+    ref = model.apply({"params": params}, x, method=model.encode_image)
+    got = model_f.apply({"params": params}, x, method=model_f.encode_image)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4
+    )
