@@ -47,18 +47,33 @@ def run_fused(
     path below and cm3d_tpu.benchmarks.bench_e2e, so the benchmark measures
     the real code path).
 
+    Three-way overlap, mirroring run_mask_stage (the reference runs its two
+    stages strictly sequentially from disk): a 2-deep IO thread pulls the
+    frame source and runs prepare() (canvas assembly + the ~10 MB u8 upload
+    rides under the previous frame's device compute), the main thread keeps
+    the device queue fed (start_frame_masks per frame, lift step per batch),
+    and a finisher thread downloads each batch's boxes (np.asarray releases
+    the GIL during the device->host transfer) and runs on_boxes.
+
     frames: iterable of (images, assemble) where assemble(handle) returns
         (Keyframe, token) — or None to skip the frame. handle is the
         start_frame_masks result; its "planes" is never None here.
+        The iterable is consumed from the IO thread (it is the sole
+        consumer, so a generator is fine).
     on_boxes(token, boxes_slice): consume one keyframe's lift outputs
-        (numpy pytree, already sliced to this frame).
+        (numpy pytree, already sliced to this frame). Called from the
+        finisher thread, one batch at a time, in order.
     Returns the number of keyframes that went through the lift step.
     """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
     import jax.numpy as jnp
 
     pending: list = []
     n_frames = 0
+    it = iter(frames)
 
     def _stack(*xs):
         # device leaves (the mask bit-planes straight from the SAM decode)
@@ -68,33 +83,70 @@ def run_fused(
             return jnp.stack(xs)
         return np.stack(xs)
 
-    def flush():
-        nonlocal pending, n_frames
-        if not pending:
-            return
-        n_real = len(pending)
-        kfs = [kf for kf, _ in pending]
-        kfs += [kfs[-1]] * (batch_size - n_real)
-        batch = jax.tree.map(_stack, *kfs)
-        _, boxes = step(batch)
+    def _deliver(entries, boxes):
         boxes_np = jax.tree.map(np.asarray, boxes)
-        for i, (_, token) in enumerate(pending[:n_real]):
-            on_boxes(token, jax.tree.map(lambda x: x[i], boxes_np))
-        n_frames += n_real
-        pending = []
+        for i, (_, token) in enumerate(entries):
+            on_boxes(token, jax.tree.map(lambda x, i=i: x[i], boxes_np))
 
-    for images, assemble in frames:
-        # 2D stage: planes stay in the lift's bit-plane layout
-        handle = start_frame_masks(models, images, mask_cfg, plane_layout="xy")
-        if handle["planes"] is None:
-            continue
-        out = assemble(handle)
-        if out is None:
-            continue
-        pending.append(out)
-        if len(pending) >= batch_size:
-            flush()
-    flush()
+    def _pull():
+        # runs on the single IO worker — the only consumer of `it`
+        try:
+            images, assemble = next(it)
+        except StopIteration:
+            return None
+        return models.prepare(images), assemble
+
+    with ThreadPoolExecutor(max_workers=1) as io_pool, \
+            ThreadPoolExecutor(max_workers=1) as finish_pool:
+        deliver_fut = None
+
+        def flush():
+            nonlocal pending, deliver_fut, n_frames
+            if not pending:
+                return
+            entries, pending = pending, []
+            kfs = [kf for kf, _ in entries]
+            kfs += [kfs[-1]] * (batch_size - len(entries))
+            batch = jax.tree.map(_stack, *kfs)
+            _, boxes = step(batch)  # async dispatch
+            n_frames += len(entries)
+            # at most one delivery outstanding: ordering + bounded memory
+            if deliver_fut is not None:
+                deliver_fut.result()
+            deliver_fut = finish_pool.submit(_deliver, entries, boxes)
+
+        futs = deque()
+        exhausted = False
+
+        def _prefetch():
+            nonlocal exhausted
+            while not exhausted and len(futs) < 2:
+                futs.append(io_pool.submit(_pull))
+            return None
+
+        _prefetch()
+        while futs:
+            res = futs.popleft().result()
+            if res is None:
+                exhausted = True
+                continue
+            _prefetch()
+            prepared, assemble = res
+            # 2D stage: planes stay in the lift's bit-plane layout
+            handle = start_frame_masks(
+                models, None, mask_cfg, plane_layout="xy", prepared=prepared
+            )
+            if handle["planes"] is None:
+                continue
+            out = assemble(handle)
+            if out is None:
+                continue
+            pending.append(out)
+            if len(pending) >= batch_size:
+                flush()
+        flush()
+        if deliver_fut is not None:
+            deliver_fut.result()
     return n_frames
 
 
