@@ -88,6 +88,54 @@ class MaskArtifactStore:
             pickle.dump(rles, f)
         os.replace(tmp, d / f"{frame_num}_masks.pkl")
 
+    def write_frame_depths(
+        self,
+        scene_name: str,
+        frame_num: int,
+        labels: List[str],
+        detection_scores: List[float],
+        cam_nums: List[int],
+        depth_images,  # [M, H, W] f32 per-mask masked metric depth
+    ) -> None:
+        """use_zoedepth variant: the reference's zoe branch pickles the
+        masked depth images INTO {frame}_masks.pkl in place of the mask
+        payload (gen_2d_masks_detic.py:484-486,505 `np_images =
+        depth_images`). Reproduced byte-layout-faithfully (f32, not the
+        reference's implicit f64) with the same data.json sidecar."""
+        import numpy as _np
+
+        depth_images = _np.asarray(depth_images, _np.float32)
+        assert len(labels) == len(detection_scores) == len(cam_nums)
+        assert depth_images.shape[0] == len(labels)
+        d = self._scene_dir(scene_name)
+        d.mkdir(parents=True, exist_ok=True)
+        data = {
+            "labels": list(labels),
+            "detection_scores": [float(s) for s in detection_scores],
+            "cam_nums": [int(c) for c in cam_nums],
+        }
+        tmp = d / f".{frame_num}_data.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, d / f"{frame_num}_data.json")
+        tmp = d / f".{frame_num}_masks.pkl.tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(depth_images, f)
+        os.replace(tmp, d / f"{frame_num}_masks.pkl")
+
+    def read_frame_depths(self, scene_name: str, frame_num: int):
+        """Read back a use_zoedepth frame: (data dict, [M, H, W] f32)."""
+        d = self._scene_dir(scene_name)
+        try:
+            with open(d / f"{frame_num}_data.json") as f:
+                data = json.load(f)
+            with open(d / f"{frame_num}_masks.pkl", "rb") as f:
+                depths = pickle.load(f)
+        except (OSError, json.JSONDecodeError, pickle.UnpicklingError,
+                EOFError):
+            return None
+        return data, depths
+
     def mark_scene_complete(self, scene_name: str, num_frames: int) -> None:
         manifest = self.load_manifest()
         manifest[scene_name] = num_frames

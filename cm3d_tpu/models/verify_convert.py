@@ -215,6 +215,32 @@ def verify_clip(sd: Dict[str, np.ndarray], probe: bool = False) -> dict:
     return report
 
 
+def verify_zoe(sd: Dict[str, np.ndarray], probe: bool = False, cfg=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cm3d_tpu.models.zoedepth import (
+        ZOE_N, ZoeDepthModel, convert_zoedepth_params,
+    )
+
+    cfg = cfg or ZOE_N
+    params, cov = key_coverage(
+        sd, lambda s: convert_zoedepth_params(s, cfg)
+    )
+    model = ZoeDepthModel(cfg)
+    h, w = cfg.img_hw
+    x0 = jnp.zeros((1, h, w, 3), jnp.float32)
+    init = jax.eval_shape(
+        lambda r: model.init(r, x0), jax.random.PRNGKey(0)
+    )["params"]
+    report = _base_report(params, cov, init)
+    if probe and params is not None:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(x0.shape).astype(np.float32))
+        report["activations"] = activation_stats(model, params, x)
+    return report
+
+
 def has_problems(report: dict) -> bool:
     t = report["tree"]
     return bool(t["missing"] or t["extra"] or t["mismatched"])
@@ -229,6 +255,7 @@ def main(argv=None) -> int:
     p.add_argument("--sam", default="")
     p.add_argument("--detic", default="")
     p.add_argument("--clip", default="")
+    p.add_argument("--zoe", default="")
     p.add_argument("--probe", action="store_true",
                    help="also dump per-module activation stats")
     p.add_argument("--out", default="", help="write the full report JSON here")
@@ -240,6 +267,7 @@ def main(argv=None) -> int:
         ("sam", args.sam, verify_sam),
         ("detic", args.detic, verify_detic),
         ("clip", args.clip, verify_clip),
+        ("zoe", args.zoe, verify_zoe),
     ]:
         if not path:
             continue

@@ -1,0 +1,776 @@
+"""ZoeDepth metric monocular depth (MiDaS DPT-BEiT-L core + metric-bins
+head) in Flax.
+
+The reference keeps ZoeDepth as a vestigial alternative depth source: the
+hub load is commented out (src/nuscenes/gen_2d_masks_detic.py:117
+`torch.hub.load("isl-org/ZoeDepth", "ZoeD_NK", ...)`), `predict_depth`
+(`:121-124`) wraps `model.infer_pil`, and the `use_zoedepth` branch
+(`:408-451`, kitti/gen_2d_masks_detic.py:847-890) multiplies the predicted
+depth by each SAM mask's alpha plane and stores those masked depth images
+in place of the mask artifacts. This module provides the TPU-native model
+so that branch is a real capability instead of dead code.
+
+Architecture (Bhat et al. 2023, isl-org/ZoeDepth; MiDaS 3.1 DPT core):
+- BEiT-Large/16 backbone (24 blocks, dim 1024, 16 heads; no absolute
+  position embedding; per-block decomposed relative position bias with the
+  3 cls-token entries; LayerScale gamma_1/gamma_2; q/v bias only).
+- DPT neck: 4 hooked blocks -> "project" readout (cls token concat +
+  linear + GELU) -> 1x1 projection to (256, 512, 1024, 1024) -> resample
+  (x4 and x2 transposed convs, identity, stride-2 conv) -> 3x3 `layer_rn`
+  convs to 256 -> RefineNet-style fusion blocks (two residual conv units,
+  align-corners x2 upsample, 1x1 out conv) -> output head (3x3 conv 128,
+  x2 upsample, 3x3 conv 32, ReLU, 1x1 conv, ReLU) = relative depth.
+- Metric-bins head: bottleneck 1x1 conv on `layer4_rn`, per-pixel seed bin
+  regressor (softplus, unnormed), 4 attractor layers (inverse attractor
+  dx/(1+alpha*dx^gamma), mean reduction) refining bin centers up the
+  decoder scales, and a conditional log-binomial over the bins on the
+  32-channel output feature concatenated with the relative depth;
+  depth = sum(probs * bin_centers).
+
+All interpolations are align_corners=True bilinear (torch
+`F.interpolate(..., align_corners=True)` everywhere in ZoeDepth/MiDaS),
+implemented as separable matmuls against static weight matrices — gathers
+are slow on TPU, matmuls are free on the MXU.
+
+Deviations (documented, dead-code parity target):
+- Inference runs at the static config resolution (the reference's
+  `infer_pil` resizes to the network size host-side anyway); the
+  reflection pad_input of `DepthModel.infer` is not reproduced.
+- The ZoeD_NK twin-head domain router (patch-transformer classifier over
+  NYU/KITTI heads) is collapsed to the single metric-bins head (ZoeD_N
+  layout): the reference never executes the model, and the single head is
+  the published architecture both NK heads instantiate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from cm3d_tpu.models.common import MLPBlock
+
+
+@dataclasses.dataclass(frozen=True)
+class ZoeDepthConfig:
+    img_hw: Tuple[int, int] = (384, 512)  # network input (H, W)
+    patch_size: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    hooks: Tuple[int, int, int, int] = (5, 11, 17, 23)
+    dpt_dims: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
+    scratch_dim: int = 256
+    head_dim1: int = 128  # output_conv1 channels
+    head_dim2: int = 32  # output_conv2 feature channels (the Zoe tap)
+    n_bins: int = 64
+    bin_embedding_dim: int = 128
+    n_attractors: Tuple[int, int, int, int] = (16, 8, 4, 1)
+    attractor_alpha: float = 1000.0
+    attractor_gamma: float = 2.0
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+    dtype: str = "float32"  # compute dtype (params stay f32)
+
+    @property
+    def grid_hw(self) -> Tuple[int, int]:
+        return (self.img_hw[0] // self.patch_size,
+                self.img_hw[1] // self.patch_size)
+
+
+ZOE_N = ZoeDepthConfig()
+ZOE_TEST = ZoeDepthConfig(
+    img_hw=(64, 96), embed_dim=32, depth=4, num_heads=2,
+    hooks=(0, 1, 2, 3), dpt_dims=(8, 12, 16, 16), scratch_dim=16,
+    head_dim1=8, head_dim2=8, n_bins=8, bin_embedding_dim=8,
+    n_attractors=(4, 2, 2, 1),
+)
+
+# ImageNet normalization (torchvision transforms in ZoeDepth's pipeline)
+ZOE_PIXEL_MEAN = (0.485, 0.456, 0.406)
+ZOE_PIXEL_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------------------
+# align-corners bilinear resize as separable matmuls
+# ---------------------------------------------------------------------------
+
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] align-corners linear interpolation weights."""
+    if n_in == 1:
+        return np.ones((n_out, 1), np.float32)
+    if n_out == 1:
+        w = np.zeros((1, n_in), np.float32)
+        w[0, 0] = 1.0  # torch align_corners samples position 0
+        return w
+    pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo).astype(np.float32)
+    w = np.zeros((n_out, n_in), np.float32)
+    w[np.arange(n_out), lo] += 1 - frac
+    w[np.arange(n_out), hi] += frac
+    return w
+
+
+def resize_bilinear_ac(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """NHWC align-corners bilinear resize via two matmuls (MXU-friendly)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    dt = x.dtype
+    wy = jnp.asarray(_resize_matrix(oh, h), dt)
+    wx = jnp.asarray(_resize_matrix(ow, w), dt)
+    x = jnp.einsum("oh,bhwc->bowc", wy, x)
+    return jnp.einsum("ow,bhwc->bhoc", wx, x)
+
+
+# ---------------------------------------------------------------------------
+# BEiT backbone
+# ---------------------------------------------------------------------------
+
+def _beit_rel_pos_index(gh: int, gw: int) -> np.ndarray:
+    """BEiT relative-position index over [1+gh*gw]^2 tokens (cls first).
+
+    Token-token entries index a (2gh-1)*(2gw-1) table; the last 3 entries
+    are cls->token, token->cls, cls->cls (timm beit convention)."""
+    n = gh * gw
+    coords = np.stack(np.meshgrid(np.arange(gh), np.arange(gw),
+                                  indexing="ij"))  # [2, gh, gw]
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, n, n]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += gh - 1
+    rel[:, :, 1] += gw - 1
+    rel[:, :, 0] *= 2 * gw - 1
+    num = (2 * gh - 1) * (2 * gw - 1)
+    idx = np.zeros((n + 1, n + 1), np.int32)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num  # cls -> token
+    idx[0:, 0] = num + 1  # token -> cls
+    idx[0, 0] = num + 2  # cls -> cls
+    return idx
+
+
+class BeitAttention(nn.Module):
+    """BEiT attention: fused qkv with q/v bias only + per-block decomposed
+    relative position bias (static index gather -> add)."""
+
+    dim: int
+    heads: int
+    grid_hw: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, _ = x.shape
+        gh, gw = self.grid_hw
+        head_dim = self.dim // self.heads
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(),
+            (self.dim, 3 * self.dim),
+        )
+        q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
+        num_rel = (2 * gh - 1) * (2 * gw - 1) + 3
+        table = self.param(
+            "relative_position_bias_table", nn.initializers.zeros,
+            (num_rel, self.heads),
+        )
+        qkv = x @ qkv_kernel.astype(self.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q + q_bias.astype(self.dtype)
+        v = v + v_bias.astype(self.dtype)
+
+        def split(t):
+            return jnp.transpose(
+                t.reshape(b, n, self.heads, head_dim), (0, 2, 1, 3)
+            )
+
+        q, k, v = split(q), split(k), split(v)
+        attn = (q * (head_dim ** -0.5)) @ jnp.swapaxes(k, -2, -1)
+        idx = _beit_rel_pos_index(gh, gw)  # static [n, n]
+        bias = table[jnp.asarray(idx)]  # [n, n, heads]
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(self.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        o = jnp.transpose(attn @ v, (0, 2, 1, 3)).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(o)
+
+
+class BeitBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: float
+    grid_hw: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma_1 = self.param("gamma_1", nn.initializers.ones, (self.dim,))
+        gamma_2 = self.param("gamma_2", nn.initializers.ones, (self.dim,))
+        y = nn.LayerNorm(name="norm1")(x).astype(self.dtype)
+        y = BeitAttention(
+            self.dim, self.heads, self.grid_hw, self.dtype, name="attn"
+        )(y)
+        x = x + gamma_1.astype(self.dtype) * y
+        y = nn.LayerNorm(name="norm2")(x).astype(self.dtype)
+        y = MLPBlock(
+            int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+            name="mlp",
+        )(y)
+        return x + gamma_2.astype(self.dtype) * y
+
+
+class BeitBackbone(nn.Module):
+    """BEiT-L trunk returning token features at the 4 DPT hook depths."""
+
+    cfg: ZoeDepthConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        b = x.shape[0]
+        x = nn.Conv(
+            cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), dtype=dt,
+            name="patch_embed",
+        )(x.astype(dt))
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, cfg.embed_dim)
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dim)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(dt), x],
+            axis=1,
+        )
+        feats = []
+        for i in range(cfg.depth):
+            x = BeitBlock(
+                cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, (gh, gw), dt,
+                name=f"block{i}",
+            )(x)
+            if i in cfg.hooks:
+                feats.append(x)
+        return tuple(feats)
+
+
+# ---------------------------------------------------------------------------
+# DPT neck + fusion decoder (MiDaS 3.1)
+# ---------------------------------------------------------------------------
+
+class Readout(nn.Module):
+    """DPT "project" readout: concat cls token onto every patch token,
+    linear back to dim, GELU."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        cls, patches = tokens[:, :1], tokens[:, 1:]
+        cls = jnp.broadcast_to(cls, patches.shape)
+        x = jnp.concatenate([patches, cls], axis=-1)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="project")(x)
+        return nn.gelu(x, approximate=False)
+
+
+class ResidualConvUnit(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.relu(x)
+        y = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(y)
+        return x + y
+
+
+class FusionBlock(nn.Module):
+    """MiDaS FeatureFusionBlock_custom (align_corners=True upsample)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array | None = None) -> jax.Array:
+        if skip is not None:
+            x = x + ResidualConvUnit(self.dim, self.dtype, name="rcu1")(skip)
+        x = ResidualConvUnit(self.dim, self.dtype, name="rcu2")(x)
+        x = resize_bilinear_ac(x, (x.shape[1] * 2, x.shape[2] * 2))
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="out_conv")(x)
+
+
+class MidasCore(nn.Module):
+    """BEiT-DPT relative-depth core; also returns the Zoe taps:
+    (rel_depth [B,H,W], out32 [B,H,W,32], l4_rn, r4, r3, r2, r1)."""
+
+    cfg: ZoeDepthConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        b = x.shape[0]
+        gh, gw = cfg.grid_hw
+        feats = BeitBackbone(cfg, name="beit")(x)
+
+        # reassemble each hooked feature to its pyramid resolution
+        maps = []
+        for i, tokens in enumerate(feats):
+            y = Readout(cfg.embed_dim, dt, name=f"readout{i}")(tokens)
+            y = y.reshape(b, gh, gw, cfg.embed_dim)
+            y = nn.Conv(cfg.dpt_dims[i], (1, 1), dtype=dt,
+                        name=f"project{i}")(y)
+            if i == 0:  # x4
+                y = nn.ConvTranspose(
+                    cfg.dpt_dims[i], (4, 4), strides=(4, 4), dtype=dt,
+                    name="resample0",
+                )(y)
+            elif i == 1:  # x2
+                y = nn.ConvTranspose(
+                    cfg.dpt_dims[i], (2, 2), strides=(2, 2), dtype=dt,
+                    name="resample1",
+                )(y)
+            elif i == 3:  # /2
+                y = nn.Conv(
+                    cfg.dpt_dims[i], (3, 3), strides=(2, 2), padding=1,
+                    dtype=dt, name="resample3",
+                )(y)
+            y = nn.Conv(
+                cfg.scratch_dim, (3, 3), padding=1, use_bias=False, dtype=dt,
+                name=f"layer{i + 1}_rn",
+            )(y)
+            maps.append(y)
+        l1_rn, l2_rn, l3_rn, l4_rn = maps
+
+        r4 = FusionBlock(cfg.scratch_dim, dt, name="refinenet4")(l4_rn)
+        r4 = r4[:, : l3_rn.shape[1], : l3_rn.shape[2]]
+        r3 = FusionBlock(cfg.scratch_dim, dt, name="refinenet3")(r4, l3_rn)
+        r3 = r3[:, : l2_rn.shape[1], : l2_rn.shape[2]]
+        r2 = FusionBlock(cfg.scratch_dim, dt, name="refinenet2")(r3, l2_rn)
+        r2 = r2[:, : l1_rn.shape[1], : l1_rn.shape[2]]
+        r1 = FusionBlock(cfg.scratch_dim, dt, name="refinenet1")(r2, l1_rn)
+
+        y = nn.Conv(cfg.head_dim1, (3, 3), padding=1, dtype=dt,
+                    name="output_conv1")(r1)
+        y = resize_bilinear_ac(y, (y.shape[1] * 2, y.shape[2] * 2))
+        y = nn.Conv(cfg.head_dim2, (3, 3), padding=1, dtype=dt,
+                    name="output_conv2a")(y)
+        out32 = nn.relu(y)
+        y = nn.Conv(1, (1, 1), dtype=dt, name="output_conv2b")(out32)
+        rel_depth = nn.relu(y)[..., 0].astype(jnp.float32)
+        return rel_depth, out32, l4_rn, r4, r3, r2, r1
+
+
+# ---------------------------------------------------------------------------
+# Metric-bins head
+# ---------------------------------------------------------------------------
+
+class ConvMLP(nn.Module):
+    """1x1 conv -> ReLU -> 1x1 conv (the _net of Zoe's small heads)."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(self.hidden, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.out, (1, 1), dtype=self.dtype, name="conv2")(x)
+
+
+class ZoeDepthModel(nn.Module):
+    """Full metric-depth model. __call__: [B, H, W, 3] normalized image ->
+    (depth [B, H, W] meters, rel_depth [B, H, W])."""
+
+    cfg: ZoeDepthConfig = ZOE_N
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        rel_depth, out32, l4_rn, r4, r3, r2, r1 = MidasCore(
+            cfg, name="core"
+        )(x)
+
+        btl = nn.Conv(cfg.scratch_dim, (1, 1), dtype=dt, name="conv2")(l4_rn)
+        # per-pixel seed bin centers (softplus, unnormed = metric meters)
+        seed = ConvMLP(cfg.scratch_dim, cfg.n_bins, dt,
+                       name="seed_bin_regressor")(btl)
+        b_prev = jax.nn.softplus(seed.astype(jnp.float32))  # [B, h, w, n_bins]
+        # torch Projector/Attractor default mlp_dim=128 == bin_embedding_dim
+        prev_emb = ConvMLP(cfg.bin_embedding_dim, cfg.bin_embedding_dim, dt,
+                           name="seed_projector")(btl)
+
+        b_emb = prev_emb
+        for i, xb in enumerate((r4, r3, r2, r1)):
+            hw = (xb.shape[1], xb.shape[2])
+            b_emb = ConvMLP(cfg.bin_embedding_dim, cfg.bin_embedding_dim, dt,
+                            name=f"projector{i}")(xb)
+            # attractor layer (unnormed, inverse attractor, mean reduction)
+            emb_in = b_emb + resize_bilinear_ac(prev_emb, hw)
+            attr = ConvMLP(cfg.bin_embedding_dim, cfg.n_attractors[i], dt,
+                           name=f"attractor{i}")(emb_in)
+            attr = jax.nn.softplus(attr.astype(jnp.float32))  # [B,h,w,nA]
+            b_prev = resize_bilinear_ac(b_prev, hw)
+            dx = attr[..., :, None] - b_prev[..., None, :]  # [B,h,w,nA,nBins]
+            delta = dx / (
+                1.0 + cfg.attractor_alpha
+                * jnp.abs(dx) ** cfg.attractor_gamma
+            )
+            b_prev = b_prev + jnp.mean(delta, axis=-2)
+            prev_emb = b_emb
+
+        # conditional log-binomial over the bins at full resolution
+        hw_out = (out32.shape[1], out32.shape[2])
+        last = jnp.concatenate(
+            [out32.astype(jnp.float32), rel_depth[..., None]], axis=-1
+        )
+        cond = resize_bilinear_ac(b_emb.astype(jnp.float32), hw_out)
+        pt = ConvMLP(
+            (cfg.head_dim2 + 1 + cfg.bin_embedding_dim) // 2, 4, dt,
+            name="conditional_log_binomial",
+        )(jnp.concatenate([last, cond], axis=-1).astype(dt))
+        pt = jax.nn.softplus(pt.astype(jnp.float32)) + 1e-4
+        p = pt[..., 0] / (pt[..., 0] + pt[..., 1])  # [B, H, W] in (0, 1)
+        t = pt[..., 2] / (pt[..., 2] + pt[..., 3])
+        n = cfg.n_bins
+        k = jnp.arange(n, dtype=jnp.float32)
+        log_coef = (
+            jax.lax.lgamma(jnp.float32(n))
+            - jax.lax.lgamma(k + 1.0)
+            - jax.lax.lgamma(jnp.float32(n) - k)
+        )  # log C(n-1, k)
+        logp = jnp.log(jnp.clip(p, 1e-8, 1 - 1e-8))
+        log1p = jnp.log(jnp.clip(1 - p, 1e-8, 1 - 1e-8))
+        log_binom = (
+            log_coef[None, None, None, :]
+            + k[None, None, None, :] * logp[..., None]
+            + (n - 1 - k)[None, None, None, :] * log1p[..., None]
+        )
+        probs = jax.nn.softmax(log_binom / t[..., None], axis=-1)
+
+        centers = resize_bilinear_ac(b_prev, hw_out)  # [B, H, W, n_bins]
+        depth = jnp.sum(probs * centers, axis=-1)
+        depth = jnp.clip(depth, cfg.min_depth, cfg.max_depth)
+        return depth, rel_depth
+
+
+# ---------------------------------------------------------------------------
+# Inference wrapper (the reference's predict_depth contract)
+# ---------------------------------------------------------------------------
+
+def preprocess_zoe(image_u8: np.ndarray, img_hw: Tuple[int, int]) -> np.ndarray:
+    """uint8 RGB [H, W, 3] -> normalized f32 at the network resolution."""
+    from PIL import Image
+
+    im = Image.fromarray(image_u8).resize(
+        (img_hw[1], img_hw[0]), Image.BILINEAR
+    )
+    x = np.asarray(im, np.float32) / 255.0
+    return (x - np.asarray(ZOE_PIXEL_MEAN, np.float32)) / np.asarray(
+        ZOE_PIXEL_STD, np.float32
+    )
+
+
+def make_predict_depth(model: ZoeDepthModel, params, flip_aug: bool = True):
+    """Build predict_depth(image_u8) -> metric depth [H, W] at the INPUT
+    resolution (reference gen_2d_masks_detic.py:121-124: infer_pil). Flip
+    averaging mirrors DepthModel.infer's with_flip_aug default."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def fwd(p, x):
+        d, _ = model.apply({"params": p}, x)
+        if flip_aug:
+            d_f, _ = model.apply({"params": p}, x[:, :, ::-1])
+            d = 0.5 * (d + d_f[:, :, ::-1])
+        return d
+
+    def predict_depth(image_u8: np.ndarray) -> np.ndarray:
+        h, w = image_u8.shape[:2]
+        x = preprocess_zoe(image_u8, model.cfg.img_hw)
+        d = fwd(params, jnp.asarray(x)[None])[0]
+        d = resize_bilinear_ac(d[None, ..., None], (h, w))[0, ..., 0]
+        return np.asarray(d, np.float32)
+
+    return predict_depth
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion (isl-org/ZoeDepth ZoeD_N torch hub layout)
+# ---------------------------------------------------------------------------
+
+def _conv(sd, key):
+    """torch OIHW conv -> flax HWIO."""
+    return {
+        "kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 1, 0)),
+        "bias": sd[f"{key}.bias"],
+    }
+
+
+def _conv_nb(sd, key):
+    return {"kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 1, 0))}
+
+
+def _convT(sd, key):
+    """torch ConvTranspose2d IOHW -> flax HWIO with the spatial flip
+    (flax ConvTranspose applies the kernel unflipped; torch's op is the
+    conv gradient — verified against torch.nn.ConvTranspose2d)."""
+    w = np.transpose(sd[f"{key}.weight"], (2, 3, 0, 1))[::-1, ::-1]
+    return {"kernel": np.ascontiguousarray(w), "bias": sd[f"{key}.bias"]}
+
+
+def _dense(sd, key):
+    return {"kernel": sd[f"{key}.weight"].T, "bias": sd[f"{key}.bias"]}
+
+
+def _ln(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _interp_rel_table(table: np.ndarray, num_rel: int) -> np.ndarray:
+    """Resize a BEiT relative-position-bias table (minus its 3 cls rows) to
+    `num_rel` entries by linear interpolation (checkpoint grid != config
+    grid, e.g. square 384-training vs 384x512 inference)."""
+    if table.shape[0] == num_rel:
+        return table
+    body, cls_rows = table[:-3], table[-3:]
+    n_out = num_rel - 3
+    pos = np.linspace(0, body.shape[0] - 1, n_out)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, body.shape[0] - 1)
+    frac = (pos - lo)[:, None].astype(table.dtype)
+    return np.concatenate(
+        [body[lo] * (1 - frac) + body[hi] * frac, cls_rows], axis=0
+    )
+
+
+def _rcu(sd, key):
+    return {
+        "conv1": _conv(sd, f"{key}.conv1"),
+        "conv2": _conv(sd, f"{key}.conv2"),
+    }
+
+
+def _convmlp(sd, key):
+    return {"conv1": _conv(sd, f"{key}._net.0"),
+            "conv2": _conv(sd, f"{key}._net.2")}
+
+
+def convert_zoedepth_params(
+    sd: Dict[str, np.ndarray], cfg: ZoeDepthConfig = ZOE_N
+) -> dict:
+    """Map the isl-org/ZoeDepth ZoeD_N state dict onto ZoeDepthModel's tree.
+
+    Key layout (torch hub `ZoeDepth.build(...)` checkpoint, prefixes):
+      core.core.pretrained.model.*   timm BEiT-L (blocks.N.{norm1, attn.
+        {qkv.weight, q_bias, v_bias, relative_position_bias_table, proj},
+        gamma_1, gamma_2, norm2, mlp.fc1/fc2}, patch_embed.proj, cls_token)
+      core.core.pretrained.act_postprocess{1..4}.*  readout project (0.0),
+        1x1 projection (3), resample convs (4)
+      core.core.scratch.layer{1..4}_rn, refinenet{1..4}.{resConfUnit1,
+        resConfUnit2, out_conv}, output_conv{1, 2.0, 2.2}
+      conv2, seed_bin_regressor._net, seed_projector._net,
+      projectors.{0..3}._net, attractors.{0..3}._net,
+      conditional_log_binomial.mlp
+    """
+    gh, gw = cfg.grid_hw
+    num_rel = (2 * gh - 1) * (2 * gw - 1) + 3
+    bb = "core.core.pretrained.model"
+    beit: dict = {
+        "patch_embed": _conv(sd, f"{bb}.patch_embed.proj"),
+        "cls_token": sd[f"{bb}.cls_token"],
+    }
+    for i in range(cfg.depth):
+        k = f"{bb}.blocks.{i}"
+        beit[f"block{i}"] = {
+            "gamma_1": sd[f"{k}.gamma_1"],
+            "gamma_2": sd[f"{k}.gamma_2"],
+            "norm1": _ln(sd, f"{k}.norm1"),
+            "norm2": _ln(sd, f"{k}.norm2"),
+            "attn": {
+                "qkv_kernel": sd[f"{k}.attn.qkv.weight"].T,
+                "q_bias": sd[f"{k}.attn.q_bias"],
+                "v_bias": sd[f"{k}.attn.v_bias"],
+                "relative_position_bias_table": _interp_rel_table(
+                    sd[f"{k}.attn.relative_position_bias_table"], num_rel
+                ),
+                "proj": _dense(sd, f"{k}.attn.proj"),
+            },
+            "mlp": {
+                "lin1": _dense(sd, f"{k}.mlp.fc1"),
+                "lin2": _dense(sd, f"{k}.mlp.fc2"),
+            },
+        }
+
+    pp = "core.core.pretrained"
+    core: dict = {"beit": beit}
+    for i in range(4):
+        ap = f"{pp}.act_postprocess{i + 1}"
+        core[f"readout{i}"] = {"project": _dense(sd, f"{ap}.0.project.0")}
+        core[f"project{i}"] = _conv(sd, f"{ap}.3")
+        if i == 0:
+            core["resample0"] = _convT(sd, f"{ap}.4")
+        elif i == 1:
+            core["resample1"] = _convT(sd, f"{ap}.4")
+        elif i == 3:
+            core["resample3"] = _conv(sd, f"{ap}.4")
+        core[f"layer{i + 1}_rn"] = _conv_nb(
+            sd, f"core.core.scratch.layer{i + 1}_rn"
+        )
+    for i in (1, 2, 3, 4):
+        rk = f"core.core.scratch.refinenet{i}"
+        core[f"refinenet{i}"] = {
+            "rcu2": _rcu(sd, f"{rk}.resConfUnit2"),
+            "out_conv": _conv(sd, f"{rk}.out_conv"),
+        }
+        if i != 4:
+            # refinenet4 has no lateral skip: torch instantiates its
+            # resConfUnit1 but never runs it — leave those ckpt keys
+            # ignored instead of creating dead params
+            core[f"refinenet{i}"]["rcu1"] = _rcu(sd, f"{rk}.resConfUnit1")
+    # MiDaS DPT head is one Sequential: 0=conv->128, 1=Interpolate,
+    # 2=conv->32, 3=ReLU (the Zoe "out_conv" hook), 4=conv->1, 5=ReLU
+    core["output_conv1"] = _conv(sd, "core.core.scratch.output_conv.0")
+    core["output_conv2a"] = _conv(sd, "core.core.scratch.output_conv.2")
+    core["output_conv2b"] = _conv(sd, "core.core.scratch.output_conv.4")
+
+    params: dict = {
+        "core": core,
+        "conv2": _conv(sd, "conv2"),
+        "seed_bin_regressor": _convmlp(sd, "seed_bin_regressor"),
+        "seed_projector": _convmlp(sd, "seed_projector"),
+        "conditional_log_binomial": {
+            "conv1": _conv(sd, "conditional_log_binomial.mlp.0"),
+            "conv2": _conv(sd, "conditional_log_binomial.mlp.2"),
+        },
+    }
+    for i in range(4):
+        params[f"projector{i}"] = _convmlp(sd, f"projectors.{i}")
+        params[f"attractor{i}"] = _convmlp(sd, f"attractors.{i}")
+    return params
+
+
+def synth_zoedepth_state_dict(
+    cfg: ZoeDepthConfig, rng: np.random.Generator,
+    ckpt_grid: Tuple[int, int] | None = None,
+) -> Dict[str, np.ndarray]:
+    """Synthesize a state dict with the official key layout (tests; the
+    real checkpoint is unreachable in this environment — SURVEY.md §2.3)."""
+    d = cfg.embed_dim
+    gh, gw = ckpt_grid or cfg.grid_hw
+    num_rel = (2 * gh - 1) * (2 * gw - 1) + 3
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    sd: Dict[str, np.ndarray] = {}
+    bb = "core.core.pretrained.model"
+    sd[f"{bb}.patch_embed.proj.weight"] = t(d, 3, cfg.patch_size,
+                                            cfg.patch_size)
+    sd[f"{bb}.patch_embed.proj.bias"] = t(d)
+    sd[f"{bb}.cls_token"] = t(1, 1, d)
+    hidden = int(d * cfg.mlp_ratio)
+    for i in range(cfg.depth):
+        k = f"{bb}.blocks.{i}"
+        sd[f"{k}.norm1.weight"] = t(d) + 1
+        sd[f"{k}.norm1.bias"] = t(d)
+        sd[f"{k}.norm2.weight"] = t(d) + 1
+        sd[f"{k}.norm2.bias"] = t(d)
+        sd[f"{k}.gamma_1"] = t(d) + 1
+        sd[f"{k}.gamma_2"] = t(d) + 1
+        sd[f"{k}.attn.qkv.weight"] = t(3 * d, d)
+        sd[f"{k}.attn.q_bias"] = t(d)
+        sd[f"{k}.attn.v_bias"] = t(d)
+        sd[f"{k}.attn.relative_position_bias_table"] = t(
+            num_rel, cfg.num_heads
+        )
+        sd[f"{k}.attn.proj.weight"] = t(d, d)
+        sd[f"{k}.attn.proj.bias"] = t(d)
+        sd[f"{k}.mlp.fc1.weight"] = t(hidden, d)
+        sd[f"{k}.mlp.fc1.bias"] = t(hidden)
+        sd[f"{k}.mlp.fc2.weight"] = t(d, hidden)
+        sd[f"{k}.mlp.fc2.bias"] = t(d)
+
+    pp = "core.core.pretrained"
+    for i in range(4):
+        dd = cfg.dpt_dims[i]
+        sd[f"{pp}.act_postprocess{i + 1}.0.project.0.weight"] = t(d, 2 * d)
+        sd[f"{pp}.act_postprocess{i + 1}.0.project.0.bias"] = t(d)
+        sd[f"{pp}.act_postprocess{i + 1}.3.weight"] = t(dd, d, 1, 1)
+        sd[f"{pp}.act_postprocess{i + 1}.3.bias"] = t(dd)
+        if i == 0:
+            sd[f"{pp}.act_postprocess1.4.weight"] = t(dd, dd, 4, 4)
+            sd[f"{pp}.act_postprocess1.4.bias"] = t(dd)
+        elif i == 1:
+            sd[f"{pp}.act_postprocess2.4.weight"] = t(dd, dd, 2, 2)
+            sd[f"{pp}.act_postprocess2.4.bias"] = t(dd)
+        elif i == 3:
+            sd[f"{pp}.act_postprocess4.4.weight"] = t(dd, dd, 3, 3)
+            sd[f"{pp}.act_postprocess4.4.bias"] = t(dd)
+        sd[f"core.core.scratch.layer{i + 1}_rn.weight"] = t(
+            cfg.scratch_dim, dd, 3, 3
+        )
+    s = cfg.scratch_dim
+    for i in (1, 2, 3, 4):
+        rk = f"core.core.scratch.refinenet{i}"
+        for u in ("resConfUnit1", "resConfUnit2"):
+            sd[f"{rk}.{u}.conv1.weight"] = t(s, s, 3, 3)
+            sd[f"{rk}.{u}.conv1.bias"] = t(s)
+            sd[f"{rk}.{u}.conv2.weight"] = t(s, s, 3, 3)
+            sd[f"{rk}.{u}.conv2.bias"] = t(s)
+        sd[f"{rk}.out_conv.weight"] = t(s, s, 1, 1)
+        sd[f"{rk}.out_conv.bias"] = t(s)
+    sd["core.core.scratch.output_conv.0.weight"] = t(cfg.head_dim1, s, 3, 3)
+    sd["core.core.scratch.output_conv.0.bias"] = t(cfg.head_dim1)
+    sd["core.core.scratch.output_conv.2.weight"] = t(
+        cfg.head_dim2, cfg.head_dim1, 3, 3
+    )
+    sd["core.core.scratch.output_conv.2.bias"] = t(cfg.head_dim2)
+    sd["core.core.scratch.output_conv.4.weight"] = t(1, cfg.head_dim2, 1, 1)
+    sd["core.core.scratch.output_conv.4.bias"] = t(1)
+
+    sd["conv2.weight"] = t(s, s, 1, 1)
+    sd["conv2.bias"] = t(s)
+    sd["seed_bin_regressor._net.0.weight"] = t(s, s, 1, 1)
+    sd["seed_bin_regressor._net.0.bias"] = t(s)
+    sd["seed_bin_regressor._net.2.weight"] = t(cfg.n_bins, s, 1, 1)
+    sd["seed_bin_regressor._net.2.bias"] = t(cfg.n_bins)
+    sd["seed_projector._net.0.weight"] = t(cfg.bin_embedding_dim, s, 1, 1)
+    sd["seed_projector._net.0.bias"] = t(cfg.bin_embedding_dim)
+    sd["seed_projector._net.2.weight"] = t(
+        cfg.bin_embedding_dim, cfg.bin_embedding_dim, 1, 1
+    )
+    sd["seed_projector._net.2.bias"] = t(cfg.bin_embedding_dim)
+    e = cfg.bin_embedding_dim
+    for i in range(4):
+        sd[f"projectors.{i}._net.0.weight"] = t(e, s, 1, 1)
+        sd[f"projectors.{i}._net.0.bias"] = t(e)
+        sd[f"projectors.{i}._net.2.weight"] = t(e, e, 1, 1)
+        sd[f"projectors.{i}._net.2.bias"] = t(e)
+        sd[f"attractors.{i}._net.0.weight"] = t(e, e, 1, 1)
+        sd[f"attractors.{i}._net.0.bias"] = t(e)
+        sd[f"attractors.{i}._net.2.weight"] = t(cfg.n_attractors[i], e, 1, 1)
+        sd[f"attractors.{i}._net.2.bias"] = t(cfg.n_attractors[i])
+    cin = cfg.head_dim2 + 1 + e
+    sd["conditional_log_binomial.mlp.0.weight"] = t(cin // 2, cin, 1, 1)
+    sd["conditional_log_binomial.mlp.0.bias"] = t(cin // 2)
+    sd["conditional_log_binomial.mlp.2.weight"] = t(4, cin // 2, 1, 1)
+    sd["conditional_log_binomial.mlp.2.bias"] = t(4)
+    return sd

@@ -56,6 +56,10 @@ class MaskModels:
     sam_encode: Callable
     sam_decode_planes: Callable
     vocabulary: Tuple[str, ...] = CUSTOM_VOCABULARY_NUSCENES
+    # optional ZoeDepth metric depth: image_u8 [H, W, 3] -> depth [H, W]
+    # f32 meters (reference predict_depth, gen_2d_masks_detic.py:121-124);
+    # consumed when MaskStageConfig.use_zoedepth is on
+    predict_depth: Optional[Callable] = None
 
 
 def classwise_nms_np(boxes, scores, labels, iou_thresh=0.75):
@@ -121,6 +125,10 @@ def start_frame_masks(
     # compute.
     det = models.detic(frame_inputs)  # async dispatch
     emb = models.sam_encode(frame_inputs)  # async dispatch
+    depths = None
+    if cfg.use_zoedepth and models.predict_depth is not None:
+        # reference zoe branch (:412-414): one depth map per camera image
+        depths = [models.predict_depth(im) for im in images]
     boxes_b, scores_b, cids_b, valid_b = [np.asarray(x) for x in det]
     n_cams = len(cam_hw)
 
@@ -184,8 +192,28 @@ def start_frame_masks(
         "planes": planes, "total": total, "plane_wh": plane_wh,
         "layout": plane_layout,
         "labels": all_labels, "scores": all_scores, "cams": all_cams,
-        "counts": counts,
+        "counts": counts, "depths": depths,
     }
+
+
+def masked_depth_images(handle: dict) -> np.ndarray:
+    """use_zoedepth payload: per-mask masked metric depth [M, H, W] f32
+    (reference :445-451: `depth_image_arr * mask_alpha`). Depth maps are
+    zero-padded to the plane size; masks crop them per instance."""
+    plane_w, plane_h = handle["plane_wh"]
+    depths = handle["depths"]
+    if handle["planes"] is None or not handle["labels"]:
+        return np.zeros((0, plane_h, plane_w), np.float32)
+    planes = np.asarray(handle["planes"])
+    if handle["layout"] == "yx":
+        planes = np.ascontiguousarray(np.swapaxes(planes, 0, 1))
+    dense = unpack_masks_np(planes, handle["total"])  # [M, W, H] bool
+    pad = np.zeros((len(depths), plane_h, plane_w), np.float32)
+    for c, dm in enumerate(depths):
+        h, w = dm.shape
+        pad[c, :h, :w] = dm
+    cams = np.asarray(handle["cams"], np.int32)
+    return np.swapaxes(dense, 1, 2).astype(np.float32) * pad[cams]
 
 
 def finish_frame_masks(
@@ -309,6 +337,13 @@ def run_mask_stage(
             store.write_frame_rles(
                 scene, f, handle["labels"], handle["scores"],
                 handle["cams"], [],
+            )
+        elif handle.get("depths") is not None:
+            # use_zoedepth: masked depth images replace the mask payload
+            # (reference :484-486)
+            store.write_frame_depths(
+                scene, f, handle["labels"], handle["scores"],
+                handle["cams"], masked_depth_images(handle),
             )
         else:
             # packed planes -> COCO RLE straight in C: no dense [M, W, H]
@@ -578,6 +613,36 @@ def build_real_models(
     )
 
 
+def attach_zoedepth(
+    models: MaskModels, ckpt_path: str = "", test: bool = False,
+    flip_aug: bool = True, seed: int = 0,
+) -> MaskModels:
+    """Wire a ZoeDepth predict_depth into a MaskModels (the reference's
+    commented-out `torch.hub.load("isl-org/ZoeDepth", ...)`,
+    gen_2d_masks_detic.py:117). test=True builds the tiny random-weight
+    ZOE_TEST model (hermetic CI)."""
+    import jax
+
+    from cm3d_tpu.models.convert_sam import load_torch_state_dict
+    from cm3d_tpu.models.zoedepth import (
+        ZOE_N, ZOE_TEST, ZoeDepthModel, convert_zoedepth_params,
+        make_predict_depth,
+    )
+
+    if test:
+        model = ZoeDepthModel(ZOE_TEST)
+        h, w = ZOE_TEST.img_hw
+        params = model.init(
+            jax.random.PRNGKey(seed), np.zeros((1, h, w, 3), np.float32)
+        )["params"]
+    else:
+        model = ZoeDepthModel(ZOE_N)
+        params = convert_zoedepth_params(load_torch_state_dict(ckpt_path))
+    return dataclasses.replace(
+        models, predict_depth=make_predict_depth(model, params, flip_aug)
+    )
+
+
 def _nuscenes_provider(args):
     from PIL import Image
 
@@ -678,6 +743,11 @@ def main(argv=None):
                    help="SAM encodes without square padding: ~35%% faster "
                    "encode, small documented deviation from SamPredictor "
                    "(see scripts/measure_rect_encode.py numbers)")
+    p.add_argument("--use_zoedepth", action="store_true",
+                   help="store per-mask masked metric depth instead of RLE "
+                   "masks (reference gen_2d_masks_detic.py:408-451)")
+    p.add_argument("--zoe_ckpt", default="",
+                   help="ZoeD_N torch checkpoint for --use_zoedepth")
     args = p.parse_args(argv)
 
     from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, CUSTOM_VOCABULARY_WAYMO
@@ -702,8 +772,14 @@ def main(argv=None):
             vocabulary=vocab, rect_encode=args.rect_encode,
         )
 
+    if args.use_zoedepth:
+        models = attach_zoedepth(
+            models, args.zoe_ckpt, test=args.fake_weights
+        )
+
     run_nms = (args.dataset != "kitti") if args.run_nms < 0 else bool(args.run_nms)
-    cfg = MaskStageConfig(run_nms=run_nms, thumbnail=args.thumbnail)
+    cfg = MaskStageConfig(run_nms=run_nms, thumbnail=args.thumbnail,
+                          use_zoedepth=args.use_zoedepth)
     run_mask_stage(
         models, provider, scene_names, frames_fn, args.out_dir, cfg,
         resume=not args.no_resume,
