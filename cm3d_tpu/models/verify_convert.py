@@ -241,6 +241,33 @@ def verify_zoe(sd: Dict[str, np.ndarray], probe: bool = False, cfg=None) -> dict
     return report
 
 
+def verify_gdino(sd: Dict[str, np.ndarray], probe: bool = False,
+                 cfg=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cm3d_tpu.models.gdino import (
+        GDINO_SWINT, GroundingDino, convert_gdino_params,
+    )
+
+    cfg = cfg or GDINO_SWINT
+    params, cov = key_coverage(
+        sd, lambda s: convert_gdino_params(s, cfg)
+    )
+    model = GroundingDino(cfg)
+    h, w = cfg.img_hw
+    L = cfg.max_text_len
+    args = (
+        jnp.zeros((1, h, w, 3), jnp.float32),
+        jnp.zeros((1, L), jnp.int32), jnp.zeros((1, L), jnp.int32),
+        jnp.ones((1, L, L), bool), jnp.ones((1, L), bool),
+    )
+    init = jax.eval_shape(
+        lambda r: model.init(r, *args), jax.random.PRNGKey(0)
+    )["params"]
+    return _base_report(params, cov, init)
+
+
 def has_problems(report: dict) -> bool:
     t = report["tree"]
     return bool(t["missing"] or t["extra"] or t["mismatched"])
@@ -256,6 +283,7 @@ def main(argv=None) -> int:
     p.add_argument("--detic", default="")
     p.add_argument("--clip", default="")
     p.add_argument("--zoe", default="")
+    p.add_argument("--gdino", default="")
     p.add_argument("--probe", action="store_true",
                    help="also dump per-module activation stats")
     p.add_argument("--out", default="", help="write the full report JSON here")
@@ -268,6 +296,7 @@ def main(argv=None) -> int:
         ("detic", args.detic, verify_detic),
         ("clip", args.clip, verify_clip),
         ("zoe", args.zoe, verify_zoe),
+        ("gdino", args.gdino, verify_gdino),
     ]:
         if not path:
             continue

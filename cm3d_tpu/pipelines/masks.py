@@ -643,6 +643,61 @@ def attach_zoedepth(
     )
 
 
+def attach_gdino(
+    models: MaskModels, ckpt_path: str = "", vocab_path: str = "",
+    test: bool = False, box_threshold: float = 0.15, seed: int = 0,
+) -> MaskModels:
+    """Swap the detector for GroundingDINO (the reference's commented-out
+    alternative, kitti/gen_2d_masks_detic.py:115-117,633,697-704): boxes
+    come from grounding the class-list caption instead of Detic, then flow
+    into the same SAM prompt path. test=True builds the tiny random-weight
+    GDINO_TEST model with a synthetic WordPiece vocab over the class list
+    (hermetic CI); the real path needs the checkpoint + bert-base-uncased
+    vocab.txt."""
+    import dataclasses as _dc
+
+    import jax
+
+    from cm3d_tpu.models.convert_sam import load_torch_state_dict
+    from cm3d_tpu.models.gdino import (
+        GDINO_SWINT, GDINO_TEST, BertConfig, GroundingDino,
+        WordPieceTokenizer, convert_gdino_params, make_gdino_detector,
+    )
+
+    vocabulary = models.vocabulary
+    if test:
+        words = sorted({
+            w for cls in vocabulary for w in cls.lower().split()
+        })
+        vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, ".": 4}
+        for w in words:
+            vocab[w] = len(vocab)
+        bert = _dc.replace(
+            GDINO_TEST.bert, vocab_size=max(64, len(vocab) + 8),
+            pad_id=0, unk_id=1, cls_id=2, sep_id=3,
+        )
+        cfg = _dc.replace(GDINO_TEST, bert=bert)
+        tok = WordPieceTokenizer(vocab, bert)
+        model = GroundingDino(cfg)
+        h, w = cfg.img_hw
+        L = cfg.max_text_len
+        params = model.init(
+            jax.random.PRNGKey(seed),
+            np.zeros((1, h, w, 3), np.float32),
+            np.zeros((1, L), np.int32), np.zeros((1, L), np.int32),
+            np.ones((1, L, L), bool), np.ones((1, L), bool),
+        )["params"]
+    else:
+        cfg = GDINO_SWINT
+        tok = WordPieceTokenizer.from_file(vocab_path, BertConfig())
+        model = GroundingDino(cfg)
+        params = convert_gdino_params(load_torch_state_dict(ckpt_path), cfg)
+    detect = make_gdino_detector(
+        model, params, tok, vocabulary, box_threshold=box_threshold
+    )
+    return dataclasses.replace(models, detic=detect)
+
+
 def _nuscenes_provider(args):
     from PIL import Image
 
@@ -748,6 +803,15 @@ def main(argv=None):
                    "masks (reference gen_2d_masks_detic.py:408-451)")
     p.add_argument("--zoe_ckpt", default="",
                    help="ZoeD_N torch checkpoint for --use_zoedepth")
+    p.add_argument("--detector", default="detic",
+                   choices=("detic", "gdino"),
+                   help="2D detector: detic (reference default) or the "
+                   "GroundingDINO alternative (reference "
+                   "kitti/gen_2d_masks_detic.py:697, commented out there)")
+    p.add_argument("--gdino_ckpt", default="",
+                   help="groundingdino_swint_ogc torch checkpoint")
+    p.add_argument("--gdino_vocab", default="",
+                   help="bert-base-uncased vocab.txt for --detector gdino")
     args = p.parse_args(argv)
 
     from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, CUSTOM_VOCABULARY_WAYMO
@@ -775,6 +839,11 @@ def main(argv=None):
     if args.use_zoedepth:
         models = attach_zoedepth(
             models, args.zoe_ckpt, test=args.fake_weights
+        )
+    if args.detector == "gdino":
+        models = attach_gdino(
+            models, args.gdino_ckpt, args.gdino_vocab,
+            test=args.fake_weights,
         )
 
     run_nms = (args.dataset != "kitti") if args.run_nms < 0 else bool(args.run_nms)
