@@ -64,6 +64,17 @@ class LiftParams:
 # path through the interpreter on CPU (integration coverage off-chip).
 _USE_PALLAS_COMPACT = None
 
+# Fold xyz/ids/mask-words through the camera and union compactions as extra
+# one-hot-matmul channels (camera D=5: xyz+flat+id; union D=4+2*Mw: xyz+id+
+# 16-bit word halves, exact in the kernel's bf16 split), eliminating the
+# flat/coord/word take_along_axis gathers AND the camera/union top_k sorts.
+# Measured on the axon v5e at production scale (batch 8, interleaved runs
+# one tunnel window): 135 -> 205 kf/s (61 -> 39 ms/batch), outputs
+# bit-exact vs the unfolded path on chip. Requires the Pallas path.
+# None = follow _USE_PALLAS_COMPACT's resolution (ON on TPU); False forces
+# the top_k+gather stages even when the per-mask kernel is on.
+_FOLD_CAMERA_UNION = None
+
 
 class LiftOutputs(NamedTuple):
     centroids: jax.Array  # [M, 3] global-frame medoid per mask
@@ -152,22 +163,109 @@ def lift_keyframe(
         & (fy >= 1)
     )  # [C, N]
 
-    # --- Per-camera compaction: indices of in-image points, order kept. ---
-    cam_ids, cam_ok = _compact_topk(in_image, nc)  # [C, NC]
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        if _USE_PALLAS_COMPACT is None else _USE_PALLAS_COMPACT
+    )
+    interp = _USE_PALLAS_COMPACT == "interpret"
+    fold = bool(use_pallas) and (
+        _FOLD_CAMERA_UNION is None or bool(_FOLD_CAMERA_UNION)
+    )
+    n_cams = cam_t.shape[0]
     n_in_image = jnp.sum(in_image, axis=1)  # [C]
     cam_truncated = n_in_image > nc
-
     flat_all = jnp.clip(fx, 0, w - 1) * h + jnp.clip(fy, 0, h - 1)  # [C, N]
+    words_flat = mask_bits.reshape(w * h, mw)
+    nu = min(params.max_points_in_masks, nc)
+    k = min(k, nu)
+    word_idx = (jnp.arange(m, dtype=jnp.int32) >> 5)  # [M]
+
+    if fold:
+        from cm3d_tpu.kernels.compact_pallas import compact_rows_pallas
+
+        # --- Per-camera compaction carrying xyz+flat+id (D=5): replaces
+        # the top_k sort AND the flat/coord gathers that followed it.
+        # flat < W*H and id < N are both < 2^24, exact through the
+        # kernel's 3-way bf16 split. ---
+        iota_n = jnp.arange(n, dtype=jnp.float32)
+        vals_cam = jnp.concatenate(
+            [
+                jnp.broadcast_to(pts_xyz.T[None], (n_cams, 3, n)),
+                flat_all.astype(jnp.float32)[:, None, :],
+                jnp.broadcast_to(iota_n[None, None], (n_cams, 1, n)),
+            ],
+            axis=1,
+        )  # [C, 5, N]
+        out_c = compact_rows_pallas(in_image, vals_cam, nc, interpret=interp)
+        xyz_c = out_c[:, :3]  # [C, 3, NC] D-major
+        # invalid slots zero-fill -> flat 0, matching the unfolded path's
+        # where(cam_ok, ., 0) (words_flat[0] junk is masked by cam_ok below)
+        flat_c = out_c[:, 3].astype(jnp.int32)  # [C, NC]
+        ids_c = out_c[:, 4]  # [C, NC] f32 point ids
+        cam_ok = (
+            jnp.arange(nc, dtype=jnp.int32)[None, :]
+            < jnp.minimum(n_in_image, nc)[:, None]
+        )
+
+        # --- One word gather per (camera, compacted point) — inherent. ---
+        wpts = words_flat[flat_c]  # [C, NC, Mw]
+        union = jnp.any(wpts != 0, axis=-1) & cam_ok  # [C, NC]
+        cam_truncated = cam_truncated | (jnp.sum(union, axis=1) > nu)
+
+        # --- Union compaction carrying xyz+id+word halves (D=4+2*Mw):
+        # replaces the wpts/ids take_along_axis gathers. uint32 words
+        # split into exact 16-bit halves (<= 65535 rides bf16*3). ---
+        wpts_dm = jnp.moveaxis(wpts, -1, 1)  # [C, Mw, NC]
+        lo = (wpts_dm & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        hi = (wpts_dm >> 16).astype(jnp.float32)
+        vals_u = jnp.concatenate(
+            [xyz_c, ids_c[:, None], lo, hi], axis=1
+        )  # [C, 4 + 2*Mw, NC]
+        out_u = compact_rows_pallas(union, vals_u, nu, interpret=interp)
+        coords_u_dm = out_u[:, :3]  # [C, 3, NU]
+        ids_u_f = out_u[:, 3]  # [C, NU]
+        words_u_dm = (
+            (out_u[:, 4 + mw :].astype(jnp.uint32) << 16)
+            | out_u[:, 4 : 4 + mw].astype(jnp.uint32)
+        )  # [C, Mw, NU] (zero at invalid slots — kernel zero-fill)
+
+        # --- Per-mask bit test: [M, NU]. ---
+        rows = words_u_dm[mask_cam, word_idx]  # [M, NU] uint32
+        inmask = extract_bit(rows, jnp.arange(m, dtype=jnp.int32))
+        sel = inmask & mask_valid[:, None]  # [M, NU]
+        counts = jnp.sum(sel, axis=1).astype(jnp.int32)  # [M]
+        has_points = (counts > 0) & mask_valid
+        truncated = counts > k
+
+        # --- Per-mask compaction NU -> K straight off the union output
+        # (no pts_xyz[ids_u] gather: coords already rode the kernels). ---
+        vals_c = jnp.concatenate(
+            [coords_u_dm, ids_u_f[:, None]], axis=1
+        )  # [C, 4, NU]
+        out = compact_rows_pallas(
+            sel, vals_c[mask_cam], k, interpret=interp
+        )  # [M, 4, K]
+        coords_dm = out[:, :3]  # [M, 3, K]
+        idx_buf = out[:, 3].astype(jnp.int32)  # [M, K]
+        valid_k = (
+            jnp.arange(k, dtype=jnp.int32)[None, :]
+            < jnp.minimum(counts, k)[:, None]
+        )
+        return _finish_lift(
+            pts_xyz, coords_dm, idx_buf, valid_k, has_points, counts,
+            truncated, cam_truncated,
+        )
+
+    # --- Per-camera compaction: indices of in-image points, order kept. ---
+    cam_ids, cam_ok = _compact_topk(in_image, nc)  # [C, NC]
+
     flat_c = jnp.take_along_axis(flat_all, cam_ids, axis=1)  # [C, NC]
     flat_c = jnp.where(cam_ok, flat_c, 0)
 
     # --- One word gather per (camera, compacted point). ---
-    words_flat = mask_bits.reshape(w * h, mw)
     wpts = words_flat[flat_c]  # [C, NC, Mw]
 
     # --- Union compaction: only points under ANY mask bit go further. ---
-    nu = min(params.max_points_in_masks, nc)
-    k = min(k, nu)
     union = jnp.any(wpts != 0, axis=-1) & cam_ok  # [C, NC]
     u_pos, u_ok = _compact_topk(union, nu)  # [C, NU] into NC
     cam_truncated = cam_truncated | (jnp.sum(union, axis=1) > nu)
@@ -176,7 +274,6 @@ def lift_keyframe(
     ids_u = jnp.take_along_axis(cam_ids, u_pos, axis=1)  # [C, NU]
 
     # --- Per-mask bit test: [M, NU]. ---
-    word_idx = (jnp.arange(m, dtype=jnp.int32) >> 5)  # [M]
     rows = wpts_u[mask_cam, :, word_idx]  # [M, NU] uint32
     inmask = extract_bit(rows, jnp.arange(m, dtype=jnp.int32))  # [M, NU]
     sel = inmask & mask_valid[:, None]  # [M, NU]
@@ -186,10 +283,6 @@ def lift_keyframe(
     truncated = counts > k
 
     # --- Per-mask compaction NU -> K (ascending order preserved). ---
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        if _USE_PALLAS_COMPACT is None else _USE_PALLAS_COMPACT
-    )
     if use_pallas:
         # One Pallas one-hot-matmul compaction produces the compacted
         # coords AND ids directly (kernels/compact_pallas.py): the top_k +
@@ -207,7 +300,7 @@ def lift_keyframe(
         )  # [C, 4, NU]
         out = compact_rows_pallas(
             sel, vals_c[mask_cam], k,
-            interpret=(_USE_PALLAS_COMPACT == "interpret"),
+            interpret=interp,
         )  # [M, 4, K]
         coords_dm = out[:, :3]  # [M, 3, K] — stays D-major end to end
         idx_buf = out[:, 3].astype(jnp.int32)  # [M, K] (0 at invalid slots)
@@ -222,6 +315,16 @@ def lift_keyframe(
         idx_buf = jnp.where(valid_k, idx_buf, 0)
         coords_dm = jnp.moveaxis(pts_xyz[idx_buf], -1, 1)  # [M, 3, K]
 
+    return _finish_lift(
+        pts_xyz, coords_dm, idx_buf, valid_k, has_points, counts,
+        truncated, cam_truncated,
+    )
+
+
+def _finish_lift(pts_xyz, coords_dm, idx_buf, valid_k, has_points, counts,
+                 truncated, cam_truncated) -> LiftOutputs:
+    """Shared tail of lift_keyframe: medoid + BEV PCA yaw over the
+    per-mask compacted D-major coords."""
     # --- Medoid per mask (reference get_medoid, 2d_to_3d.py:116-119). ---
     med_local = masked_medoid_rows(coords_dm, valid_k)  # [M]
     med_global = jnp.take_along_axis(idx_buf, med_local[:, None], axis=1)[:, 0]

@@ -96,12 +96,19 @@ def test_lift_pallas_branch_matches_topk_on_cpu():
     )
     outs = {}
     try:
-        for mode in ("interpret", False):
+        # (compact mode, folded camera/union stages): the folded variant
+        # rides xyz/flat/id/word-halves through the one-hot kernels
+        for mode, fold in (("interpret", True), ("interpret", False),
+                           (False, False)):
             lift_mod._USE_PALLAS_COMPACT = mode
+            lift_mod._FOLD_CAMERA_UNION = fold
             step = jax.jit(make_keyframe_step_fn(cfg))
-            outs[mode] = jax.tree.map(np.asarray, step(batch.frames))
+            outs[(mode, fold)] = jax.tree.map(np.asarray, step(batch.frames))
     finally:
         lift_mod._USE_PALLAS_COMPACT = None
-    a, b = outs["interpret"], outs[False]
-    for got, want in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-        np.testing.assert_array_equal(got, want)
+        lift_mod._FOLD_CAMERA_UNION = None
+    ref = outs[(False, False)]
+    for key in (("interpret", True), ("interpret", False)):
+        for got, want in zip(jax.tree.leaves(outs[key]),
+                             jax.tree.leaves(ref)):
+            np.testing.assert_array_equal(got, want)
