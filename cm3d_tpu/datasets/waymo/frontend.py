@@ -152,15 +152,29 @@ class WaymoFrontend:
             return {k: z[k] for k in z.files}
 
     def build_keyframe(
-        self, scene: str, frame_num: int, fr: dict
+        self, scene: str, frame_num: int, fr: dict, packed: Optional[Tuple] = None
     ) -> Optional[Tuple[Keyframe, WaymoFrameMeta]]:
+        """Keyframe from a frame dict + masks.
+
+        packed: optional (labels [M] str, scores [M], cams [M], mask_bits
+        [W, H, ceil(max_masks/32)] uint32) — the fused masks->lift path
+        (mask-stage device bit-planes pass straight through, mirroring
+        NuScenesFrontend.assemble_keyframe). None reads the artifact store
+        (the reference's two-stage on-disk contract, waymo/2d_to_3d.py
+        :437-455)."""
         from cm3d_tpu.ops.range_image import range_image_to_points
         import jax.numpy as jnp
 
         cfg = self.cfg
-        fm = self.store.read_frame(scene, frame_num)
-        if fm is None:
-            return None
+        if packed is None:
+            fm = self.store.read_frame(scene, frame_num)
+            if fm is None:
+                return None
+            labels_raw, scores_raw, cams_raw = (
+                fm.labels, fm.detection_scores, fm.cam_nums
+            )
+        else:
+            labels_raw, scores_raw, cams_raw, packed_bits = packed
 
         pose = np.asarray(fr["pose"], np.float64)
         # points: vehicle frame, then vehicle->global (lane frame)
@@ -205,24 +219,29 @@ class WaymoFrontend:
 
         w, h = self.mask_wh
         m_pad = cfg.max_masks
-        m_real = min(fm.masks.shape[0], m_pad)
-        masks = np.zeros((m_pad, w, h), bool)
+        m_real = min(len(labels_raw), m_pad)
+        if packed is None:
+            masks = np.zeros((m_pad, w, h), bool)
         mask_cam = np.zeros(m_pad, np.int32)
         mask_label = np.zeros(m_pad, np.int32)
         mask_score = np.zeros(m_pad, np.float32)
         mask_valid = np.zeros(m_pad, bool)
         for i in range(m_real):
-            name = get_detection_name(fm.labels[i])
+            name = get_detection_name(labels_raw[i])
             if name not in CLASS_TO_ID:
                 continue
-            mk = fm.masks[i]
-            if mk.shape == (h, w):
-                mk = mk.T
-            masks[i, : mk.shape[0], : mk.shape[1]] = mk.astype(bool)[:w, :h]
-            mask_cam[i] = fm.cam_nums[i]
+            if packed is None:
+                mk = fm.masks[i]
+                if mk.shape == (h, w):
+                    mk = mk.T
+                masks[i, : mk.shape[0], : mk.shape[1]] = (
+                    mk.astype(bool)[:w, :h]
+                )
+            mask_cam[i] = cams_raw[i]
             mask_label[i] = CLASS_TO_ID[name]
-            mask_score[i] = fm.detection_scores[i]
+            mask_score[i] = scores_raw[i]
             mask_valid[i] = True
+        mask_bits = packed_bits if packed is not None else pack_masks_np(masks)
 
         lane_pts = []
         for poly in fr["lane_polylines"]:
@@ -241,7 +260,7 @@ class WaymoFrontend:
             points=points,
             point_valid=point_valid,
             cameras=CameraParams(ego_t, ego_q, cam_t, cam_q, intr),
-            mask_bits=pack_masks_np(masks),
+            mask_bits=mask_bits,
             mask_cam=mask_cam,
             mask_label=mask_label,
             mask_score=mask_score,

@@ -108,14 +108,15 @@ def _compact_kernel(lo_ref, hi_ref, dest_ref, vals_ref, out_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _compact_vmappable(limit: int, interpret: bool):
+def _compact_vmappable(limit: int, interpret: bool, s_tile: int, l_tile: int):
     """Rows ARE the batch axis here, so vmap must merge the mapped axis
     into R instead of scanning (default pallas batching lowered the call
     to an XLA while over the batch — measured ~2x the kernel's own time)."""
 
     @jax.custom_batching.custom_vmap
     def f(sel, values):
-        return _compact_rows_impl(sel, values, limit, interpret)
+        return _compact_rows_impl(sel, values, limit, interpret,
+                                  s_tile, l_tile)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, sel, values):
@@ -133,6 +134,8 @@ def compact_rows_pallas(
     values: jax.Array,   # [R, D, S] f32
     limit: int,
     interpret: bool = False,
+    s_tile: int | None = None,
+    l_tile: int | None = None,
 ) -> jax.Array:
     """Returns out [R, D, limit] f32 with out[r, :, l] = values[r, :, i_l].
 
@@ -141,26 +144,34 @@ def compact_rows_pallas(
     replacement for)
     `ids, ok = _compact_topk(sel, limit); take_along_axis(values, ids)`.
     Under vmap the batch folds into R (one kernel launch, no scan).
+
+    s_tile/l_tile override the source-chunk / output-tile sizes (the MXU
+    work scales ~ covered_S * (l_tile + sel_frac * s_tile), so dense
+    selections want smaller tiles; None = module defaults).
     """
     check_interpret_backend(interpret)
-    return _compact_vmappable(int(limit), bool(interpret))(sel, values)
+    return _compact_vmappable(
+        int(limit), bool(interpret),
+        int(s_tile or _S_T), int(l_tile or _L_T),
+    )(sel, values)
 
 
-def _compact_rows_impl(sel, values, limit, interpret):
+def _compact_rows_impl(sel, values, limit, interpret, s_tile=_S_T,
+                       l_tile=_L_T):
     r, s = sel.shape
     d = values.shape[1]
     assert values.shape == (r, d, s), (values.shape, (r, d, s))
     # Pad S / limit up to tile multiples (padding is unselected / sliced
     # off), so arbitrary geometries work — the lift derives NU/K from the
     # point-cloud size, which need not hit the production multiples.
-    s_t = min(_S_T, s)
+    s_t = min(s_tile, s)
     if s % s_t:
         pad = s_t - s % s_t
         sel = jnp.pad(sel, ((0, 0), (0, pad)))
         values = jnp.pad(values, ((0, 0), (0, 0), (0, pad)))
         s += pad
     out_limit = limit
-    l_t = min(_L_T, limit)
+    l_t = min(l_tile, limit)
     if limit % l_t:
         limit += l_t - limit % l_t
     # rows per program, shrunk so the double-buffered per-program blocks

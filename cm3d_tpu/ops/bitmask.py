@@ -64,32 +64,28 @@ def erode3x3_packed(words: jax.Array) -> jax.Array:
     never shrinks the min — reference 2d_to_3d.py:526-528), so spatial
     shifts pad with all-ones words. Every mask's bit erodes independently:
     bits index masks, not pixels, so spatial shifts never cross bit lanes.
+
+    Separable form (AND over dy, then AND over dx of that): 4 shifted
+    operands instead of 8 — measured 3.4 -> 2.2 ms/batch-8 at the
+    production canvas on the v5e (XLA materializes each pad+slice; the
+    9-tap form paid for 8). reduce_window(bitwise_and) measured 7-33 ms.
     """
-    out = words
     full = jnp.uint32(0xFFFFFFFF)
     w_ax, h_ax = words.ndim - 3, words.ndim - 2
 
     def shift(arr, axis, by):
-        if by == 0:
-            return arr
         pad = [(0, 0)] * arr.ndim
+        sl = [slice(None)] * arr.ndim
         if by > 0:
             pad[axis] = (by, 0)
-            sl = [slice(None)] * arr.ndim
             sl[axis] = slice(0, arr.shape[axis])
         else:
             pad[axis] = (0, -by)
-            sl = [slice(None)] * arr.ndim
             sl[axis] = slice(-by, arr.shape[axis] - by)
         return jnp.pad(arr, pad, constant_values=full)[tuple(sl)]
 
-    for dx in (-1, 0, 1):
-        sx = shift(words, w_ax, dx)
-        for dy in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            out = out & shift(sx, h_ax, dy)
-    return out
+    t = words & shift(words, h_ax, 1) & shift(words, h_ax, -1)
+    return t & shift(t, w_ax, 1) & shift(t, w_ax, -1)
 
 
 def extract_bit(rows: jax.Array, mask_ids: jax.Array) -> jax.Array:

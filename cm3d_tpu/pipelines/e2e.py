@@ -243,10 +243,113 @@ def run_e2e(
     return submission
 
 
+def run_e2e_waymo(
+    frames_root: str,
+    scenes: List[str],
+    out_path: str,
+    models: MaskModels,
+    lift_cfg: Optional[LiftStageConfig] = None,
+    mask_cfg: MaskStageConfig = MaskStageConfig(),
+    thumbnail: int = 1024,
+    mask_dir: Optional[str] = None,
+    batch_size: int = 4,
+    verbose: bool = True,
+    mask_wh: Optional[tuple] = None,
+) -> int:
+    """Fused Waymo pipeline: raw .tfrecord segments (or frame-lite npz) ->
+    images -> masks -> boxes -> metrics_pb2 Objects .bin, one process.
+
+    The reference runs waymo/gen_2d_masks_detic.py then waymo/2d_to_3d.py
+    glued by the artifact store; here the mask stage's device bit-planes
+    drop straight into the Keyframe (same fusion as the nuScenes run_e2e).
+    """
+    import io
+
+    import jax
+    from PIL import Image
+
+    from cm3d_tpu.config import WAYMO_LIFT
+    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+    from cm3d_tpu.datasets.waymo.frontend import (
+        WaymoFrontend,
+        boxes_to_waymo_objects,
+    )
+    from cm3d_tpu.datasets.waymo.proto import encode_objects
+
+    if lift_cfg is None:
+        lift_cfg = WAYMO_LIFT
+    assert mask_cfg.max_masks_total == lift_cfg.max_masks, (
+        "fused path requires the mask stage's bit-plane capacity to equal "
+        "the lift's padded mask count"
+    )
+    store = MaskArtifactStore(mask_dir) if mask_dir else None
+    frontend = WaymoFrontend(
+        frames_root, store or MaskArtifactStore("/nonexistent"), lift_cfg,
+        **({"mask_wh": mask_wh} if mask_wh else {}),
+    )
+    step = jax.jit(make_keyframe_step_fn(lift_cfg))
+    all_objects: list = []
+    t0 = time.perf_counter()
+
+    def frame_source():
+        for scene in scenes:
+            n = frontend.num_frames(scene)
+            for i in range(n):
+                fr = frontend.load_frame_by_index(scene, i)
+                images = []
+                for buf in fr["cam_images_jpeg"]:
+                    im = Image.open(io.BytesIO(bytes(buf))).convert("RGB")
+                    im.thumbnail((thumbnail, thumbnail))
+                    images.append(np.asarray(im))
+
+                def assemble(handle, scene=scene, i=i, fr=fr):
+                    packed = (handle["labels"], handle["scores"],
+                              handle["cams"], handle["planes"])
+                    if store is not None:  # optional reference artifacts
+                        store.write_frame(
+                            scene, i,
+                            finish_frame_masks(models, handle, mask_cfg),
+                        )
+                    built = frontend.build_keyframe(scene, i, fr, packed)
+                    if built is None:
+                        return None
+                    kf, meta = built
+                    return kf, meta
+
+                yield images, assemble
+            if store is not None:
+                store.mark_scene_complete(scene, n)
+
+    def on_boxes(meta, boxes):
+        all_objects.extend(
+            boxes_to_waymo_objects(
+                meta, boxes.centers, boxes.sizes, boxes.yaws, boxes.scores,
+                boxes.labels, boxes.keep,
+            )
+        )
+
+    # NOTE: the plane canvas comes from the thumbnailed image sizes inside
+    # run_fused (max over cameras — Waymo's front/side cameras differ in
+    # height); the lift's in-image test reads the canvas dims off the
+    # planes, so the fused path is self-consistent without frontend.mask_wh.
+    n_frames = run_fused(
+        models, step, frame_source(), mask_cfg, on_boxes, batch_size,
+    )
+    with open(out_path, "wb") as f:
+        f.write(encode_objects(all_objects))
+    if verbose:
+        dt = time.perf_counter() - t0
+        print(f"e2e waymo: {n_frames} keyframes -> {len(all_objects)} "
+              f"objects in {dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} kf/s)")
+    return n_frames
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="CM3D-TPU fused images->masks->boxes pipeline"
     )
+    p.add_argument("--dataset", default="nuscenes",
+                   choices=["nuscenes", "waymo"])
     p.add_argument("--dataroot", required=True)
     p.add_argument("--version", default="v1.0-mini")
     p.add_argument("--scenes", required=True, help="comma-separated names")
@@ -272,10 +375,16 @@ def main(argv=None):
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             rect_encode=args.rect_encode,
         )
-    run_e2e(
-        args.dataroot, args.version, args.scenes.split(","), args.out,
-        models, thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
-    )
+    if args.dataset == "waymo":
+        run_e2e_waymo(
+            args.dataroot, args.scenes.split(","), args.out, models,
+            thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
+        )
+    else:
+        run_e2e(
+            args.dataroot, args.version, args.scenes.split(","), args.out,
+            models, thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
+        )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,114 @@
+"""Fused Waymo pipeline (raw .tfrecord -> images -> masks -> boxes -> .bin)
+vs the two-stage artifact path, same models: the bins must match
+object-for-object — proving the packed-plane handoff into
+WaymoFrontend.build_keyframe is lossless and the raw-segment ingestion
+feeds the fused loop identically to the npz cache.
+
+Reference contract: waymo/gen_2d_masks_detic.py + waymo/2d_to_3d.py glued
+by the artifact store; the fused path collapses them into one process.
+"""
+
+import dataclasses
+import io
+
+import numpy as np
+
+from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
+from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+from waymo_fixture import make_fake_waymo
+
+# full-ratio jpgs (1024x664 = the WAYMO_IMAGE_RATIO canvas) so the fused
+# plane canvas equals the two-stage frontend canvas
+JPG_WH = (1024, 664)
+SMALL_W = LiftStageConfig(
+    num_sweeps=1, image_ratio=1024.0 / 1920.0,
+    sqrt_min_dist_load_filter=False,
+    max_points=16384, max_masks=32, max_points_per_mask=512,
+    max_points_per_camera=8192, max_points_in_masks=2048,
+    max_lane_points=1024,
+)
+MASK_CFG = MaskStageConfig(max_detections=16, max_masks_total=32)
+
+
+def _fixed_detic(frame):
+    """Deterministic detections (the test targets the plane handoff, not
+    the random-weight detector): two boxes per camera, car + pedestrian."""
+    c, d = 5, MASK_CFG.max_detections
+    boxes = np.zeros((c, d, 4), np.float32)
+    boxes[:, 0] = [380, 220, 700, 460]
+    boxes[:, 1] = [150, 100, 420, 380]
+    scores = np.zeros((c, d), np.float32)
+    scores[:, 0], scores[:, 1] = 0.9, 0.7
+    classes = np.zeros((c, d), np.int64)
+    classes[:, 0], classes[:, 1] = 3, 4  # car, pedestrian
+    valid = np.zeros((c, d), bool)
+    valid[:, :2] = True
+    return boxes, scores, classes, valid
+
+
+def test_fused_waymo_matches_two_stage(tmp_path):
+    from PIL import Image
+
+    from cm3d_tpu.datasets.waymo import frame_proto
+    from cm3d_tpu.datasets.waymo.frontend import WaymoFrontend
+    from cm3d_tpu.datasets.waymo.proto import decode_objects
+    from cm3d_tpu.datasets.waymo.tfrecord import TFRecordWriter
+    from cm3d_tpu.pipelines.e2e import run_e2e_waymo
+    from cm3d_tpu.pipelines.lift_waymo import run_lift_waymo
+    from cm3d_tpu.pipelines.masks import build_fake_models, run_mask_stage
+
+    frames_root = tmp_path / "frames"
+    make_fake_waymo(frames_root, tmp_path / "planted", n_frames=2,
+                    n_objects=8, jpg_wh=JPG_WH)
+    scene = "segment-000"
+
+    # raw .tfrecord segment for the fused path (exercises raw ingestion)
+    raw_root = tmp_path / "raw"
+    raw_root.mkdir()
+    fe = WaymoFrontend(frames_root, MaskArtifactStore("/nonexistent"), SMALL_W)
+    with TFRecordWriter(raw_root / f"{scene}.tfrecord") as wtr:
+        for path in fe.frame_files(scene):
+            wtr.write(frame_proto.encode_frame_lite(fe.load_frame(path)))
+
+    models = dataclasses.replace(build_fake_models(), detic=_fixed_detic)
+
+    # --- two-stage: mask artifacts -> RLE store -> lift -> bin ---
+    def provider(scene_, frame):
+        fr = fe.load_frame_by_index(scene_, frame)
+        images = []
+        for buf in fr["cam_images_jpeg"]:
+            im = Image.open(io.BytesIO(bytes(buf))).convert("RGB")
+            im.thumbnail((1024, 1024))
+            images.append(np.asarray(im))
+        return images
+
+    mask_dir = tmp_path / "masks"
+    run_mask_stage(models, provider, [scene], lambda s: 2, str(mask_dir),
+                   MASK_CFG, verbose=False)
+    run_lift_waymo(str(frames_root), str(mask_dir), [scene],
+                   str(tmp_path / "two.bin"), lift_cfg=SMALL_W,
+                   batch_size=2, verbose=False)
+
+    # --- fused path from the RAW segment, same models ---
+    n = run_e2e_waymo(str(raw_root), [scene], str(tmp_path / "fused.bin"),
+                      models, lift_cfg=SMALL_W, mask_cfg=MASK_CFG,
+                      batch_size=2, verbose=False)
+    assert n == 2
+
+    two = decode_objects((tmp_path / "two.bin").read_bytes())
+    fused = decode_objects((tmp_path / "fused.bin").read_bytes())
+    assert len(two) == len(fused) > 0
+    for a, b in zip(two, fused):
+        assert a.type == b.type
+        assert a.frame_timestamp_micros == b.frame_timestamp_micros
+        assert a.context_name == b.context_name
+        np.testing.assert_allclose(
+            [a.box.center_x, a.box.center_y, a.box.center_z],
+            [b.box.center_x, b.box.center_y, b.box.center_z], atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            [a.box.width, a.box.length, a.box.height, a.box.heading],
+            [b.box.width, b.box.length, b.box.height, b.box.heading],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(a.score, b.score, atol=1e-6)

@@ -37,7 +37,7 @@ def _rotz(yaw):
 
 def make_fake_waymo(
     frames_root: Path, mask_dir: Path, n_frames: int = 2, n_objects: int = 8,
-    seed: int = 0,
+    seed: int = 0, jpg_wh: tuple = (96, 64),
 ):
     rng = np.random.default_rng(seed)
     scene = "segment-000"
@@ -157,10 +157,11 @@ def make_fake_waymo(
         from PIL import Image as _Image
 
         jpgs = []
+        jw, jh = jpg_wh
         for _ in range(N_CAMS):
             buf = _io.BytesIO()
             _Image.fromarray(
-                (rng.random((64, 96, 3)) * 80 + 60).astype(np.uint8)
+                (rng.random((jh, jw, 3)) * 80 + 60).astype(np.uint8)
             ).save(buf, format="JPEG")
             jpgs.append(np.frombuffer(buf.getvalue(), np.uint8))
 
