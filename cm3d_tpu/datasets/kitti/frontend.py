@@ -95,11 +95,24 @@ class KittiFrontend:
         self.mask_wh = mask_wh
         self.scene_name = scene_name
 
-    def build_keyframe(self, idx: int) -> Optional[Tuple[Keyframe, int]]:
+    def build_keyframe(
+        self, idx: int, packed: Optional[Tuple] = None
+    ) -> Optional[Tuple[Keyframe, int]]:
+        """Keyframe from frame idx + masks.
+
+        packed: optional (labels [M] str, scores [M], cams [M] — ignored,
+        KITTI is single-camera — and mask_bits [W, H, ceil(max_masks/32)]
+        uint32): the fused masks->lift path (mask-stage device bit-planes
+        pass straight through). None reads the artifact store (the
+        reference's two-stage on-disk contract)."""
         cfg = self.cfg
-        fm = self.store.read_frame(self.scene_name, idx)
-        if fm is None:
-            return None
+        if packed is None:
+            fm = self.store.read_frame(self.scene_name, idx)
+            if fm is None:
+                return None
+            labels_raw, scores_raw = fm.labels, fm.detection_scores
+        else:
+            labels_raw, scores_raw, _, packed_bits = packed
         calib = self.dataset.get_calibration(idx)
         pts = self.dataset.get_lidar(idx)
 
@@ -120,24 +133,29 @@ class KittiFrontend:
 
         w, h = self.mask_wh
         m_pad = cfg.max_masks
-        m_real = min(fm.masks.shape[0], m_pad)
-        masks = np.zeros((m_pad, w, h), bool)
+        m_real = min(len(labels_raw), m_pad)
+        if packed is None:
+            masks = np.zeros((m_pad, w, h), bool)
         mask_cam = np.zeros(m_pad, np.int32)
         mask_label = np.zeros(m_pad, np.int32)
         mask_score = np.zeros(m_pad, np.float32)
         mask_valid = np.zeros(m_pad, bool)
         for i in range(m_real):
-            name = get_detection_name(fm.labels[i])
+            name = get_detection_name(labels_raw[i])
             if name not in CLASS_TO_ID:
                 continue
-            mk = fm.masks[i]
-            if mk.shape == (h, w):
-                mk = mk.T
-            masks[i, : mk.shape[0], : mk.shape[1]] = mk.astype(bool)[:w, :h]
+            if packed is None:
+                mk = fm.masks[i]
+                if mk.shape == (h, w):
+                    mk = mk.T
+                masks[i, : mk.shape[0], : mk.shape[1]] = (
+                    mk.astype(bool)[:w, :h]
+                )
             mask_label[i] = CLASS_TO_ID[name]
-            mask_score[i] = fm.detection_scores[i]
+            mask_score[i] = scores_raw[i]
             mask_valid[i] = True
 
+        mask_bits = packed_bits if packed is not None else pack_masks_np(masks)
         l_pad = cfg.max_lane_points  # KITTI has no map: all lanes invalid
         kf = Keyframe(
             points=points,
@@ -149,7 +167,7 @@ class KittiFrontend:
                 cam_rotation=cam_q[None],
                 intrinsics=k_scaled[None],
             ),
-            mask_bits=pack_masks_np(masks),
+            mask_bits=mask_bits,
             mask_cam=mask_cam,
             mask_label=mask_label,
             mask_score=mask_score,

@@ -344,12 +344,111 @@ def run_e2e_waymo(
     return n_frames
 
 
+def run_e2e_kitti(
+    root: str,
+    indices: List[int],
+    out_dir: str,
+    models: MaskModels,
+    lift_cfg: Optional[LiftStageConfig] = None,
+    mask_cfg: MaskStageConfig = MaskStageConfig(),
+    thumbnail: int = 1024,
+    mask_dir: Optional[str] = None,
+    batch_size: int = 4,
+    verbose: bool = True,
+) -> int:
+    """Fused KITTI pipeline: image_2 -> masks -> boxes -> label txts, one
+    process (the working version of the reference's two-script KITTI flow;
+    its lifter dead-ends at kitti/2d_to_3d.py:1528)."""
+    import jax
+    from PIL import Image
+
+    from cm3d_tpu.config import KITTI_LIFT
+    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+    from cm3d_tpu.datasets.kitti.calib import write_label
+    from cm3d_tpu.datasets.kitti.frontend import (
+        KittiFrontend,
+        boxes_to_kitti_objects,
+    )
+    from cm3d_tpu.pipelines.lift_kitti import make_kitti_step_fn
+    import os
+
+    if lift_cfg is None:
+        lift_cfg = KITTI_LIFT
+    assert mask_cfg.max_masks_total == lift_cfg.max_masks, (
+        "fused path requires the mask stage's bit-plane capacity to equal "
+        "the lift's padded mask count"
+    )
+    store = MaskArtifactStore(mask_dir) if mask_dir else None
+    frontend = KittiFrontend(
+        root, store or MaskArtifactStore("/nonexistent"), lift_cfg
+    )
+    kitti_step = jax.jit(make_kitti_step_fn(lift_cfg))
+
+    # run_fused discards the first element of the step output and slices
+    # the second per frame: pack (lift, keep) + per-mask score/label (the
+    # KITTI writer needs them and the step output doesn't carry them)
+    def step(batch):
+        lift, keep = kitti_step(batch)
+        return None, (lift, keep, batch.mask_score, batch.mask_label)
+
+    os.makedirs(f"{out_dir}/pred", exist_ok=True)
+    os.makedirs(f"{out_dir}/pseudo", exist_ok=True)
+    n_boxes = 0
+    t0 = time.perf_counter()
+
+    def frame_source():
+        for idx in indices:
+            im = Image.open(
+                frontend.dataset.get_image_path(idx)
+            ).convert("RGB")
+            im.thumbnail((thumbnail, thumbnail))
+            images = [np.asarray(im)]
+
+            def assemble(handle, idx=idx):
+                packed = (handle["labels"], handle["scores"],
+                          handle["cams"], handle["planes"])
+                if store is not None:
+                    store.write_frame(
+                        frontend.scene_name, idx,
+                        finish_frame_masks(models, handle, mask_cfg),
+                    )
+                built = frontend.build_keyframe(idx, packed)
+                if built is None:
+                    return None
+                return built  # (kf, idx)
+
+            yield images, assemble
+
+    def on_boxes(idx, payload):
+        nonlocal n_boxes
+        lift, keep, scores, labels = payload
+        calib = frontend.dataset.get_calibration(idx)
+        objs = boxes_to_kitti_objects(
+            calib, lift.centroids, lift.pca_yaws, scores, labels, keep,
+        )
+        n_boxes += len(objs)
+        write_label(f"{out_dir}/pred/{idx:06d}.txt", objs)
+        pseudo = [
+            type(o)(**{**o.__dict__, "score": float("nan")}) for o in objs
+        ]
+        write_label(f"{out_dir}/pseudo/{idx:06d}.txt", pseudo)
+
+    n_frames = run_fused(
+        models, step, frame_source(), mask_cfg, on_boxes, batch_size,
+    )
+    if verbose:
+        dt = time.perf_counter() - t0
+        print(f"e2e kitti: {n_frames} frames -> {n_boxes} boxes in "
+              f"{dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} f/s)")
+    return n_frames
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="CM3D-TPU fused images->masks->boxes pipeline"
     )
     p.add_argument("--dataset", default="nuscenes",
-                   choices=["nuscenes", "waymo"])
+                   choices=["nuscenes", "waymo", "kitti"])
     p.add_argument("--dataroot", required=True)
     p.add_argument("--version", default="v1.0-mini")
     p.add_argument("--scenes", required=True, help="comma-separated names")
@@ -379,6 +478,12 @@ def main(argv=None):
         run_e2e_waymo(
             args.dataroot, args.scenes.split(","), args.out, models,
             thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
+        )
+    elif args.dataset == "kitti":
+        run_e2e_kitti(
+            args.dataroot, [int(i) for i in args.scenes.split(",")],
+            args.out, models, thumbnail=args.thumbnail,
+            mask_dir=args.mask_dir or None,
         )
     else:
         run_e2e(

@@ -1,0 +1,105 @@
+"""Fused KITTI pipeline (image_2 -> masks -> boxes -> label txts) vs the
+two-stage artifact path, same models: the pred/pseudo txts must match
+object-for-object — proving the packed-plane handoff into
+KittiFrontend.build_keyframe is lossless (reference flow:
+kitti/gen_2d_masks_detic.py + kitti/2d_to_3d.py, whose lifter dead-ends
+at :1528; the rebuild's lift_kitti is the working version)."""
+
+import dataclasses
+import io
+
+import numpy as np
+
+from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
+from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+from test_kitti import CALIB_TXT
+
+JPG_WH = (1024, 320)  # = the default KittiFrontend mask canvas
+SMALL_K = LiftStageConfig(
+    num_sweeps=1, image_ratio=0.8366, sqrt_min_dist_load_filter=False,
+    max_points=8192, max_masks=16, max_points_per_mask=512,
+    max_points_per_camera=4096, max_points_in_masks=2048,
+    max_lane_points=64,
+)
+MASK_CFG = MaskStageConfig(max_detections=8, max_masks_total=16)
+
+
+def _fixed_detic(frame):
+    d = MASK_CFG.max_detections
+    boxes = np.zeros((1, d, 4), np.float32)
+    boxes[:, 0] = [350, 80, 700, 280]
+    boxes[:, 1] = [100, 120, 330, 300]
+    scores = np.zeros((1, d), np.float32)
+    scores[:, 0], scores[:, 1] = 0.9, 0.7
+    classes = np.zeros((1, d), np.int64)
+    classes[:, 0], classes[:, 1] = 3, 4  # car, pedestrian
+    valid = np.zeros((1, d), bool)
+    valid[:, :2] = True
+    return boxes, scores, classes, valid
+
+
+def test_fused_kitti_matches_two_stage(tmp_path):
+    from PIL import Image
+
+    from cm3d_tpu.datasets.kitti.calib import read_label
+    from cm3d_tpu.pipelines.e2e import run_e2e_kitti
+    from cm3d_tpu.pipelines.lift_kitti import run_lift_kitti
+    from cm3d_tpu.pipelines.masks import build_fake_models, run_mask_stage
+
+    root = tmp_path / "kitti"
+    for sub in ("calib", "velodyne", "image_2"):
+        (root / "training" / sub).mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    jw, jh = JPG_WH
+    for idx in (0, 1):
+        (root / "training" / "calib" / f"{idx:06d}.txt").write_text(CALIB_TXT)
+        pts = rng.uniform([-40, -40, -1.8], [40, 40, 1.0], (4000, 3))
+        raw = np.zeros((len(pts), 4), np.float32)
+        raw[:, :3] = pts
+        raw.tofile(root / "training" / "velodyne" / f"{idx:06d}.bin")
+        Image.fromarray(
+            (rng.random((jh, jw, 3)) * 80 + 60).astype(np.uint8)
+        ).save(root / "training" / "image_2" / f"{idx:06d}.png")
+
+    models = dataclasses.replace(build_fake_models(), detic=_fixed_detic)
+
+    # --- two-stage: mask artifacts -> RLE store -> lift CLI ---
+    def provider(scene, frame):
+        im = Image.open(
+            root / "training" / "image_2" / f"{frame:06d}.png"
+        ).convert("RGB")
+        im.thumbnail((1024, 1024))
+        return [np.asarray(im)]
+
+    mask_dir = tmp_path / "masks"
+    run_mask_stage(models, provider, ["kitti"], lambda s: 2, str(mask_dir),
+                   MASK_CFG, verbose=False)
+    run_lift_kitti(str(root), str(mask_dir), [0, 1],
+                   str(tmp_path / "two"), SMALL_K, batch_size=2,
+                   verbose=False)
+
+    # --- fused path, same models ---
+    n = run_e2e_kitti(str(root), [0, 1], str(tmp_path / "fused"), models,
+                      lift_cfg=SMALL_K, mask_cfg=MASK_CFG, batch_size=2,
+                      verbose=False)
+    assert n == 2
+
+    total = 0
+    for idx in (0, 1):
+        for kind in ("pred", "pseudo"):
+            a = read_label(tmp_path / "two" / kind / f"{idx:06d}.txt")
+            b = read_label(tmp_path / "fused" / kind / f"{idx:06d}.txt")
+            assert len(a) == len(b)
+            total += len(a)
+            for oa, ob in zip(a, b):
+                assert oa.type == ob.type
+                np.testing.assert_allclose(oa.t, ob.t, atol=1e-5)
+                np.testing.assert_allclose(
+                    [oa.w, oa.l, oa.h, oa.ry],
+                    [ob.w, ob.l, ob.h, ob.ry], atol=1e-5,
+                )
+                if kind == "pred":
+                    np.testing.assert_allclose(oa.score, ob.score, atol=1e-6)
+                else:
+                    assert np.isnan(oa.score) and np.isnan(ob.score)
+    assert total > 0
