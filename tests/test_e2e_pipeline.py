@@ -104,3 +104,24 @@ def test_fused_e2e_matches_two_stage(tmp_path):
                                        atol=1e-5)
             np.testing.assert_allclose(ba["size"], bb["size"], atol=1e-6)
     assert n_boxes > 0  # the fixture must actually produce boxes
+
+
+def test_fused_e2e_with_gdino_detector(tmp_path):
+    """The alternative detector (--detector gdino) drives the FUSED path
+    too: attach_gdino swaps models.detic ahead of the shared SAM prompt
+    path, so run_e2e needs no changes — smoke the wiring end to end."""
+    from cm3d_tpu.pipelines.e2e import run_e2e
+    from cm3d_tpu.pipelines.masks import attach_gdino, build_fake_models
+
+    root = tmp_path / "data"
+    info = make_fake_nuscenes(root, tmp_path / "planted", n_frames=1,
+                              n_objects=4)
+    scene = info["scene_name"]
+    models = attach_gdino(
+        build_fake_models(), test=True,
+        box_threshold=0.0,  # random weights: keep everything
+    )
+    sub = run_e2e(str(root), VERSION, [scene], str(tmp_path / "g.json"),
+                  models, lift_cfg=SMALL, mask_cfg=MASK_CFG,
+                  batch_size=1, verbose=False, mask_wh=(160, 90))
+    assert len(sub["results"]) == 1  # the keyframe went through the lift
