@@ -25,3 +25,9 @@ assert jax.device_count() == 8, (
     f"tests require 8 virtual CPU devices, got {jax.device_count()} "
     f"on {jax.default_backend()}"
 )
+
+# Persistent compilation cache: repeat suite runs skip the CPU compiles
+# (the fused-pipeline tests pay multi-minute model compiles otherwise).
+from cm3d_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
