@@ -463,16 +463,41 @@ def main(argv=None):
     p.add_argument("--bpe_path", default="")
     p.add_argument("--rect_encode", action="store_true",
                    help="SAM rectangle encode (faster; small deviation)")
+    p.add_argument("--detector", default="detic",
+                   choices=("detic", "gdino"),
+                   help="2D detector: detic (reference default) or the "
+                   "GroundingDINO alternative (same flag as the masks CLI)")
+    p.add_argument("--gdino_ckpt", default="",
+                   help="groundingdino_swint_ogc torch checkpoint")
+    p.add_argument("--gdino_vocab", default="",
+                   help="bert-base-uncased vocab.txt for --detector gdino")
     args = p.parse_args(argv)
 
-    from cm3d_tpu.pipelines.masks import build_fake_models, build_real_models
+    from cm3d_tpu.pipelines.masks import (
+        attach_gdino,
+        build_fake_models,
+        build_real_models,
+    )
+    from cm3d_tpu.vocab import (
+        CUSTOM_VOCABULARY_NUSCENES,
+        CUSTOM_VOCABULARY_WAYMO,
+    )
 
+    # same vocabulary switch as the masks CLI (the reference's Waymo
+    # vocabulary drops cone/barrier, waymo/gen_2d_masks_detic.py:66-87)
+    vocab = (CUSTOM_VOCABULARY_WAYMO if args.dataset == "waymo"
+             else CUSTOM_VOCABULARY_NUSCENES)
     if args.fake_weights:
-        models = build_fake_models()
+        models = build_fake_models(vocabulary=vocab)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
-            rect_encode=args.rect_encode,
+            vocabulary=vocab, rect_encode=args.rect_encode,
+        )
+    if args.detector == "gdino":
+        models = attach_gdino(
+            models, args.gdino_ckpt, args.gdino_vocab,
+            test=args.fake_weights,
         )
     if args.dataset == "waymo":
         run_e2e_waymo(

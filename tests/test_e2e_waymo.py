@@ -112,3 +112,30 @@ def test_fused_waymo_matches_two_stage(tmp_path):
             atol=1e-5,
         )
         np.testing.assert_allclose(a.score, b.score, atol=1e-6)
+
+
+def test_e2e_cli_waymo_vocab_and_gdino(monkeypatch, tmp_path):
+    """The e2e CLI must mirror the masks CLI's model wiring: Waymo runs get
+    the Waymo vocabulary (reference waymo/gen_2d_masks_detic.py:66-87 drops
+    cone/barrier) and --detector gdino swaps the detector in."""
+    from cm3d_tpu.pipelines import e2e
+    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_WAYMO
+
+    seen = {}
+
+    def fake_run(frames_root, scenes, out, models, **kw):
+        seen["models"] = models
+        return 0
+
+    monkeypatch.setattr(e2e, "run_e2e_waymo", fake_run)
+    e2e.main(["--dataset", "waymo", "--dataroot", str(tmp_path),
+              "--scenes", "s0", "--out", str(tmp_path / "o.bin"),
+              "--fake_weights"])
+    assert tuple(seen["models"].vocabulary) == tuple(CUSTOM_VOCABULARY_WAYMO)
+    detic_default = seen["models"].detic
+
+    e2e.main(["--dataset", "waymo", "--dataroot", str(tmp_path),
+              "--scenes", "s0", "--out", str(tmp_path / "o.bin"),
+              "--fake_weights", "--detector", "gdino"])
+    assert seen["models"].detic is not detic_default  # gdino swapped in
+    assert tuple(seen["models"].vocabulary) == tuple(CUSTOM_VOCABULARY_WAYMO)
