@@ -1,14 +1,12 @@
-"""Driver benchmark entry point. Prints one JSON line per metric; the
-FIRST line is the headline the driver records.
-
-Default run:
-  line 1 — lift-stage throughput (the fused 3D lift step; reference:
-           the src/nuscenes/2d_to_3d.py main loop). This is NOT the
-           end-to-end number: the full pipeline is 2D-mask-stage-bound.
-  line 2 — fused end-to-end images->masks->boxes throughput through
-           pipelines.e2e.run_fused (production geometry, random
-           full-size weights; see cm3d_tpu/benchmarks.py for the exact
-           protocol and its content-swap caveat).
+"""Driver benchmark entry point. The default run prints exactly ONE JSON
+line: the lift-stage throughput (the fused 3D lift step; reference: the
+src/nuscenes/2d_to_3d.py main loop). This is NOT the end-to-end number —
+the full pipeline is 2D-mask-stage-bound; the fused end-to-end
+images->masks->boxes throughput is a separate bench (`--stage e2e`,
+through pipelines.e2e.run_fused at production geometry with random
+full-size weights — see cm3d_tpu/benchmarks.py for the protocol and its
+content-swap caveat) whose measured numbers are recorded in
+MASK_BENCH_r0*.json.
 
 Modes: --stage lift | masks | e2e (single metric each).
 """
@@ -44,20 +42,14 @@ def main() -> None:
         _emit(benchmarks.bench_lift())
         return
 
-    # default: headline lift line first (flushed), then the e2e line —
-    # a failure or timeout in the (much slower to compile) e2e bench must
-    # never cost the headline metric.
-    _emit(benchmarks.bench_lift())
-    try:
-        _emit(benchmarks.bench_e2e())
-    except Exception as e:  # noqa: BLE001 - report, don't fail the bench
-        _emit({
-            "metric": "e2e_keyframes_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "keyframes/sec",
-            "vs_baseline": None,
-            "error": f"{type(e).__name__}: {e}",
-        })
+    # default: exactly ONE JSON line (the driver contract) — the lift-stage
+    # headline. The fused end-to-end number is a separate, much slower
+    # bench (`--stage e2e`, full-scale 2D-model compiles); its measured
+    # values are recorded in MASK_BENCH_r0*.json.
+    line = benchmarks.bench_lift()
+    line["note"] = ("lift stage only; fused images->masks->boxes e2e is "
+                    "benched via --stage e2e (see MASK_BENCH_r03.json)")
+    _emit(line)
 
 
 if __name__ == "__main__":

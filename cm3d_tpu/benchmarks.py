@@ -309,6 +309,8 @@ def bench_e2e(
             def assemble(handle, base=base, token=i):
                 # mirror NuScenesFrontend.assemble_keyframe's mask fields,
                 # with the rest of the keyframe from the synthetic frontend
+                if handle["planes"] is None:  # run_fused calls us always
+                    return None
                 labels = handle["labels"]
                 m_real = min(len(labels), m_pad)
                 mask_cam = np.zeros(m_pad, np.int32)

@@ -59,19 +59,18 @@ class MaskArtifactStore:
             fm.cam_nums, rle.encode_many(fm.masks),
         )
 
-    def write_frame_rles(
+    def _write_frame_payload(
         self,
         scene_name: str,
         frame_num: int,
         labels: List[str],
         detection_scores: List[float],
         cam_nums: List[int],
-        rles: List[dict],
+        payload,
     ) -> None:
-        """Write a frame from already-encoded COCO RLE dicts (the mask
-        driver encodes straight from packed bit-planes — ops.rle
-        .encode_packed_many — so no dense mask stack ever exists)."""
-        assert len(labels) == len(detection_scores) == len(cam_nums) == len(rles)
+        """The shared {frame}_data.json + {frame}_masks.pkl atomic-write
+        protocol (reference gen_2d_masks_detic.py:497-506); `payload` is
+        whatever goes into the pickle (RLE list or depth-image array)."""
         d = self._scene_dir(scene_name)
         d.mkdir(parents=True, exist_ok=True)
         data = {
@@ -85,8 +84,25 @@ class MaskArtifactStore:
         os.replace(tmp, d / f"{frame_num}_data.json")
         tmp = d / f".{frame_num}_masks.pkl.tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(rles, f)
+            pickle.dump(payload, f)
         os.replace(tmp, d / f"{frame_num}_masks.pkl")
+
+    def write_frame_rles(
+        self,
+        scene_name: str,
+        frame_num: int,
+        labels: List[str],
+        detection_scores: List[float],
+        cam_nums: List[int],
+        rles: List[dict],
+    ) -> None:
+        """Write a frame from already-encoded COCO RLE dicts (the mask
+        driver encodes straight from packed bit-planes — ops.rle
+        .encode_packed_many — so no dense mask stack ever exists)."""
+        assert len(labels) == len(detection_scores) == len(cam_nums) == len(rles)
+        self._write_frame_payload(
+            scene_name, frame_num, labels, detection_scores, cam_nums, rles
+        )
 
     def write_frame_depths(
         self,
@@ -102,26 +118,13 @@ class MaskArtifactStore:
         payload (gen_2d_masks_detic.py:484-486,505 `np_images =
         depth_images`). Reproduced byte-layout-faithfully (f32, not the
         reference's implicit f64) with the same data.json sidecar."""
-        import numpy as _np
-
-        depth_images = _np.asarray(depth_images, _np.float32)
+        depth_images = np.asarray(depth_images, np.float32)
         assert len(labels) == len(detection_scores) == len(cam_nums)
         assert depth_images.shape[0] == len(labels)
-        d = self._scene_dir(scene_name)
-        d.mkdir(parents=True, exist_ok=True)
-        data = {
-            "labels": list(labels),
-            "detection_scores": [float(s) for s in detection_scores],
-            "cam_nums": [int(c) for c in cam_nums],
-        }
-        tmp = d / f".{frame_num}_data.json.tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f)
-        os.replace(tmp, d / f"{frame_num}_data.json")
-        tmp = d / f".{frame_num}_masks.pkl.tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(depth_images, f)
-        os.replace(tmp, d / f"{frame_num}_masks.pkl")
+        self._write_frame_payload(
+            scene_name, frame_num, labels, detection_scores, cam_nums,
+            depth_images,
+        )
 
     def read_frame_depths(self, scene_name: str, frame_num: int):
         """Read back a use_zoedepth frame: (data dict, [M, H, W] f32)."""

@@ -108,12 +108,17 @@ class WaymoFrontend:
 
     def scene_names(self) -> List[str]:
         """Frame-lite scene dirs AND raw .tfrecord segments, both first-
-        class (raw ingestion is TF-free via frame_proto.parse_frame)."""
-        names = sorted(p.name for p in self.root.iterdir() if p.is_dir())
-        names += sorted(
+        class (raw ingestion is TF-free via frame_proto.parse_frame).
+        A scene present in BOTH forms (npz cache exported next to its raw
+        segment) is listed once; load_frame_by_index prefers the raw
+        segment, which is the source of truth the cache was exported
+        from."""
+        dirs = sorted(p.name for p in self.root.iterdir() if p.is_dir())
+        segs = sorted(
             p.name[: -len(".tfrecord")] for p in self.root.glob("*.tfrecord")
         )
-        return names
+        seen = set(dirs)
+        return dirs + [s for s in segs if s not in seen]
 
     def _segment_path(self, scene: str) -> Optional[Path]:
         p = self.root / f"{scene}.tfrecord"

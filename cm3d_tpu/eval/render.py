@@ -38,15 +38,9 @@ def _plt():
     return plt
 
 
-def _clipped_pr(md, min_precision: float, min_recall: float):
-    """The devkit clips the drawn curve at the min-recall / min-precision
-    operating region (the AP integration region)."""
-    rec = np.asarray(md.recall)
-    prec = np.asarray(md.precision)
-    return rec, prec
-
-
 def _setup_pr_axis(ax, min_precision: float, min_recall: float, title: str):
+    # the devkit draws the FULL curve; the AP integration region is shown
+    # only by the dashed min-precision / min-recall threshold lines
     ax.set_xlabel("Recall")
     ax.set_ylabel("Precision")
     ax.set_xlim(0, 1)
@@ -77,9 +71,8 @@ def class_pr_curve(
     aps = metrics.label_aps.get(detection_name, {})
     for dist_th in sorted({d for (n, d) in metric_data if n == detection_name}):
         md = metric_data[(detection_name, dist_th)]
-        rec, prec = _clipped_pr(md, min_precision, min_recall)
         ax.plot(
-            rec, prec,
+            np.asarray(md.recall), np.asarray(md.precision),
             label=f"Dist. : {dist_th}, AP: {aps.get(dist_th, 0.0) * 100:.1f}",
         )
     ax.legend(loc="best")
@@ -148,9 +141,8 @@ def dist_pr_curve(
     for name in sorted({n for (n, d) in metric_data if d == dist_th}):
         md = metric_data[(name, dist_th)]
         ap = metrics.label_aps.get(name, {}).get(dist_th, 0.0)
-        rec, prec = _clipped_pr(md, min_precision, min_recall)
         ax.plot(
-            rec, prec,
+            np.asarray(md.recall), np.asarray(md.precision),
             label=f"{PRETTY_NAMES.get(name, name.title())}: "
                   f"{ap * 100:.1f}%",
         )

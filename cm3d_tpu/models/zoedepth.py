@@ -502,13 +502,22 @@ def make_predict_depth(model: ZoeDepthModel, params, flip_aug: bool = True):
             d = 0.5 * (d + d_f[:, :, ::-1])
         return d
 
-    def predict_depth(image_u8: np.ndarray) -> np.ndarray:
+    def dispatch(image_u8: np.ndarray):
+        """Async half: enqueue the depth compute, return the DEVICE array.
+        The mask-stage pipeline dispatches all cameras back to back and
+        only pulls the results host-side when building the artifact
+        payload (masked_depth_images), so the ~6 inferences overlap the
+        Detic/SAM device work instead of serializing the host on one
+        transfer per camera."""
         h, w = image_u8.shape[:2]
         x = preprocess_zoe(image_u8, model.cfg.img_hw)
         d = fwd(params, jnp.asarray(x)[None])[0]
-        d = resize_bilinear_ac(d[None, ..., None], (h, w))[0, ..., 0]
-        return np.asarray(d, np.float32)
+        return resize_bilinear_ac(d[None, ..., None], (h, w))[0, ..., 0]
 
+    def predict_depth(image_u8: np.ndarray) -> np.ndarray:
+        return np.asarray(dispatch(image_u8), np.float32)
+
+    predict_depth.dispatch = dispatch
     return predict_depth
 
 

@@ -26,7 +26,23 @@ from typing import List, Optional
 
 import numpy as np
 
+import dataclasses
+
 from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
+
+
+def _scale_ratio_for_thumbnail(lift_cfg: LiftStageConfig,
+                               thumbnail: int) -> LiftStageConfig:
+    """The reference's intrinsics ratios are calibrated for 1024-wide
+    thumbnails (0.64 = 1024/1600 nuScenes, 1024/1920 Waymo, 0.8366 ≈
+    1024/1224 KITTI). The fused mask canvas tracks the actual thumbnail
+    size, so any other --thumbnail must rescale the ratio with it or
+    projected points land off the masks (silent misprojection)."""
+    if thumbnail == 1024:
+        return lift_cfg
+    return dataclasses.replace(
+        lift_cfg, image_ratio=lift_cfg.image_ratio * (thumbnail / 1024.0)
+    )
 from cm3d_tpu.parallel import make_keyframe_step_fn
 from cm3d_tpu.pipelines.masks import (
     MaskModels,
@@ -57,7 +73,10 @@ def run_fused(
 
     frames: iterable of (images, assemble) where assemble(handle) returns
         (Keyframe, token) — or None to skip the frame. handle is the
-        start_frame_masks result; its "planes" is never None here.
+        start_frame_masks result; assemble is called for EVERY frame, in
+        source order, on the main thread — including frames whose "planes"
+        is None (zero detections) — so artifact writes and scene-completion
+        bookkeeping can live inside it without racing the IO prefetch.
         The iterable is consumed from the IO thread (it is the sole
         consumer, so a generator is fine).
     on_boxes(token, boxes_slice): consume one keyframe's lift outputs
@@ -136,8 +155,6 @@ def run_fused(
             handle = start_frame_masks(
                 models, None, mask_cfg, plane_layout="xy", prepared=prepared
             )
-            if handle["planes"] is None:
-                continue
             out = assemble(handle)
             if out is None:
                 continue
@@ -175,6 +192,7 @@ def run_e2e(
         "fused path requires the mask stage's bit-plane capacity to equal "
         "the lift's padded mask count"
     )
+    lift_cfg = _scale_ratio_for_thumbnail(lift_cfg, thumbnail)
     store = MaskArtifactStore(mask_dir) if mask_dir else None
     frontend = NuScenesFrontend(
         dataroot, version, store, lift_cfg,
@@ -193,10 +211,8 @@ def run_e2e(
                 frontend.drivable_for_scene(scene)
                 if lift_cfg.drivable_filter else None
             )
-            frame_num = -1
-            for frame_num, sample in enumerate(
-                frontend.nusc.iter_samples(scene)
-            ):
+            samples = list(frontend.nusc.iter_samples(scene))
+            for frame_num, sample in enumerate(samples):
                 images = []
                 for cam in CAM_LIST:
                     sd = frontend.nusc.get("sample_data", sample["data"][cam])
@@ -208,17 +224,29 @@ def run_e2e(
 
                 def assemble(handle, scene_name=scene_name,
                              frame_num=frame_num, sample=sample,
-                             lane_points=lane_points, drivable=drivable):
-                    # planes stay a DEVICE array: the keyframe batch is
-                    # stacked device-side in run_fused, so the bit-planes
-                    # never round-trip through the host
-                    packed = (handle["labels"], handle["scores"],
-                              handle["cams"], handle["planes"])
+                             lane_points=lane_points, drivable=drivable,
+                             n_total=len(samples)):
+                    # assemble runs on the MAIN thread in frame order, so
+                    # the write below for frame n_total-1 is the scene's
+                    # last artifact write — marking completion here (not in
+                    # the IO-prefetch generator, which runs frames ahead)
+                    # keeps the resume manifest truthful under a mid-scene
+                    # crash. Zero-detection frames still write (empty)
+                    # artifacts, matching run_mask_stage.
                     if store is not None:  # optional reference artifacts
                         store.write_frame(
                             scene_name, frame_num,
                             finish_frame_masks(models, handle, mask_cfg),
                         )
+                        if frame_num == n_total - 1:
+                            store.mark_scene_complete(scene_name, n_total)
+                    if handle["planes"] is None:
+                        return None
+                    # planes stay a DEVICE array: the keyframe batch is
+                    # stacked device-side in run_fused, so the bit-planes
+                    # never round-trip through the host
+                    packed = (handle["labels"], handle["scores"],
+                              handle["cams"], handle["planes"])
                     kf, meta = frontend.assemble_keyframe(
                         scene_name, frame_num, sample, lane_points, packed,
                         drivable,
@@ -226,8 +254,6 @@ def run_e2e(
                     return kf, meta.sample_token
 
                 yield images, assemble
-            if store is not None and frame_num >= 0:
-                store.mark_scene_complete(scene_name, frame_num + 1)
 
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg,
@@ -282,6 +308,7 @@ def run_e2e_waymo(
         "fused path requires the mask stage's bit-plane capacity to equal "
         "the lift's padded mask count"
     )
+    lift_cfg = _scale_ratio_for_thumbnail(lift_cfg, thumbnail)
     store = MaskArtifactStore(mask_dir) if mask_dir else None
     frontend = WaymoFrontend(
         frames_root, store or MaskArtifactStore("/nonexistent"), lift_cfg,
@@ -302,14 +329,21 @@ def run_e2e_waymo(
                     im.thumbnail((thumbnail, thumbnail))
                     images.append(np.asarray(im))
 
-                def assemble(handle, scene=scene, i=i, fr=fr):
-                    packed = (handle["labels"], handle["scores"],
-                              handle["cams"], handle["planes"])
+                def assemble(handle, scene=scene, i=i, fr=fr, n=n):
+                    # artifact write + completion marking happen here, on
+                    # the main thread in frame order (see run_e2e: the IO
+                    # generator runs frames ahead of the writes)
                     if store is not None:  # optional reference artifacts
                         store.write_frame(
                             scene, i,
                             finish_frame_masks(models, handle, mask_cfg),
                         )
+                        if i == n - 1:
+                            store.mark_scene_complete(scene, n)
+                    if handle["planes"] is None:
+                        return None
+                    packed = (handle["labels"], handle["scores"],
+                              handle["cams"], handle["planes"])
                     built = frontend.build_keyframe(scene, i, fr, packed)
                     if built is None:
                         return None
@@ -317,8 +351,6 @@ def run_e2e_waymo(
                     return kf, meta
 
                 yield images, assemble
-            if store is not None:
-                store.mark_scene_complete(scene, n)
 
     def on_boxes(meta, boxes):
         all_objects.extend(
@@ -378,6 +410,7 @@ def run_e2e_kitti(
         "fused path requires the mask stage's bit-plane capacity to equal "
         "the lift's padded mask count"
     )
+    lift_cfg = _scale_ratio_for_thumbnail(lift_cfg, thumbnail)
     store = MaskArtifactStore(mask_dir) if mask_dir else None
     frontend = KittiFrontend(
         root, store or MaskArtifactStore("/nonexistent"), lift_cfg
@@ -405,13 +438,18 @@ def run_e2e_kitti(
             images = [np.asarray(im)]
 
             def assemble(handle, idx=idx):
-                packed = (handle["labels"], handle["scores"],
-                          handle["cams"], handle["planes"])
                 if store is not None:
                     store.write_frame(
                         frontend.scene_name, idx,
                         finish_frame_masks(models, handle, mask_cfg),
                     )
+                    # no mark_scene_complete: `indices` may be an arbitrary
+                    # subset of the split, so per-frame has_frame resume is
+                    # the correct granularity here
+                if handle["planes"] is None:
+                    return None
+                packed = (handle["labels"], handle["scores"],
+                          handle["cams"], handle["planes"])
                 built = frontend.build_keyframe(idx, packed)
                 if built is None:
                     return None
@@ -488,7 +526,8 @@ def main(argv=None):
     vocab = (CUSTOM_VOCABULARY_WAYMO if args.dataset == "waymo"
              else CUSTOM_VOCABULARY_NUSCENES)
     if args.fake_weights:
-        models = build_fake_models(vocabulary=vocab)
+        models = build_fake_models(vocabulary=vocab,
+                                   rect_encode=args.rect_encode)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,

@@ -127,8 +127,13 @@ def start_frame_masks(
     emb = models.sam_encode(frame_inputs)  # async dispatch
     depths = None
     if cfg.use_zoedepth and models.predict_depth is not None:
-        # reference zoe branch (:412-414): one depth map per camera image
-        depths = [models.predict_depth(im) for im in images]
+        # reference zoe branch (:412-414): one depth map per camera image.
+        # Use the async dispatch half when available: results stay device
+        # arrays here and are pulled host-side in masked_depth_images (on
+        # the finisher thread), keeping this host path bubble-free.
+        depth_fn = getattr(models.predict_depth, "dispatch",
+                           models.predict_depth)
+        depths = [depth_fn(im) for im in images]
     boxes_b, scores_b, cids_b, valid_b = [np.asarray(x) for x in det]
     n_cams = len(cam_hw)
 
@@ -210,6 +215,7 @@ def masked_depth_images(handle: dict) -> np.ndarray:
     dense = unpack_masks_np(planes, handle["total"])  # [M, W, H] bool
     pad = np.zeros((len(depths), plane_h, plane_w), np.float32)
     for c, dm in enumerate(depths):
+        dm = np.asarray(dm, np.float32)  # device->host if dispatched async
         h, w = dm.shape
         pad[c, :h, :w] = dm
     cams = np.asarray(handle["cams"], np.int32)
@@ -333,17 +339,20 @@ def run_mask_stage(
     def _finish(entry):
         nonlocal n_frames
         scene, f, handle = entry
-        if handle["planes"] is None:
-            store.write_frame_rles(
-                scene, f, handle["labels"], handle["scores"],
-                handle["cams"], [],
-            )
-        elif handle.get("depths") is not None:
+        if handle.get("depths") is not None:
             # use_zoedepth: masked depth images replace the mask payload
-            # (reference :484-486)
+            # (reference :484-486). Checked FIRST so a zero-detection frame
+            # still writes the depth-mode payload type ([0, H, W] float32,
+            # which masked_depth_images returns when planes is None) — a
+            # mixed-payload scene would break read_frame_depths consumers.
             store.write_frame_depths(
                 scene, f, handle["labels"], handle["scores"],
                 handle["cams"], masked_depth_images(handle),
+            )
+        elif handle["planes"] is None:
+            store.write_frame_rles(
+                scene, f, handle["labels"], handle["scores"],
+                handle["cams"], [],
             )
         else:
             # packed planes -> COCO RLE straight in C: no dense [M, W, H]
@@ -829,7 +838,8 @@ def main(argv=None):
     vocab = (CUSTOM_VOCABULARY_WAYMO if args.dataset == "waymo"
              else CUSTOM_VOCABULARY_NUSCENES)
     if args.fake_weights:
-        models = build_fake_models(vocabulary=vocab)
+        models = build_fake_models(vocabulary=vocab,
+                                   rect_encode=args.rect_encode)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
@@ -855,7 +865,8 @@ def main(argv=None):
     )
 
 
-def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES) -> MaskModels:
+def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
+                      rect_encode: bool = False) -> MaskModels:
     """Tiny random-weight models (hermetic smoke tests / CI) behind the same
     batched wrappers as the real checkpoints."""
     import jax
@@ -871,7 +882,7 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES) -> M
     )
     clf /= np.linalg.norm(clf, axis=0, keepdims=True)
     clf = jnp.asarray(clf)
-    sam_model = Sam(SAM_TEST)
+    sam_model = Sam(dataclasses.replace(SAM_TEST, rect_encode=rect_encode))
 
     img0 = jnp.zeros((64, 64, 3), jnp.float32)
     detic_params = detic_model.init(jax.random.PRNGKey(seed), img0, clf)["params"]

@@ -125,3 +125,49 @@ def test_fused_e2e_with_gdino_detector(tmp_path):
                   models, lift_cfg=SMALL, mask_cfg=MASK_CFG,
                   batch_size=1, verbose=False, mask_wh=(160, 90))
     assert len(sub["results"]) == 1  # the keyframe went through the lift
+
+
+def test_fused_e2e_empty_frames_write_artifacts_and_manifest(tmp_path):
+    """A zero-detection frame must still write (empty) reference-layout
+    artifacts, and the scene is marked complete only via the in-order
+    write path (regression: the IO-prefetch generator used to mark scenes
+    complete frames ahead of the writes)."""
+    import dataclasses
+
+    from cm3d_tpu.pipelines.e2e import run_e2e
+    from cm3d_tpu.pipelines.masks import build_fake_models
+
+    root = tmp_path / "data"
+    info = make_fake_nuscenes(root, tmp_path / "planted", n_frames=2,
+                              n_objects=6)
+    scene = info["scene_name"]
+
+    def no_detic(frame):
+        c, d = 6, MASK_CFG.max_detections
+        return (np.zeros((c, d, 4), np.float32), np.zeros((c, d), np.float32),
+                np.zeros((c, d), np.int64), np.zeros((c, d), bool))
+
+    models = dataclasses.replace(build_fake_models(), detic=no_detic)
+    mask_dir = tmp_path / "masks"
+    sub = run_e2e(str(root), VERSION, [scene], str(tmp_path / "out.json"),
+                  models, lift_cfg=SMALL, mask_cfg=MASK_CFG, batch_size=2,
+                  verbose=False, mask_wh=(160, 90), mask_dir=str(mask_dir))
+
+    assert sub["results"] == {}  # nothing lifted
+    store = MaskArtifactStore(mask_dir)
+    for f in range(2):  # but every frame has (empty) artifacts
+        fm = store.read_frame(scene, f)
+        assert fm is not None and len(fm.labels) == 0
+    assert store.completed_scenes() == {scene}
+
+
+def test_scale_ratio_for_thumbnail():
+    """Non-1024 thumbnails rescale the reference's 1024-calibrated
+    intrinsics ratio so projections stay on the mask canvas."""
+    from cm3d_tpu.pipelines.e2e import _scale_ratio_for_thumbnail
+
+    cfg = LiftStageConfig(image_ratio=0.64)
+    assert _scale_ratio_for_thumbnail(cfg, 1024) is cfg
+    scaled = _scale_ratio_for_thumbnail(cfg, 512)
+    assert scaled.image_ratio == pytest.approx(0.32)
+    assert scaled.max_masks == cfg.max_masks  # everything else untouched

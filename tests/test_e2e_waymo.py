@@ -139,3 +139,15 @@ def test_e2e_cli_waymo_vocab_and_gdino(monkeypatch, tmp_path):
               "--fake_weights", "--detector", "gdino"])
     assert seen["models"].detic is not detic_default  # gdino swapped in
     assert tuple(seen["models"].vocabulary) == tuple(CUSTOM_VOCABULARY_WAYMO)
+
+
+def test_waymo_scene_names_dedupes_cache_plus_raw(tmp_path):
+    """A scene present as BOTH a frame-lite npz dir and a raw .tfrecord
+    (the cache was exported next to its source segment) is listed once."""
+    from cm3d_tpu.datasets.waymo.frontend import WaymoFrontend
+
+    (tmp_path / "segment-000").mkdir()
+    (tmp_path / "segment-000.tfrecord").write_bytes(b"")
+    (tmp_path / "segment-111.tfrecord").write_bytes(b"")
+    fe = WaymoFrontend(tmp_path, MaskArtifactStore("/nonexistent"), SMALL_W)
+    assert fe.scene_names() == ["segment-000", "segment-111"]

@@ -282,3 +282,35 @@ def test_masked_depth_images_crops_to_mask():
     assert np.array_equal(md[0] != 0, dense[0].T.astype(bool))
     assert np.all(md[0][dense[0].T.astype(bool)] == 3.0)
     assert np.all(md[1][dense[1].T.astype(bool)] == 7.0)
+
+
+def test_use_zoedepth_empty_frame_still_writes_depth_payload(tmp_path):
+    """A zero-detection frame in zoe mode must write the DEPTH payload
+    type ([0, H, W] float32), not an RLE-mode empty list — mixed payload
+    types within a scene break read_frame_depths consumers."""
+    import dataclasses
+
+    from cm3d_tpu.config import MaskStageConfig
+    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+    from cm3d_tpu.pipelines.masks import (
+        attach_zoedepth, build_fake_models, run_mask_stage,
+    )
+
+    def no_detic(frame):
+        c, d = 1, 8
+        return (np.zeros((c, d, 4), np.float32), np.zeros((c, d), np.float32),
+                np.zeros((c, d), np.int64), np.zeros((c, d), bool))
+
+    models = dataclasses.replace(
+        attach_zoedepth(build_fake_models(seed=0), test=True), detic=no_detic
+    )
+    images = [(RNG.random((48, 64, 3)) * 255).astype(np.uint8)]
+    run_mask_stage(
+        models, lambda s, f: images, ["sc-e"], lambda s: 1,
+        str(tmp_path), MaskStageConfig(use_zoedepth=True), verbose=False,
+    )
+    out = MaskArtifactStore(tmp_path).read_frame_depths("sc-e", 0)
+    assert out is not None
+    data, depths = out
+    assert isinstance(depths, np.ndarray) and depths.dtype == np.float32
+    assert depths.shape[0] == 0 and len(data["labels"]) == 0
