@@ -422,11 +422,20 @@ def run_mask_stage(
 # ---------------------------------------------------------------------------
 
 def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
-                       sam_params, vocabulary) -> MaskModels:
+                       sam_params, vocabulary, mesh=None) -> MaskModels:
     """Wrap jitted batched callables around Detic + SAM Flax models.
 
     Shared by the real-checkpoint and fake-weight builders so the pipeline
     exercises identical code in CI and production.
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — CAMERA
+    PARALLELISM for the 2D stage (SURVEY.md §2.4): the ring's camera axis
+    shards over the mesh, so SAM encode / Detic / decode for different
+    cameras run on different chips concurrently (keyframe latency divides
+    by the data-axis size; per-chip memory stays at the batch-1 working
+    set when data == n_cams). The per-camera scans become vmaps under a
+    mesh — lax.scan would serialize the cameras XLA should partition.
+    Requires n_cams % mesh.shape["data"] == 0.
     """
     import functools
 
@@ -437,18 +446,32 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
     from cm3d_tpu.ops.maskpack import make_plane_postprocess
 
     img_size = sam_model.cfg.img_size
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cam_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        data_size = mesh.shape["data"]
+    else:
+        cam_sharding = repl = None
+        data_size = 1
     # Params MUST flow in as jit arguments (not closure captures): captured
     # concrete arrays get baked into the lowered program as constants —
     # gigabytes re-staged per compile and catastrophic dispatch time.
-    detic_params = jax.device_put(detic_params)
-    sam_params = jax.device_put(sam_params)
-    classifier = jax.device_put(classifier)
+    detic_params = jax.device_put(detic_params, repl)
+    sam_params = jax.device_put(sam_params, repl)
+    classifier = jax.device_put(classifier, repl)
 
     def prepare(images):
         """One uint8 canvas upload for the whole camera ring."""
         hs = [im.shape[0] for im in images]
         ws = [im.shape[1] for im in images]
         hmax, wmax = max(hs), max(ws)
+        if mesh is not None:
+            assert len(images) % data_size == 0, (
+                f"camera-parallel mask stage: ring size {len(images)} must "
+                f"divide over the mesh data axis ({data_size})"
+            )
         canvas = np.zeros((len(images), hmax, wmax, 3), np.uint8)
         for i, im in enumerate(images):
             canvas[i, : hs[i], : ws[i]] = im
@@ -460,8 +483,8 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
             and hmax <= img_size and wmax <= img_size
         )
         return {
-            "dev": jax.device_put(canvas),
-            "hw": jnp.asarray(hw),
+            "dev": jax.device_put(canvas, cam_sharding),
+            "hw": jax.device_put(hw, cam_sharding),
             "images": images,
             "scale1": scale1,
         }
@@ -498,28 +521,39 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
     def detic(frame):
         return detic_batch(detic_params, classifier, frame["dev"], frame["hw"])
 
+    def _enc_one_u8(p, x_u8, hw_c, h, w):
+        x = _norm_and_mask(
+            x_u8, hw_c,
+            jnp.asarray(SAM_PIXEL_MEAN), jnp.asarray(SAM_PIXEL_STD),
+        )
+        if not sam_model.cfg.rect_encode:
+            # SamPredictor semantics: encode the zero-padded square
+            x = jnp.pad(x, ((0, img_size - h), (0, img_size - w), (0, 0)))
+        e = sam_model.apply(
+            {"params": p}, x[None], method=sam_model.encode_image
+        )
+        return e[0]
+
+    # single chip: scan the camera ring (caps the encoder working set at
+    # one camera). camera-parallel mesh: vmap instead — the batch axis
+    # shards over "data", so GSPMD runs the cameras concurrently, one
+    # camera-sized working set per chip.
     @jax.jit
     def enc_scan_u8(p, xs_u8, hw):
         h, w = xs_u8.shape[1], xs_u8.shape[2]
 
         def body(carry, x_hw):
-            x_u8, hw_c = x_hw
-            x = _norm_and_mask(
-                x_u8, hw_c,
-                jnp.asarray(SAM_PIXEL_MEAN), jnp.asarray(SAM_PIXEL_STD),
-            )
-            if not sam_model.cfg.rect_encode:
-                # SamPredictor semantics: encode the zero-padded square
-                x = jnp.pad(
-                    x, ((0, img_size - h), (0, img_size - w), (0, 0))
-                )
-            e = sam_model.apply(
-                {"params": p}, x[None], method=sam_model.encode_image
-            )
-            return carry, e[0]
+            return carry, _enc_one_u8(p, x_hw[0], x_hw[1], h, w)
 
         _, es = jax.lax.scan(body, 0, (xs_u8, hw))
         return es
+
+    @jax.jit
+    def enc_vmap_u8(p, xs_u8, hw):
+        h, w = xs_u8.shape[1], xs_u8.shape[2]
+        return jax.vmap(
+            lambda x_u8, hw_c: _enc_one_u8(p, x_u8, hw_c, h, w)
+        )(xs_u8, hw)
 
     @jax.jit
     def enc_scan_f32(p, xs):
@@ -532,14 +566,23 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         _, es = jax.lax.scan(body, 0, xs)
         return es
 
+    @jax.jit
+    def enc_vmap_f32(p, xs):
+        return sam_model.apply(
+            {"params": p}, xs, method=sam_model.encode_image
+        )
+
     def sam_encode(frame):
+        enc_u8 = enc_vmap_u8 if mesh is not None else enc_scan_u8
         if frame["scale1"]:
-            return enc_scan_u8(sam_params, frame["dev"], frame["hw"])
+            return enc_u8(sam_params, frame["dev"], frame["hw"])
         # general path: host resize to the SAM input square (PIL bilinear)
         x = np.stack(
             [preprocess_image(im, img_size) for im in frame["images"]]
         )
-        return enc_scan_f32(sam_params, jnp.asarray(x))
+        x = jax.device_put(x, cam_sharding)
+        enc_f32 = enc_vmap_f32 if mesh is not None else enc_scan_f32
+        return enc_f32(sam_params, x)
 
     @functools.lru_cache(maxsize=8)
     def _decode_planes_fn(cam_hw, mask_wh, nw, rect, layout):
@@ -553,16 +596,24 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
 
         @jax.jit
         def run(p, emb, boxes, n_boxes):
-            def dec(carry, eb):
-                e, b = eb
+            def dec_one(e, b):
                 logits, _ = sam_model.apply(
                     {"params": p}, e, b, method=sam_model.decode_boxes
                 )
-                return carry, logits
+                return logits
 
-            # scan (not vmap) over cameras: caps the decoder+upscale
-            # intermediates at one camera's 128 prompts (~0.5 GB)
-            _, logits = jax.lax.scan(dec, 0, (emb, jnp.asarray(boxes) * scales))
+            sb = jnp.asarray(boxes) * scales
+            if mesh is not None:
+                # camera-parallel: vmap so the camera axis (sharded over
+                # "data") decodes concurrently — one camera's decoder
+                # working set per chip
+                logits = jax.vmap(dec_one)(emb, sb)
+            else:
+                # scan (not vmap) over cameras: caps the decoder+upscale
+                # intermediates at one camera's 128 prompts (~0.5 GB)
+                _, logits = jax.lax.scan(
+                    lambda c, eb: (c, dec_one(*eb)), 0, (emb, sb)
+                )
             return post(logits, jnp.asarray(n_boxes))
 
         return run
@@ -588,6 +639,7 @@ def build_real_models(
     vocabulary=CUSTOM_VOCABULARY_NUSCENES,
     dtype: str = "bfloat16",
     rect_encode: bool = False,
+    mesh=None,
 ) -> MaskModels:
     """Full-size models from released torch checkpoints, jitted batched."""
     import jax.numpy as jnp
@@ -618,7 +670,7 @@ def build_real_models(
                                   rect_encode=rect_encode)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
-        vocabulary,
+        vocabulary, mesh=mesh,
     )
 
 
@@ -821,6 +873,10 @@ def main(argv=None):
                    help="groundingdino_swint_ogc torch checkpoint")
     p.add_argument("--gdino_vocab", default="",
                    help="bert-base-uncased vocab.txt for --detector gdino")
+    p.add_argument("--camera_mesh", type=int, default=0,
+                   help="camera-parallel 2D stage: shard the camera ring "
+                   "over an N-chip data mesh (keyframe latency / N; ring "
+                   "size must divide N)")
     args = p.parse_args(argv)
 
     from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, CUSTOM_VOCABULARY_WAYMO
@@ -837,13 +893,18 @@ def main(argv=None):
 
     vocab = (CUSTOM_VOCABULARY_WAYMO if args.dataset == "waymo"
              else CUSTOM_VOCABULARY_NUSCENES)
+    mesh = None
+    if args.camera_mesh:
+        from cm3d_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.camera_mesh, n_model=1)
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
-                                   rect_encode=args.rect_encode)
+                                   rect_encode=args.rect_encode, mesh=mesh)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
-            vocabulary=vocab, rect_encode=args.rect_encode,
+            vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
         )
 
     if args.use_zoedepth:
@@ -866,7 +927,7 @@ def main(argv=None):
 
 
 def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
-                      rect_encode: bool = False) -> MaskModels:
+                      rect_encode: bool = False, mesh=None) -> MaskModels:
     """Tiny random-weight models (hermetic smoke tests / CI) behind the same
     batched wrappers as the real checkpoints."""
     import jax
@@ -892,7 +953,8 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
     )["params"]
 
     return _batched_model_fns(
-        detic_model, detic_params, clf, sam_model, sam_params, vocabulary
+        detic_model, detic_params, clf, sam_model, sam_params, vocabulary,
+        mesh=mesh,
     )
 
 

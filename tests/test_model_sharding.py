@@ -43,3 +43,48 @@ def test_sharded_sam_matches_unsharded():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(iou), np.asarray(ref_iou),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_camera_parallel_mask_stage_matches_single_device():
+    """Camera-parallel 2D stage (SURVEY §2.4): the same fake weights run
+    through generate_frame_masks on one device and with the camera ring
+    sharded over a data=2 mesh must produce identical masks — the
+    scan->vmap swap and GSPMD partitioning change the schedule, not the
+    math."""
+    from cm3d_tpu.pipelines.masks import build_fake_models, generate_frame_masks
+
+    rng = np.random.default_rng(11)
+    # 6-camera ring, 64x64 thumbnails (SAM_TEST img_size) -> scale1 path
+    images = [
+        (rng.random((48, 64, 3)) * 255).astype(np.uint8) for _ in range(6)
+    ]
+
+    plain = build_fake_models(seed=0)
+    fm_ref = generate_frame_masks(plain, images)
+
+    mesh = make_mesh(n_data=2, n_model=1)
+    sharded = build_fake_models(seed=0, mesh=mesh)
+    fm = generate_frame_masks(sharded, images)
+
+    assert fm.labels == fm_ref.labels
+    assert fm.cam_nums == fm_ref.cam_nums
+    np.testing.assert_allclose(
+        fm.detection_scores, fm_ref.detection_scores, rtol=1e-5, atol=1e-6
+    )
+    assert fm.masks.shape == fm_ref.masks.shape
+    # masks are thresholded bits: demand exact agreement
+    mismatch = (fm.masks != fm_ref.masks).mean()
+    assert mismatch == 0.0, f"mask bit mismatch fraction {mismatch}"
+
+
+def test_camera_parallel_ring_size_must_divide():
+    from cm3d_tpu.pipelines.masks import build_fake_models
+
+    rng = np.random.default_rng(1)
+    images = [
+        (rng.random((48, 64, 3)) * 255).astype(np.uint8) for _ in range(5)
+    ]
+    mesh = make_mesh(n_data=2, n_model=1)
+    models = build_fake_models(seed=0, mesh=mesh)
+    with pytest.raises(AssertionError, match="ring size"):
+        models.prepare(images)
