@@ -509,6 +509,10 @@ def main(argv=None):
                    help="groundingdino_swint_ogc torch checkpoint")
     p.add_argument("--gdino_vocab", default="",
                    help="bert-base-uncased vocab.txt for --detector gdino")
+    p.add_argument("--camera_mesh", type=int, default=0,
+                   help="camera-parallel 2D stage: shard the camera ring "
+                   "over an N-chip data mesh (keyframe latency / N; ring "
+                   "size must divide N) — same flag as the masks CLI")
     args = p.parse_args(argv)
 
     from cm3d_tpu.pipelines.masks import (
@@ -525,13 +529,18 @@ def main(argv=None):
     # vocabulary drops cone/barrier, waymo/gen_2d_masks_detic.py:66-87)
     vocab = (CUSTOM_VOCABULARY_WAYMO if args.dataset == "waymo"
              else CUSTOM_VOCABULARY_NUSCENES)
+    mesh = None
+    if args.camera_mesh:
+        from cm3d_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.camera_mesh, n_model=1)
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
-                                   rect_encode=args.rect_encode)
+                                   rect_encode=args.rect_encode, mesh=mesh)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
-            vocabulary=vocab, rect_encode=args.rect_encode,
+            vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
         )
     if args.detector == "gdino":
         models = attach_gdino(

@@ -88,3 +88,28 @@ def test_camera_parallel_ring_size_must_divide():
     models = build_fake_models(seed=0, mesh=mesh)
     with pytest.raises(AssertionError, match="ring size"):
         models.prepare(images)
+
+
+def test_e2e_cli_camera_mesh_flag(monkeypatch, tmp_path):
+    """--camera_mesh on the fused e2e CLI must reach the model builders:
+    the prepared ring upload lands sharded over the mesh data axis."""
+    from cm3d_tpu.pipelines import e2e
+
+    seen = {}
+
+    def fake_run(frames_root, scenes, out, models, **kw):
+        seen["models"] = models
+        return 0
+
+    monkeypatch.setattr(e2e, "run_e2e_waymo", fake_run)
+    e2e.main(["--dataset", "waymo", "--dataroot", str(tmp_path),
+              "--scenes", "s0", "--out", str(tmp_path / "o.bin"),
+              "--fake_weights", "--camera_mesh", "2"])
+
+    rng = np.random.default_rng(3)
+    images = [
+        (rng.random((48, 64, 3)) * 255).astype(np.uint8) for _ in range(6)
+    ]
+    frame = seen["models"].prepare(images)
+    spec = frame["dev"].sharding.spec
+    assert spec and spec[0] == "data", spec
