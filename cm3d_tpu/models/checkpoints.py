@@ -11,12 +11,12 @@ import os
 from typing import Any
 
 
-def save_params(params: Any, path: str) -> None:
+def save_params(params: Any, path: str, overwrite: bool = False) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, params)
+    ckptr.save(path, params, force=overwrite)
     ckptr.wait_until_finished()
 
 

@@ -74,6 +74,21 @@ def build_train_batches(
         yield token, points, pvalid, boxes, bvalid
 
 
+def latest_state_dir(out_dir: str):
+    """Highest-step `state_*` checkpoint under out_dir, or None."""
+    import os
+    import re
+
+    if not os.path.isdir(out_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(out_dir):
+        m = re.fullmatch(r"state_(\d+)", name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = os.path.join(out_dir, name), int(m.group(1))
+    return best
+
+
 def run_pretrain(
     dataroot: str,
     version: str,
@@ -83,11 +98,22 @@ def run_pretrain(
     batch_size: int = 4,
     learning_rate: float = 1e-3,
     verbose: bool = True,
+    save_every: int = 0,
+    resume: bool = False,
+    seed: int = 0,
+    pillar_cfg=None,
+    model_cfg=None,
 ) -> Dict[str, float]:
+    """Train for `steps` GLOBAL steps, optionally checkpointing the full
+    TrainState (params + batch_stats + optimizer state + step) every
+    `save_every` steps to `{out_dir}/state_{step:06d}` and resuming from the
+    latest such checkpoint. The per-step batch sampling is keyed by
+    (seed, global_step), so a killed-and-resumed run replays the exact
+    sample sequence of an uninterrupted one (pinned by test)."""
     import jax
     import jax.numpy as jnp
 
-    from cm3d_tpu.models.checkpoints import save_params
+    from cm3d_tpu.models.checkpoints import load_params, save_params
     from cm3d_tpu.train import CenterPointConfig, PillarConfig, make_train_step
     from cm3d_tpu.train.train import TrainBatch, init_state
     from cm3d_tpu.utils.jax_setup import enable_compilation_cache
@@ -98,18 +124,26 @@ def run_pretrain(
     if not data:
         raise SystemExit("no training samples (empty labels or token mismatch)")
 
-    pillar_cfg = PillarConfig()
-    model_cfg = CenterPointConfig()
+    pillar_cfg = pillar_cfg or PillarConfig()
+    model_cfg = model_cfg or CenterPointConfig()
     state, model, tx = init_state(
-        jax.random.PRNGKey(0), pillar_cfg, model_cfg, learning_rate
+        jax.random.PRNGKey(seed), pillar_cfg, model_cfg, learning_rate
     )
+    start = 0
+    if resume:
+        ckpt = latest_state_dir(out_dir)
+        if ckpt is None:
+            raise SystemExit(f"--resume: no state_* checkpoint under {out_dir}")
+        state = load_params(ckpt, like=state)
+        start = int(np.asarray(state.step))
+        if verbose:
+            print(f"resumed from {ckpt} at step {start}")
     step = jax.jit(make_train_step(model, tx, pillar_cfg))
 
-    rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     last = {}
-    for s in range(steps):
-        pick = rng.integers(0, len(data), batch_size)
+    for s in range(start, steps):
+        pick = np.random.default_rng((seed, s)).integers(0, len(data), batch_size)
         batch = TrainBatch(
             points=jnp.asarray(np.stack([data[i][1] for i in pick])),
             point_valid=jnp.asarray(np.stack([data[i][2] for i in pick])),
@@ -120,11 +154,15 @@ def run_pretrain(
         last = {k: float(np.asarray(v)) for k, v in metrics.items()}
         if verbose and (s % max(1, steps // 10) == 0 or s == steps - 1):
             print(f"step {s}: " + json.dumps({k: round(v, 4) for k, v in last.items()}))
+        if save_every and (s + 1) % save_every == 0:
+            save_params(state, f"{out_dir}/state_{s + 1:06d}", overwrite=True)
+            if verbose:
+                print(f"saved train state at step {s + 1}")
     if verbose:
-        print(f"trained {steps} steps in {time.perf_counter() - t0:.1f}s")
+        print(f"trained {steps - start} steps in {time.perf_counter() - t0:.1f}s")
     save_params(
         {"params": state.params, "batch_stats": state.batch_stats},
-        f"{out_dir}/centerpoint",
+        f"{out_dir}/centerpoint", overwrite=True,
     )
     if verbose:
         print(f"saved checkpoint to {out_dir}/centerpoint")
@@ -140,9 +178,16 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--save_every", type=int, default=0,
+                   help="checkpoint the full train state every N steps")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest state_* under --out")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     run_pretrain(args.dataroot, args.version, args.labels, args.out,
-                 args.steps, args.batch_size, args.lr)
+                 args.steps, args.batch_size, args.lr,
+                 save_every=args.save_every, resume=args.resume,
+                 seed=args.seed)
 
 
 if __name__ == "__main__":

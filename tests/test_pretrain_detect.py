@@ -1,0 +1,142 @@
+"""Pretrain checkpoint/resume + trained-detector inference (semi-sup loop).
+
+BASELINE config 5 end to end inside the framework: pseudo-labels ->
+pipelines/pretrain.py (now with kill-and-restart resume of the FULL train
+state) -> pipelines/detect.py -> a standard submission JSON the eval
+deserializer accepts.
+"""
+
+import json
+
+import jax
+import numpy as np
+
+from cm3d_tpu.train import CenterPointConfig, PillarConfig
+from nusc_fixture import VERSION, make_fake_nuscenes
+
+PILLAR = PillarConfig(x_min=-25.6, x_max=25.6, y_min=-25.6, y_max=25.6,
+                      resolution=0.8)
+MODEL = CenterPointConfig(trunk_channels=(16, 16), head_channels=16)
+
+
+def _setup(tmp_path):
+    """Fixture dataroot + a pseudo-label submission JSON over its samples."""
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+
+    root = tmp_path / "nusc"
+    make_fake_nuscenes(root, tmp_path / "planted", n_frames=3, n_objects=2)
+    nusc = NuScenesTables(root, VERSION)
+    results = {}
+    rng = np.random.default_rng(7)
+    for sample in nusc.table("sample"):
+        ego_t = np.asarray(
+            nusc.sample_lidar_ego_pose(sample)["translation"], np.float64
+        )
+        boxes = []
+        for name, off in (("car", (5.0, 3.0)), ("pedestrian", (-4.0, 6.0))):
+            t = ego_t + [off[0] + rng.normal(0, 0.5),
+                         off[1] + rng.normal(0, 0.5), 0.0]
+            boxes.append({
+                "sample_token": sample["token"],
+                "translation": [float(v) for v in t],
+                "size": [1.8, 4.5, 1.4] if name == "car" else [0.7, 0.7, 1.7],
+                "rotation": [1.0, 0.0, 0.0, 0.0],
+                "velocity": [0, 0],
+                "detection_name": name,
+                "detection_score": 0.9,
+                "attribute_name": "",
+            })
+        results[sample["token"]] = boxes
+    labels = tmp_path / "labels.json"
+    labels.write_text(json.dumps({"meta": {}, "results": results}))
+    return root, str(labels)
+
+
+def _train(root, labels, out_dir, **kw):
+    from cm3d_tpu.pipelines.pretrain import run_pretrain
+
+    base = dict(steps=6, batch_size=2, learning_rate=1e-3, verbose=False,
+                pillar_cfg=PILLAR, model_cfg=MODEL)
+    base.update(kw)
+    return run_pretrain(str(root), VERSION, labels, str(out_dir), **base)
+
+
+def test_pretrain_resume_matches_uninterrupted(tmp_path):
+    """Kill-and-restart: 3 steps + save + resume to 6 must equal an
+    uninterrupted 6-step run — full TrainState (opt state included) round-
+    trips through orbax and the (seed, step)-keyed sampling replays."""
+    from cm3d_tpu.models.checkpoints import load_params
+
+    root, labels = _setup(tmp_path)
+    _train(root, labels, tmp_path / "A")
+    _train(root, labels, tmp_path / "B", steps=3, save_every=3)
+    _train(root, labels, tmp_path / "B", steps=6, save_every=3, resume=True)
+
+    a = load_params(str(tmp_path / "A" / "centerpoint"))
+    b = load_params(str(tmp_path / "B" / "centerpoint"))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7
+        ),
+        a, b,
+    )
+
+
+def test_pretrain_resume_without_checkpoint_fails(tmp_path):
+    import pytest
+
+    root, labels = _setup(tmp_path)
+    with pytest.raises(SystemExit, match="no state_"):
+        _train(root, labels, tmp_path / "empty", resume=True)
+
+
+def test_detect_writes_eval_ready_submission(tmp_path):
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+    from cm3d_tpu.eval.boxes import EvalBoxes
+    from cm3d_tpu.pipelines.detect import run_detect
+
+    root, labels = _setup(tmp_path)
+    out = tmp_path / "ck"
+    _train(root, labels, out, steps=2)
+
+    sub = run_detect(
+        str(root), VERSION, str(out / "centerpoint"),
+        str(tmp_path / "det.json"), batch_size=2, top_k=16,
+        score_thresh=0.0, max_points=4096,
+        pillar_cfg=PILLAR, model_cfg=MODEL, verbose=False,
+    )
+    nusc = NuScenesTables(root, VERSION)
+    tokens = {s["token"] for s in nusc.table("sample")}
+    assert set(sub["results"]) == tokens
+    assert json.loads((tmp_path / "det.json").read_text())["results"]
+
+    # the eval stack must accept the schema verbatim
+    eb = EvalBoxes.deserialize(sub["results"])
+    n_boxes = 0
+    for token in tokens:
+        for box in eb[token]:
+            n_boxes += 1
+            assert 0.0 <= box.detection_score <= 1.0
+            assert all(s > 0 for s in box.size)  # exp-decoded sizes
+            q = np.asarray(box.rotation)
+            np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)
+    assert n_boxes > 0  # score_thresh=0: circle NMS keeps at least the top box
+
+
+def test_detect_scene_filter(tmp_path):
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+    from cm3d_tpu.pipelines.detect import run_detect
+
+    root, labels = _setup(tmp_path)
+    out = tmp_path / "ck"
+    _train(root, labels, out, steps=2)
+    nusc = NuScenesTables(root, VERSION)
+    scene = nusc.table("scene")[0]["name"]
+    sub = run_detect(
+        str(root), VERSION, str(out / "centerpoint"),
+        str(tmp_path / "det.json"), scenes=[scene], batch_size=2, top_k=8,
+        score_thresh=0.0, max_points=4096,
+        pillar_cfg=PILLAR, model_cfg=MODEL, verbose=False,
+    )
+    expected = {s["token"] for s in nusc.iter_samples(nusc.scene_by_name(scene))}
+    assert set(sub["results"]) == expected
