@@ -122,6 +122,23 @@ def test_detect_writes_eval_ready_submission(tmp_path):
             np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)
     assert n_boxes > 0  # score_thresh=0: circle NMS keeps at least the top box
 
+    # full semi-sup loop: score the trained detector's submission through
+    # the eval CLI against the fixture GT (a 2-step random-init detector
+    # scores ~0 mAP — the point is that every stage CONNECTS)
+    from cm3d_tpu.datasets.nuscenes import load_gt_for_eval
+    from cm3d_tpu.eval.__main__ import main as eval_main
+
+    gt, egos, _, _ = load_gt_for_eval(root, VERSION)
+    (tmp_path / "gt.json").write_text(json.dumps(
+        {"ego_translations": {k: list(v) for k, v in egos.items()},
+         "boxes": gt.serialize()}
+    ))
+    summary = eval_main([
+        str(tmp_path / "det.json"), "--gt_json", str(tmp_path / "gt.json"),
+        "--output_dir", str(tmp_path / "metrics"), "--verbose", "0",
+    ])
+    assert np.isfinite(summary["mean_ap"]) and np.isfinite(summary["nd_score"])
+
 
 def test_detect_scene_filter(tmp_path):
     from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
