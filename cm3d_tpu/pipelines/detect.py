@@ -21,7 +21,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from cm3d_tpu.config import NUSCENES_CLASSES, class_arrays, LiftStageConfig
+from cm3d_tpu.config import NUSCENES_CLASSES, class_arrays
 
 
 def make_detect_fn(model, pillar_cfg, radius_sq: np.ndarray,
@@ -82,10 +82,9 @@ def run_detect(
     import jax
     import jax.numpy as jnp
 
-    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
-    from cm3d_tpu.datasets.nuscenes import NuScenesFrontend
     from cm3d_tpu.datasets.nuscenes.writer import SubmissionWriter, boxes_to_dicts
     from cm3d_tpu.models.checkpoints import load_params
+    from cm3d_tpu.pipelines.pretrain import load_ego_points, make_points_frontend
     from cm3d_tpu.train import CenterPointConfig, PillarConfig
     from cm3d_tpu.train.centerpoint import CenterPointDetector
     from cm3d_tpu.utils.jax_setup import enable_compilation_cache
@@ -112,10 +111,7 @@ def run_detect(
     detect = make_detect_fn(model, pillar_cfg, radii[: model_cfg.num_classes],
                             top_k=top_k, score_thresh=score_thresh)
 
-    fe = NuScenesFrontend(
-        dataroot, version, MaskArtifactStore("/nonexistent"),
-        LiftStageConfig(max_points=max_points),
-    )
+    fe = make_points_frontend(dataroot, version, max_points)
     nusc = fe.nusc
     if scenes:
         samples = []
@@ -132,13 +128,8 @@ def run_detect(
         val = np.zeros((batch_size, max_points), bool)
         egos = []
         for j, sample in enumerate(chunk):
-            pose = nusc.sample_lidar_ego_pose(sample)
-            ego_t = np.asarray(pose["translation"])
-            p = fe.aggregate_sweeps(sample)
-            p[:, :3] -= ego_t  # same ego-centric frame as training
-            n = min(len(p), max_points)
-            pts[j, :n] = p[:n]
-            val[j, :n] = True
+            # shared helper = the training frame, verbatim
+            pts[j], val[j], ego_t = load_ego_points(fe, sample, max_points)
             egos.append(ego_t)
         boxes, scores, cls, keep = jax.tree.map(
             np.asarray, detect(params, batch_stats, jnp.asarray(pts),

@@ -511,8 +511,9 @@ def main(argv=None):
                    help="bert-base-uncased vocab.txt for --detector gdino")
     p.add_argument("--camera_mesh", type=int, default=0,
                    help="camera-parallel 2D stage: shard the camera ring "
-                   "over an N-chip data mesh (keyframe latency / N; ring "
-                   "size must divide N) — same flag as the masks CLI")
+                   "over an N-chip data mesh (keyframe latency / N; N must "
+                   "divide the ring size, e.g. 2/3/6 for nuScenes) — same "
+                   "flag as the masks CLI")
     args = p.parse_args(argv)
 
     from cm3d_tpu.pipelines.masks import (

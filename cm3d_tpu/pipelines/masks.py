@@ -432,9 +432,10 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
     PARALLELISM for the 2D stage (SURVEY.md §2.4): the ring's camera axis
     shards over the mesh, so SAM encode / Detic / decode for different
     cameras run on different chips concurrently (keyframe latency divides
-    by the data-axis size; per-chip memory stays at the batch-1 working
-    set when data == n_cams). The per-camera scans become vmaps under a
-    mesh — lax.scan would serialize the cameras XLA should partition.
+    by the data-axis size). The per-camera scans become group-scans with a
+    width-data vmap inside (_scan_vmapped) — a plain lax.scan would
+    serialize the cameras XLA should partition, a plain vmap would blow
+    the per-chip working set past one camera whenever data < n_cams.
     Requires n_cams % mesh.shape["data"] == 0.
     """
     import functools
@@ -534,10 +535,28 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         )
         return e[0]
 
+    def _scan_vmapped(f, *xs):
+        """Ring map that preserves the per-chip working-set cap: scan over
+        groups of `data_size` cameras with a width-`data_size` vmap inside.
+        GSPMD spreads each group across the mesh data axis, so every chip
+        still holds ONE camera's intermediates per scan step (the reason
+        the single-device path scans at all) — a plain vmap would
+        materialize n_cams/data_size cameras per chip whenever the mesh is
+        smaller than the ring."""
+        c = xs[0].shape[0]
+        grouped = tuple(
+            x.reshape((c // data_size, data_size) + x.shape[1:]) for x in xs
+        )
+
+        def body(carry, xg):
+            return carry, jax.vmap(f)(*xg)
+
+        _, ys = jax.lax.scan(body, 0, grouped)
+        return ys.reshape((c,) + ys.shape[2:])
+
     # single chip: scan the camera ring (caps the encoder working set at
-    # one camera). camera-parallel mesh: vmap instead — the batch axis
-    # shards over "data", so GSPMD runs the cameras concurrently, one
-    # camera-sized working set per chip.
+    # one camera). camera-parallel mesh: group-scan with a vmap inside —
+    # the group axis shards over "data", one camera per chip per step.
     @jax.jit
     def enc_scan_u8(p, xs_u8, hw):
         h, w = xs_u8.shape[1], xs_u8.shape[2]
@@ -549,11 +568,11 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         return es
 
     @jax.jit
-    def enc_vmap_u8(p, xs_u8, hw):
+    def enc_group_u8(p, xs_u8, hw):
         h, w = xs_u8.shape[1], xs_u8.shape[2]
-        return jax.vmap(
-            lambda x_u8, hw_c: _enc_one_u8(p, x_u8, hw_c, h, w)
-        )(xs_u8, hw)
+        return _scan_vmapped(
+            lambda x_u8, hw_c: _enc_one_u8(p, x_u8, hw_c, h, w), xs_u8, hw
+        )
 
     @jax.jit
     def enc_scan_f32(p, xs):
@@ -567,13 +586,16 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         return es
 
     @jax.jit
-    def enc_vmap_f32(p, xs):
-        return sam_model.apply(
-            {"params": p}, xs, method=sam_model.encode_image
+    def enc_group_f32(p, xs):
+        return _scan_vmapped(
+            lambda x: sam_model.apply(
+                {"params": p}, x[None], method=sam_model.encode_image
+            )[0],
+            xs,
         )
 
     def sam_encode(frame):
-        enc_u8 = enc_vmap_u8 if mesh is not None else enc_scan_u8
+        enc_u8 = enc_group_u8 if mesh is not None else enc_scan_u8
         if frame["scale1"]:
             return enc_u8(sam_params, frame["dev"], frame["hw"])
         # general path: host resize to the SAM input square (PIL bilinear)
@@ -581,7 +603,7 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
             [preprocess_image(im, img_size) for im in frame["images"]]
         )
         x = jax.device_put(x, cam_sharding)
-        enc_f32 = enc_vmap_f32 if mesh is not None else enc_scan_f32
+        enc_f32 = enc_group_f32 if mesh is not None else enc_scan_f32
         return enc_f32(sam_params, x)
 
     @functools.lru_cache(maxsize=8)
@@ -604,10 +626,11 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
 
             sb = jnp.asarray(boxes) * scales
             if mesh is not None:
-                # camera-parallel: vmap so the camera axis (sharded over
-                # "data") decodes concurrently — one camera's decoder
-                # working set per chip
-                logits = jax.vmap(dec_one)(emb, sb)
+                # camera-parallel: group-scan (see _scan_vmapped) so the
+                # mesh decodes data_size cameras concurrently while each
+                # chip still holds ONE camera's 128-prompt decoder+upscale
+                # intermediates (~0.5 GB) per step
+                logits = _scan_vmapped(dec_one, emb, sb)
             else:
                 # scan (not vmap) over cameras: caps the decoder+upscale
                 # intermediates at one camera's 128 prompts (~0.5 GB)
@@ -875,8 +898,8 @@ def main(argv=None):
                    help="bert-base-uncased vocab.txt for --detector gdino")
     p.add_argument("--camera_mesh", type=int, default=0,
                    help="camera-parallel 2D stage: shard the camera ring "
-                   "over an N-chip data mesh (keyframe latency / N; ring "
-                   "size must divide N)")
+                   "over an N-chip data mesh (keyframe latency / N; N must "
+                   "divide the ring size, e.g. 2/3/6 for nuScenes)")
     args = p.parse_args(argv)
 
     from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, CUSTOM_VOCABULARY_WAYMO

@@ -22,6 +22,40 @@ import numpy as np
 from cm3d_tpu.config import CLASS_TO_ID, LiftStageConfig
 
 
+def make_points_frontend(dataroot: str, version: str, max_points: int):
+    """NuScenes frontend used only for sweep aggregation + tables (no mask
+    store — shared by pretrain and detect so training and inference read
+    points identically)."""
+    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+    from cm3d_tpu.datasets.nuscenes import NuScenesFrontend
+
+    return NuScenesFrontend(
+        dataroot, version, MaskArtifactStore("/nonexistent"),
+        LiftStageConfig(max_points=max_points),
+    )
+
+
+def load_ego_points(fe, sample: dict, max_points: int):
+    """Sweep-aggregated points in the EGO-CENTRIC frame, fixed-size padded.
+
+    This IS the train/inference frame contract: translation-only shift by
+    the keyframe's lidar ego pose (no rotation). pipelines/detect.py must
+    invert exactly this transform on its way back to global boxes, so both
+    sides call this one helper.
+
+    Returns (points [max_points,4], valid [max_points], ego_t [3])."""
+    pose = fe.nusc.sample_lidar_ego_pose(sample)
+    ego_t = np.asarray(pose["translation"])
+    pts = fe.aggregate_sweeps(sample)
+    pts[:, :3] -= ego_t
+    points = np.zeros((max_points, 4), np.float32)
+    valid = np.zeros(max_points, bool)
+    n = min(len(pts), max_points)
+    points[:n] = pts[:n]
+    valid[:n] = True
+    return points, valid, ego_t
+
+
 def build_train_batches(
     dataroot: str,
     version: str,
@@ -30,18 +64,12 @@ def build_train_batches(
     max_boxes: int = 64,
 ):
     """Yield (sample_token, points [N,4] ego, boxes [M,8], valids)."""
-    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
-    from cm3d_tpu.datasets.nuscenes import NuScenesFrontend
     from cm3d_tpu.eval.algo import quaternion_yaw
 
     with open(labels_json) as f:
         results = json.load(f)["results"]
 
-    # frontend only for sweep aggregation / tables (no masks needed)
-    fe = NuScenesFrontend(
-        dataroot, version, MaskArtifactStore("/nonexistent"),
-        LiftStageConfig(max_points=max_points),
-    )
+    fe = make_points_frontend(dataroot, version, max_points)
     nusc = fe.nusc
     token_to_sample = {s["token"]: s for s in nusc.table("sample")}
 
@@ -49,16 +77,7 @@ def build_train_batches(
         sample = token_to_sample.get(token)
         if sample is None:
             continue
-        pose = nusc.sample_lidar_ego_pose(sample)
-        ego_t = np.asarray(pose["translation"])
-        pts = fe.aggregate_sweeps(sample)
-        pts[:, :3] -= ego_t  # ego-centric training frame
-
-        points = np.zeros((max_points, 4), np.float32)
-        pvalid = np.zeros(max_points, bool)
-        n = min(len(pts), max_points)
-        points[:n] = pts[:n]
-        pvalid[:n] = True
+        points, pvalid, ego_t = load_ego_points(fe, sample, max_points)
 
         boxes = np.zeros((max_boxes, 8), np.float32)
         bvalid = np.zeros(max_boxes, bool)
