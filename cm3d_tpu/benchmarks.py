@@ -360,3 +360,66 @@ def bench_e2e(
         "ms_per_keyframe": round(dt / done * 1000, 1),
         "boxes_kept": boxes_seen[0],
     }
+
+
+def bench_train(batch_size: int = 8, n_iters: int = 20) -> dict:
+    """Pretraining step throughput at production pillar scale (128x128
+    grid, full trunk): voxelize -> CenterPoint forward -> focal+L1 ->
+    adamw, one jit. The round-2 sorted-segment Pallas kernel took this
+    from 38.7 to 10.0 ms/batch-8 on the chip (kernels/segment_pallas.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cm3d_tpu.train import CenterPointConfig, PillarConfig, make_train_step
+    from cm3d_tpu.train.train import TrainBatch, init_state
+
+    pillar_cfg = PillarConfig()
+    model_cfg = CenterPointConfig()
+    state, model, tx = init_state(jax.random.PRNGKey(0), pillar_cfg, model_cfg)
+    step = jax.jit(make_train_step(model, tx, pillar_cfg))
+
+    rng = np.random.default_rng(0)
+    n_pts, n_box = 32768, 64
+    pts = np.empty((batch_size, n_pts, 4), np.float32)
+    pts[..., 0] = rng.uniform(pillar_cfg.x_min, pillar_cfg.x_max,
+                              (batch_size, n_pts))
+    pts[..., 1] = rng.uniform(pillar_cfg.y_min, pillar_cfg.y_max,
+                              (batch_size, n_pts))
+    pts[..., 2] = rng.uniform(-2.0, 1.0, (batch_size, n_pts))
+    pts[..., 3] = rng.uniform(0.0, 1.0, (batch_size, n_pts))
+    boxes = np.zeros((batch_size, n_box, 8), np.float32)
+    boxes[..., 0] = rng.uniform(-45, 45, (batch_size, n_box))
+    boxes[..., 1] = rng.uniform(-45, 45, (batch_size, n_box))
+    boxes[..., 3:6] = rng.uniform(0.5, 4.5, (batch_size, n_box, 3))
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (batch_size, n_box))
+    boxes[..., 7] = rng.integers(0, model_cfg.num_classes,
+                                 (batch_size, n_box))
+    batch = TrainBatch(
+        points=jnp.asarray(pts),
+        point_valid=jnp.ones((batch_size, n_pts), bool),
+        boxes=jnp.asarray(boxes),
+        box_valid=jnp.ones((batch_size, n_box), bool),
+    )
+    batch = jax.device_put(batch)
+
+    def sync(metrics):
+        return float(np.asarray(metrics["loss"]))
+
+    state, metrics = step(state, batch)  # warmup / compile
+    sync(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch)
+    sync(metrics)  # serial device stream: last sync covers all
+    dt = time.perf_counter() - t0
+
+    ms = dt / n_iters * 1000
+    return {
+        "metric": "train_step_ms_batch8",
+        "value": round(ms, 2),
+        "unit": f"ms/step (batch {batch_size})",
+        # round-2 pre-kernel step (XLA scatter voxelization) as baseline
+        "vs_baseline": round(38.7 / ms, 3),
+        "steps_per_sec": round(n_iters / dt, 2),
+    }
