@@ -481,6 +481,24 @@ def run_e2e_kitti(
     return n_frames
 
 
+def merge_submissions(paths: List[str], out_path: str) -> dict:
+    """Merge per-host submission JSONs (disjoint sample sets from
+    --host_shard runs) into one. Duplicate sample tokens concatenate."""
+    import json
+
+    merged: dict = {"meta": None, "results": {}}
+    for path in paths:
+        with open(path) as f:
+            sub = json.load(f)
+        if merged["meta"] is None:
+            merged["meta"] = sub.get("meta", {})
+        for token, objs in sub["results"].items():
+            merged["results"].setdefault(token, []).extend(objs)
+    with open(out_path, "w") as f:
+        json.dump(merged, f)
+    return merged
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="CM3D-TPU fused images->masks->boxes pipeline"
@@ -514,6 +532,10 @@ def main(argv=None):
                    "over an N-chip data mesh (keyframe latency / N; N must "
                    "divide the ring size, e.g. 2/3/6 for nuScenes) — same "
                    "flag as the masks CLI")
+    p.add_argument("--host_shard", action="store_true",
+                   help="multi-host: keep only this process's scene stride "
+                   "(same flag as the masks CLI); each host writes "
+                   "{out}.host{i}, merge with pipelines.e2e.merge_submissions")
     args = p.parse_args(argv)
 
     from cm3d_tpu.pipelines.masks import (
@@ -528,6 +550,17 @@ def main(argv=None):
 
     # same vocabulary switch as the masks CLI (the reference's Waymo
     # vocabulary drops cone/barrier, waymo/gen_2d_masks_detic.py:66-87)
+    scene_list = args.scenes.split(",")
+    out_path = args.out
+    if args.host_shard:
+        import jax
+
+        from cm3d_tpu.parallel.multihost import shard_for_host
+
+        scene_list = shard_for_host(scene_list)
+        if jax.process_count() > 1:
+            out_path = f"{args.out}.host{jax.process_index()}"
+
     vocab = (CUSTOM_VOCABULARY_WAYMO if args.dataset == "waymo"
              else CUSTOM_VOCABULARY_NUSCENES)
     mesh = None
@@ -550,18 +583,18 @@ def main(argv=None):
         )
     if args.dataset == "waymo":
         run_e2e_waymo(
-            args.dataroot, args.scenes.split(","), args.out, models,
+            args.dataroot, scene_list, out_path, models,
             thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
         )
     elif args.dataset == "kitti":
         run_e2e_kitti(
-            args.dataroot, [int(i) for i in args.scenes.split(",")],
-            args.out, models, thumbnail=args.thumbnail,
+            args.dataroot, [int(i) for i in scene_list],
+            out_path, models, thumbnail=args.thumbnail,
             mask_dir=args.mask_dir or None,
         )
     else:
         run_e2e(
-            args.dataroot, args.version, args.scenes.split(","), args.out,
+            args.dataroot, args.version, scene_list, out_path,
             models, thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
         )
 

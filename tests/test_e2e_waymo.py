@@ -151,3 +151,42 @@ def test_waymo_scene_names_dedupes_cache_plus_raw(tmp_path):
     (tmp_path / "segment-111.tfrecord").write_bytes(b"")
     fe = WaymoFrontend(tmp_path, MaskArtifactStore("/nonexistent"), SMALL_W)
     assert fe.scene_names() == ["segment-000", "segment-111"]
+
+
+def test_e2e_cli_host_shard(monkeypatch, tmp_path):
+    """--host_shard keeps only this process's scene stride and suffixes the
+    output per host (same contract as the masks CLI; merge via
+    merge_submissions)."""
+    import json
+
+    import jax
+
+    from cm3d_tpu.pipelines import e2e
+
+    seen = {}
+
+    def fake_run(frames_root, scenes, out, models, **kw):
+        seen["scenes"], seen["out"] = scenes, out
+        return 0
+
+    monkeypatch.setattr(e2e, "run_e2e_waymo", fake_run)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    e2e.main(["--dataset", "waymo", "--dataroot", str(tmp_path),
+              "--scenes", "s0,s1,s2", "--out", str(tmp_path / "o.bin"),
+              "--fake_weights", "--host_shard"])
+    assert seen["scenes"] == ["s1"]  # stride [1::2]
+    assert seen["out"] == str(tmp_path / "o.bin") + ".host1"
+
+    # merge of disjoint per-host submissions
+    (tmp_path / "a.json").write_text(json.dumps(
+        {"meta": {"use_camera": True}, "results": {"t0": [{"x": 1}]}}))
+    (tmp_path / "b.json").write_text(json.dumps(
+        {"meta": {"use_camera": True}, "results": {"t1": [{"x": 2}]}}))
+    merged = e2e.merge_submissions(
+        [str(tmp_path / "a.json"), str(tmp_path / "b.json")],
+        str(tmp_path / "m.json"),
+    )
+    assert set(merged["results"]) == {"t0", "t1"}
+    assert json.loads((tmp_path / "m.json").read_text())["meta"] == {
+        "use_camera": True}
