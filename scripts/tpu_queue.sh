@@ -1,0 +1,42 @@
+#!/bin/bash
+# Serialized on-chip backlog (CLAUDE.md: never run two TPU jobs at once —
+# concurrent full-scale compiles thrash past 900 s). Run from /root/repo:
+#   bash scripts/tpu_queue.sh [logfile]
+# Each step is separately time-bounded; a failure logs and continues.
+set -u
+cd /root/repo
+LOG="${1:-/tmp/tpu_queue.log}"
+: > "$LOG"
+
+step() {
+  local name="$1" tmo="$2"; shift 2
+  echo "=== $name (timeout ${tmo}s) $(date +%H:%M:%S) ===" | tee -a "$LOG"
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  echo "--- $name exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
+}
+
+# 0. tiny health check first: do not start a 10-min compile on a sick tunnel
+step health 240 python -c "
+import jax, numpy as np, jax.numpy as jnp
+print(jax.devices()); print(float(np.asarray(jnp.sum(jnp.ones((128,128))))))"
+grep -q 'exit=0' "$LOG" || { echo 'tunnel unhealthy; aborting' | tee -a "$LOG"; exit 1; }
+
+# 1. headline sanity (the driver contract)
+step bench_lift 1200 python bench.py
+
+# 2. entry compile check (driver contract)
+step graft_entry 1200 python __graft_entry__.py
+
+# 3. train-step bench (new --stage train)
+step bench_train 1200 python bench.py --stage train
+
+# 4. compact-kernel tile sweep (lift stretch)
+step tile_sweep 2400 python -c "exec(open('scripts/sweep_compact_tiles.py').read())"
+
+# 5. SAM ring-encode chunk-batch A/B (mask-stage floor lever)
+step ab_sam_batch 2400 python -c "exec(open('scripts/ab_sam_batch.py').read())"
+
+# 6. fused e2e bench (slowest: full-scale 2D compiles) — run last
+step bench_e2e 3600 python bench.py --stage e2e
+
+echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG"
