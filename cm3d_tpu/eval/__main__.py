@@ -53,6 +53,10 @@ def main(argv=None) -> dict:
     parser.add_argument("--render_curves", type=int, default=0,
                         help="write summary/per-class PR+TP/dist_pr plots "
                         "to {output_dir}/plots (reference :1172-1177)")
+    parser.add_argument("--plot_examples", type=int, default=0,
+                        help="write N example-sample BEV visualizations to "
+                        "{output_dir}/examples (reference :1181; its CLI "
+                        "default is 10 — opt-in here)")
     args = parser.parse_args(argv)
 
     if args.config_path == "":
@@ -108,7 +112,22 @@ def main(argv=None) -> dict:
         meta=meta,
         verbose=bool(args.verbose),
     )
-    return ev.main(render_curves=bool(args.render_curves))
+    points_provider = None
+    if args.plot_examples > 0 and args.dataroot:
+        # table mode can draw the lidar points behind the boxes; hermetic
+        # --gt_json mode renders boxes-only examples
+        from cm3d_tpu.pipelines.pretrain import make_points_frontend
+
+        fe = make_points_frontend(args.dataroot, args.version, 32768)
+        token_to_sample = {s["token"]: s for s in fe.nusc.table("sample")}
+
+        def points_provider(token):
+            sample = token_to_sample.get(token)
+            return None if sample is None else fe.aggregate_sweeps(sample)[:, :2]
+
+    return ev.main(render_curves=bool(args.render_curves),
+                   plot_examples=args.plot_examples,
+                   points_provider=points_provider)
 
 
 if __name__ == "__main__":

@@ -290,6 +290,7 @@ class DetectionEval:
 
         pred_boxes = add_center_dist_from_poses(pred_boxes, ego_translations)
         gt_boxes = add_center_dist_from_poses(gt_boxes, ego_translations)
+        self.ego_translations = dict(ego_translations)
 
         geom = map_geometry if drivable_filtering else None
         if verbose:
@@ -304,7 +305,21 @@ class DetectionEval:
         )
         self.sample_tokens = self.gt_boxes.sample_tokens
 
-    def main(self, render_curves: bool = False) -> dict:
+    def main(self, render_curves: bool = False, plot_examples: int = 0,
+             points_provider=None) -> dict:
+        if plot_examples > 0 and self.output_dir:
+            # reference example visualizations (eval_custom.py:1080-1097):
+            # fixed random subset (seed 42), {output_dir}/examples/{token}.png
+            from cm3d_tpu.eval.render import plot_examples as _examples
+
+            if self.verbose:
+                print(f"Rendering {plot_examples} example visualizations")
+            _examples(
+                self.gt_boxes, self.pred_boxes, self.sample_tokens,
+                self.ego_translations, plot_examples,
+                max(self.cfg.class_range.values()), self.output_dir,
+                points_provider=points_provider,
+            )
         metrics, metric_data, recall_list = evaluate_boxes(
             self.gt_boxes,
             self.pred_boxes,

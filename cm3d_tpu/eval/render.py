@@ -218,3 +218,96 @@ def render_curves(
         )
         written.append(savepath("dist_pr_" + str(dist_th)))
     return written
+
+
+def _box_corners_bev(xy, size, yaw):
+    """Closed BEV rectangle [5, 2]: size=(w, l) with l along the box x
+    axis (nuScenes wlh convention), rotated by yaw, translated to xy."""
+    w, l = float(size[0]), float(size[1])
+    dx, dy = l / 2.0, w / 2.0
+    corners = np.array(
+        [[dx, dy], [dx, -dy], [-dx, -dy], [-dx, dy], [dx, dy]]
+    )
+    c, s = np.cos(yaw), np.sin(yaw)
+    return corners @ np.array([[c, s], [-s, c]]) + np.asarray(xy)
+
+
+def visualize_sample(
+    gt_boxes,
+    pred_boxes,
+    sample_token: str,
+    ego_translation,
+    eval_range: float,
+    savepath: str,
+    points_xy=None,
+    conf_th: float = 0.15,
+) -> None:
+    """One example-sample BEV (reference plot_examples,
+    eval_custom.py:1080-1097 -> devkit visualize_sample): optional lidar
+    points gray, GT boxes green, predictions >= conf_th blue, the
+    eval-range circle — all ego-centered."""
+    from cm3d_tpu.eval.algo import quaternion_yaw
+
+    plt = _plt()
+    ex, ey = float(ego_translation[0]), float(ego_translation[1])
+    fig, ax = plt.subplots(figsize=(9, 9))
+    if points_xy is not None and len(points_xy):
+        pts = np.asarray(points_xy, np.float64)
+        ax.scatter(pts[:, 0] - ex, pts[:, 1] - ey, c="0.7", s=0.2,
+                   linewidths=0)
+    th = np.linspace(0, 2 * np.pi, 100)
+    ax.plot(eval_range * np.cos(th), eval_range * np.sin(th), color="0.4",
+            linewidth=0.8, linestyle="--")
+    for box in gt_boxes[sample_token]:
+        c = _box_corners_bev(
+            (box.translation[0] - ex, box.translation[1] - ey),
+            box.size, quaternion_yaw(tuple(box.rotation)),
+        )
+        ax.plot(c[:, 0], c[:, 1], color="g", linewidth=1.2)
+    for box in pred_boxes[sample_token]:
+        if box.detection_score < conf_th:
+            continue
+        c = _box_corners_bev(
+            (box.translation[0] - ex, box.translation[1] - ey),
+            box.size, quaternion_yaw(tuple(box.rotation)),
+        )
+        ax.plot(c[:, 0], c[:, 1], color="b", linewidth=1.0)
+    lim = eval_range * 1.05
+    ax.set_xlim(-lim, lim)
+    ax.set_ylim(-lim, lim)
+    ax.set_aspect("equal")
+    ax.set_title(f"{sample_token}\nGT green / pred (score>={conf_th}) blue")
+    fig.savefig(savepath, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
+def plot_examples(
+    gt_boxes,
+    pred_boxes,
+    sample_tokens,
+    ego_translations,
+    n: int,
+    eval_range: float,
+    output_dir: str,
+    points_provider=None,
+) -> list:
+    """Reference example-visualization pass (eval_custom.py:1080-1097):
+    a random-but-FIXED subset (seed 42, like the reference) of n samples,
+    one png per sample under {output_dir}/examples. Returns paths."""
+    import random
+
+    random.seed(42)
+    tokens = list(sample_tokens)
+    random.shuffle(tokens)
+    example_dir = os.path.join(output_dir, "examples")
+    os.makedirs(example_dir, exist_ok=True)
+    written = []
+    for token in tokens[:n]:
+        path = os.path.join(example_dir, f"{token}.png")
+        visualize_sample(
+            gt_boxes, pred_boxes, token, ego_translations.get(token, (0, 0, 0)),
+            eval_range, path,
+            points_xy=points_provider(token) if points_provider else None,
+        )
+        written.append(path)
+    return written

@@ -236,3 +236,38 @@ def test_render_curves_writes_reference_plot_layout(tmp_path):
         assert p.exists() and p.stat().st_size > 500, fn
     # and the non-render path still writes the summary json
     assert (tmp_path / "metrics_summary.json").exists()
+
+
+def test_plot_examples_writes_fixed_subset(tmp_path):
+    """DetectionEval.main(plot_examples=N) writes N example BEV pngs under
+    {output_dir}/examples with the reference's fixed random subset
+    (eval_custom.py:1080-1097, seed 42)."""
+    from cm3d_tpu.eval.evaluate import DetectionEval
+
+    gt = _eval_boxes([
+        _box("s1", (0, 0), attr="vehicle.stopped", num_pts=10),
+        _box("s2", (5, 5), attr="vehicle.stopped", num_pts=10),
+        _box("s3", (9, -4), attr="vehicle.stopped", num_pts=10),
+    ])
+    pred = _eval_boxes([
+        _box("s1", (0.1, 0), score=0.9, attr="vehicle.stopped"),
+        _box("s2", (5.2, 5), score=0.05, attr="vehicle.stopped"),  # < conf_th
+        _box("s3", (9, -4.1), score=0.7, attr="vehicle.stopped"),
+    ])
+    egos = {t: (0.0, 0.0, 0.0) for t in ("s1", "s2", "s3")}
+    seen = []
+
+    def provider(token):
+        seen.append(token)
+        return np.array([[1.0, 2.0], [3.0, -4.0]])
+
+    ev = DetectionEval(
+        gt_boxes=gt, pred_boxes=pred, cfg=DETECTION_CVPR_2019,
+        ego_translations=egos, output_dir=str(tmp_path), verbose=False,
+    )
+    ev.main(plot_examples=2, points_provider=provider)
+    pngs = sorted(p.name for p in (tmp_path / "examples").glob("*.png"))
+    assert len(pngs) == 2
+    assert len(seen) == 2
+    for p in pngs:
+        assert (tmp_path / "examples" / p).stat().st_size > 1000
