@@ -30,6 +30,11 @@ def _read_calib_file(path: str | Path) -> Dict[str, np.ndarray]:
     return data
 
 
+# velodyne-frame constraint box for depth unprojection
+# (reference kitti_utils.py:26)
+CBOX = ((0.0, 70.4), (-40.0, 40.0), (-3.0, 2.0))
+
+
 def inverse_rigid_trans(tr: np.ndarray) -> np.ndarray:
     """Inverse of a [3, 4] rigid transform (reference kitti_utils.py:368-375)."""
     inv = np.zeros_like(tr)
@@ -93,6 +98,30 @@ class Calibration:
 
     def project_image_to_velo(self, uv_depth: np.ndarray) -> np.ndarray:
         return self.project_rect_to_velo(self.project_image_to_rect(uv_depth))
+
+    def project_depth_to_velo(self, depth: np.ndarray,
+                              constraint_box: bool = True) -> np.ndarray:
+        """Dense depth image [H, W] (meters) -> velodyne-frame points
+        [N, 3] (reference kitti_utils.py:310-330). Mirrors the reference's
+        quirks: EVERY pixel unprojects (zero-depth pixels included —
+        get_depth_pt3d iterates all of them) and constraint_box clips to
+        the fixed cbox x:[0,70.4) y:[-40,40) z:[-3,2) (kitti_utils.py:26).
+        Vectorized instead of the reference's per-pixel Python loop."""
+        h, w = depth.shape
+        vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        uvd = np.stack(
+            [uu.ravel(), vv.ravel(), np.asarray(depth, np.float64).ravel()],
+            axis=1,
+        )
+        pts = self.project_image_to_velo(uvd)
+        if constraint_box:
+            keep = (
+                (pts[:, 0] >= CBOX[0][0]) & (pts[:, 0] < CBOX[0][1])
+                & (pts[:, 1] >= CBOX[1][0]) & (pts[:, 1] < CBOX[1][1])
+                & (pts[:, 2] >= CBOX[2][0]) & (pts[:, 2] < CBOX[2][1])
+            )
+            pts = pts[keep]
+        return pts
 
     # decomposition for the device pipeline: p_rect = A @ p_velo + b,
     # with the P2 baseline column folded in so a pure K applies after.

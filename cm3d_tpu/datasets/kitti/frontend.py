@@ -76,6 +76,17 @@ class KittiDataset:
         p = self._path("label_2", idx, "txt")
         return read_label(p) if p.exists() else []
 
+    def get_depth(self, idx: int):
+        """[H, W] metric depth from the KITTI uint16 depth png
+        (value/256.0, reference kitti_utils.py:395-401), or None if the
+        frame has no depth map."""
+        from PIL import Image
+
+        p = self._path("depth", idx, "png")
+        if not p.exists():
+            return None
+        return np.asarray(Image.open(p), np.float64) / 256.0
+
 
 class KittiFrontend:
     def __init__(

@@ -155,3 +155,63 @@ def dataset_viz(root: str, indices: List[int], out_dir: str,
             img = np.asarray(Image.open(img_path).convert("RGB"))
             out = draw_boxes_on_image(img, objects, calib)
             Image.fromarray(out).save(f"{out_dir}/{idx:06d}_img.png")
+
+
+def gen_depth_pc(root: str, indices: List[int], out_dir: str,
+                 constraint_box: bool = True) -> List[str]:
+    """Depth-image -> velodyne point cloud .bin files (the reference viz
+    suite's --gen_depth pass, kitti_object.py:510-534 save_depth): every
+    frame with a depth png unprojects through the calib chain, gets the
+    reference's fixed 0.5 intensity column, and writes {idx:06d}.bin
+    float32 [N, 4]. Returns written paths."""
+    import os
+
+    from cm3d_tpu.datasets.kitti.frontend import KittiDataset
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = KittiDataset(root)
+    written = []
+    for idx in indices:
+        depth = ds.get_depth(idx)
+        if depth is None:
+            continue
+        calib = ds.get_calibration(idx)
+        pts = calib.project_depth_to_velo(depth, constraint_box)
+        pc = np.concatenate(
+            [pts, np.full((len(pts), 1), 0.5)], axis=1
+        ).astype(np.float32)
+        path = f"{out_dir}/{idx:06d}.bin"
+        pc.tofile(path)
+        written.append(path)
+    return written
+
+
+def main(argv=None):
+    """Batch KITTI viz CLI (reference kitti_object.py argparse surface:
+    --vis/--gen_depth/--const_box; mayavi windows become written pngs)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="KITTI viz / depth-pc driver")
+    p.add_argument("--dataroot", required=True)
+    p.add_argument("--indices", required=True,
+                   help="comma-separated frame indices")
+    p.add_argument("--out", required=True)
+    p.add_argument("--pred_dir", default="")
+    p.add_argument("--gen_depth", action="store_true",
+                   help="write depth-png -> velodyne .bin point clouds "
+                   "instead of box pngs (reference --gen_depth)")
+    p.add_argument("--const_box", type=int, default=1,
+                   help="clip depth points to the reference cbox "
+                   "(kitti_utils.py:26)")
+    args = p.parse_args(argv)
+    indices = [int(i) for i in args.indices.split(",")]
+    if args.gen_depth:
+        gen_depth_pc(args.dataroot, indices, args.out,
+                     constraint_box=bool(args.const_box))
+    else:
+        dataset_viz(args.dataroot, indices, args.out,
+                    pred_dir=args.pred_dir or None)
+
+
+if __name__ == "__main__":
+    main()

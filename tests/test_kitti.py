@@ -178,3 +178,55 @@ def test_kitti_lift_end_to_end(kitti_root, tmp_path):
             best = min(best, np.linalg.norm(rect[[0, 2]] - crect[[0, 2]]))
         assert best < 2.5, (o, best)
         assert o.type in ("Car", "Pedestrian")
+
+
+def test_project_depth_to_velo_matches_pixelwise_oracle(kitti_root):
+    """Vectorized depth unprojection == per-pixel project_image_to_velo
+    (the reference's get_depth_pt3d loop), incl. the all-pixels quirk and
+    the cbox clip (kitti_utils.py:26,310-330)."""
+    from cm3d_tpu.datasets.kitti.calib import CBOX, Calibration
+
+    calib = Calibration(kitti_root / "training" / "calib" / "000000.txt")
+    rng = np.random.default_rng(3)
+    depth = rng.uniform(0.0, 60.0, (8, 12))
+    depth[0, 0] = 0.0  # reference unprojects zero-depth pixels too
+
+    got_all = calib.project_depth_to_velo(depth, constraint_box=False)
+    # oracle: explicit per-pixel loop, row-major like get_depth_pt3d
+    uvd = np.array([[j, i, depth[i, j]]
+                    for i in range(8) for j in range(12)], np.float64)
+    want = calib.project_image_to_velo(uvd)
+    np.testing.assert_allclose(got_all, want, atol=1e-9)
+
+    got_clipped = calib.project_depth_to_velo(depth, constraint_box=True)
+    keep = ((want[:, 0] >= CBOX[0][0]) & (want[:, 0] < CBOX[0][1])
+            & (want[:, 1] >= CBOX[1][0]) & (want[:, 1] < CBOX[1][1])
+            & (want[:, 2] >= CBOX[2][0]) & (want[:, 2] < CBOX[2][1]))
+    np.testing.assert_allclose(got_clipped, want[keep], atol=1e-9)
+    assert len(got_clipped) < len(got_all)  # the clip does something
+
+
+def test_gen_depth_pc_cli(kitti_root, tmp_path):
+    """--gen_depth writes float32 [N,4] velodyne .bins with the
+    reference's fixed 0.5 intensity (kitti_object.py:510-534)."""
+    from PIL import Image
+
+    from cm3d_tpu.datasets.kitti.viz import main as viz_main
+
+    (kitti_root / "training" / "velodyne").mkdir(exist_ok=True)
+    np.zeros((4, 4), np.float32).tofile(
+        kitti_root / "training" / "velodyne" / "000000.bin")
+    (kitti_root / "training" / "depth").mkdir()
+    # tall enough to cover the calib's principal row, so rays near the
+    # optical axis land inside the cbox z-range
+    d16 = (np.full((260, 40), 20.0) * 256).astype(np.uint16)
+    Image.fromarray(d16).save(kitti_root / "training" / "depth" / "000000.png")
+
+    out = tmp_path / "depth_pc"
+    viz_main(["--dataroot", str(kitti_root), "--indices", "0",
+              "--out", str(out), "--gen_depth"])
+    pc = np.fromfile(out / "000000.bin", np.float32).reshape(-1, 4)
+    assert len(pc) > 0
+    np.testing.assert_allclose(pc[:, 3], 0.5)
+    # 20 m depth in front of the camera: inside the cbox x-range
+    assert (pc[:, 0] > 0).all() and (pc[:, 0] < 70.4).all()
