@@ -422,7 +422,8 @@ def run_mask_stage(
 # ---------------------------------------------------------------------------
 
 def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
-                       sam_params, vocabulary, mesh=None) -> MaskModels:
+                       sam_params, vocabulary, mesh=None,
+                       encode_chunk: int = 1) -> MaskModels:
     """Wrap jitted batched callables around Detic + SAM Flax models.
 
     Shared by the real-checkpoint and fake-weight builders so the pipeline
@@ -437,6 +438,13 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
     serialize the cameras XLA should partition, a plain vmap would blow
     the per-chip working set past one camera whenever data < n_cams.
     Requires n_cams % mesh.shape["data"] == 0.
+
+    encode_chunk: single-chip SAM-encode batching — the same group-scan
+    runs chunks of this many cameras per step (1 = the pure scan, the
+    measured production setting; scripts/ab_sam_batch.py is the on-chip
+    A/B that decides whether >1 amortizes the elementwise/softmax islands
+    enough to beat the extra per-step working set). Ignored under a mesh
+    (the mesh data size IS the chunk).
     """
     import functools
 
@@ -455,7 +463,7 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         data_size = mesh.shape["data"]
     else:
         cam_sharding = repl = None
-        data_size = 1
+        data_size = max(1, int(encode_chunk))
     # Params MUST flow in as jit arguments (not closure captures): captured
     # concrete arrays get baked into the lowered program as constants —
     # gigabytes re-staged per compile and catastrophic dispatch time.
@@ -468,10 +476,11 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         hs = [im.shape[0] for im in images]
         ws = [im.shape[1] for im in images]
         hmax, wmax = max(hs), max(ws)
-        if mesh is not None:
+        if data_size > 1:
             assert len(images) % data_size == 0, (
                 f"camera-parallel mask stage: ring size {len(images)} must "
-                f"divide over the mesh data axis ({data_size})"
+                f"divide over the mesh data axis / encode chunk "
+                f"({data_size})"
             )
         canvas = np.zeros((len(images), hmax, wmax, 3), np.uint8)
         for i, im in enumerate(images):
@@ -595,7 +604,7 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         )
 
     def sam_encode(frame):
-        enc_u8 = enc_group_u8 if mesh is not None else enc_scan_u8
+        enc_u8 = enc_group_u8 if data_size > 1 else enc_scan_u8
         if frame["scale1"]:
             return enc_u8(sam_params, frame["dev"], frame["hw"])
         # general path: host resize to the SAM input square (PIL bilinear)
@@ -603,7 +612,7 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
             [preprocess_image(im, img_size) for im in frame["images"]]
         )
         x = jax.device_put(x, cam_sharding)
-        enc_f32 = enc_group_f32 if mesh is not None else enc_scan_f32
+        enc_f32 = enc_group_f32 if data_size > 1 else enc_scan_f32
         return enc_f32(sam_params, x)
 
     @functools.lru_cache(maxsize=8)
@@ -663,6 +672,7 @@ def build_real_models(
     dtype: str = "bfloat16",
     rect_encode: bool = False,
     mesh=None,
+    encode_chunk: int = 1,
 ) -> MaskModels:
     """Full-size models from released torch checkpoints, jitted batched."""
     import jax.numpy as jnp
@@ -693,7 +703,7 @@ def build_real_models(
                                   rect_encode=rect_encode)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
-        vocabulary, mesh=mesh,
+        vocabulary, mesh=mesh, encode_chunk=encode_chunk,
     )
 
 
@@ -950,7 +960,8 @@ def main(argv=None):
 
 
 def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
-                      rect_encode: bool = False, mesh=None) -> MaskModels:
+                      rect_encode: bool = False, mesh=None,
+                      encode_chunk: int = 1) -> MaskModels:
     """Tiny random-weight models (hermetic smoke tests / CI) behind the same
     batched wrappers as the real checkpoints."""
     import jax
@@ -977,7 +988,7 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
 
     return _batched_model_fns(
         detic_model, detic_params, clf, sam_model, sam_params, vocabulary,
-        mesh=mesh,
+        mesh=mesh, encode_chunk=encode_chunk,
     )
 
 

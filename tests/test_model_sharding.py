@@ -113,3 +113,23 @@ def test_e2e_cli_camera_mesh_flag(monkeypatch, tmp_path):
     frame = seen["models"].prepare(images)
     spec = frame["dev"].sharding.spec
     assert spec and spec[0] == "data", spec
+
+
+def test_encode_chunk_matches_scan_single_device():
+    """encode_chunk batches the single-chip SAM encode in groups without
+    changing the math: chunk sizes 2 and 3 over a 6-camera ring produce
+    bit-identical masks to the pure scan (the on-chip A/B
+    scripts/ab_sam_batch.py decides if a chunk>1 ever becomes default)."""
+    from cm3d_tpu.pipelines.masks import build_fake_models, generate_frame_masks
+
+    rng = np.random.default_rng(17)
+    images = [
+        (rng.random((48, 64, 3)) * 255).astype(np.uint8) for _ in range(6)
+    ]
+    fm_ref = generate_frame_masks(build_fake_models(seed=0), images)
+    for chunk in (2, 3):
+        fm = generate_frame_masks(
+            build_fake_models(seed=0, encode_chunk=chunk), images
+        )
+        assert fm.labels == fm_ref.labels
+        assert (fm.masks == fm_ref.masks).all(), f"chunk={chunk}"
