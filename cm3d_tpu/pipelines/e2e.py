@@ -532,6 +532,10 @@ def main(argv=None):
                    "over an N-chip data mesh (keyframe latency / N; N must "
                    "divide the ring size, e.g. 2/3/6 for nuScenes) — same "
                    "flag as the masks CLI")
+    p.add_argument("--encode_chunk", type=int, default=1,
+                   help="single-chip SAM encode batching: cameras per scan "
+                   "step (must divide the ring size) — same flag as the "
+                   "masks CLI")
     p.add_argument("--host_shard", action="store_true",
                    help="multi-host: keep only this process's scene stride "
                    "(same flag as the masks CLI); each host writes "
@@ -570,11 +574,13 @@ def main(argv=None):
         mesh = make_mesh(n_data=args.camera_mesh, n_model=1)
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
-                                   rect_encode=args.rect_encode, mesh=mesh)
+                                   rect_encode=args.rect_encode, mesh=mesh,
+                                   encode_chunk=args.encode_chunk)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
+            encode_chunk=args.encode_chunk,
         )
     if args.detector == "gdino":
         models = attach_gdino(

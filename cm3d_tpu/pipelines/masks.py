@@ -910,6 +910,10 @@ def main(argv=None):
                    help="camera-parallel 2D stage: shard the camera ring "
                    "over an N-chip data mesh (keyframe latency / N; N must "
                    "divide the ring size, e.g. 2/3/6 for nuScenes)")
+    p.add_argument("--encode_chunk", type=int, default=1,
+                   help="single-chip SAM encode batching: cameras per scan "
+                   "step (must divide the ring size; bit-exact, see "
+                   "scripts/ab_sam_batch.py)")
     args = p.parse_args(argv)
 
     from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES, CUSTOM_VOCABULARY_WAYMO
@@ -933,11 +937,13 @@ def main(argv=None):
         mesh = make_mesh(n_data=args.camera_mesh, n_model=1)
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
-                                   rect_encode=args.rect_encode, mesh=mesh)
+                                   rect_encode=args.rect_encode, mesh=mesh,
+                                   encode_chunk=args.encode_chunk)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
+            encode_chunk=args.encode_chunk,
         )
 
     if args.use_zoedepth:
