@@ -222,7 +222,11 @@ def render_curves(
 
 def _box_corners_bev(xy, size, yaw):
     """Closed BEV rectangle [5, 2]: size=(w, l) with l along the box x
-    axis (nuScenes wlh convention), rotated by yaw, translated to xy."""
+    axis (nuScenes wlh convention), rotated by yaw, translated to xy.
+
+    Deliberately NOT geometry.boxes.box_corners_bev: that module imports
+    jax at top level, and the eval package stays host-only (no device
+    backend init from a plotting tool)."""
     w, l = float(size[0]), float(size[1])
     dx, dy = l / 2.0, w / 2.0
     corners = np.array(
@@ -296,9 +300,10 @@ def plot_examples(
     one png per sample under {output_dir}/examples. Returns paths."""
     import random
 
-    random.seed(42)
+    # local Random(42): same Mersenne permutation as the reference's global
+    # random.seed(42) + shuffle, without mutating global RNG state
     tokens = list(sample_tokens)
-    random.shuffle(tokens)
+    random.Random(42).shuffle(tokens)
     example_dir = os.path.join(output_dir, "examples")
     os.makedirs(example_dir, exist_ok=True)
     written = []

@@ -19,7 +19,7 @@ step() {
 step health 240 python -c "
 import jax, numpy as np, jax.numpy as jnp
 print(jax.devices()); print(float(np.asarray(jnp.sum(jnp.ones((128,128))))))"
-grep -q 'exit=0' "$LOG" || { echo 'tunnel unhealthy; aborting' | tee -a "$LOG"; exit 1; }
+grep -q -- '--- health exit=0' "$LOG" || { echo 'tunnel unhealthy; aborting' | tee -a "$LOG"; exit 1; }
 
 # 1. headline sanity (the driver contract)
 step bench_lift 1200 python bench.py
