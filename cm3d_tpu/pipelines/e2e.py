@@ -58,6 +58,7 @@ def run_fused(
     mask_cfg: MaskStageConfig,
     on_boxes,
     batch_size: int = 4,
+    counters=None,
 ) -> int:
     """The fused images->masks->boxes core loop (shared by the nuScenes CLI
     path below and cm3d_tpu.benchmarks.bench_e2e, so the benchmark measures
@@ -155,6 +156,10 @@ def run_fused(
             handle = start_frame_masks(
                 models, None, mask_cfg, plane_layout="xy", prepared=prepared
             )
+            if counters is not None:
+                # same truncation accounting as run_mask_stage — the fused
+                # path must not silently drop what the two-stage path counts
+                counters.update(handle["counts"])
             out = assemble(handle)
             if out is None:
                 continue
@@ -255,9 +260,12 @@ def run_e2e(
 
                 yield images, assemble
 
+    from cm3d_tpu.utils.observability import MaskCounters
+
+    counters = MaskCounters()
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg,
-        writer.add_device_outputs, batch_size,
+        writer.add_device_outputs, batch_size, counters=counters,
     )
 
     submission = writer.write(out_path)
@@ -266,6 +274,7 @@ def run_e2e(
         n_boxes = sum(len(v) for v in submission["results"].values())
         print(f"e2e: {n_frames} keyframes -> {n_boxes} boxes in {dt:.1f}s "
               f"({n_frames / max(dt, 1e-9):.2f} kf/s)")
+        print(counters.report())
     return submission
 
 
@@ -364,8 +373,12 @@ def run_e2e_waymo(
     # run_fused (max over cameras — Waymo's front/side cameras differ in
     # height); the lift's in-image test reads the canvas dims off the
     # planes, so the fused path is self-consistent without frontend.mask_wh.
+    from cm3d_tpu.utils.observability import MaskCounters
+
+    counters = MaskCounters()
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg, on_boxes, batch_size,
+        counters=counters,
     )
     with open(out_path, "wb") as f:
         f.write(encode_objects(all_objects))
@@ -373,6 +386,7 @@ def run_e2e_waymo(
         dt = time.perf_counter() - t0
         print(f"e2e waymo: {n_frames} keyframes -> {len(all_objects)} "
               f"objects in {dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} kf/s)")
+        print(counters.report())
     return n_frames
 
 
@@ -471,13 +485,18 @@ def run_e2e_kitti(
         ]
         write_label(f"{out_dir}/pseudo/{idx:06d}.txt", pseudo)
 
+    from cm3d_tpu.utils.observability import MaskCounters
+
+    counters = MaskCounters()
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg, on_boxes, batch_size,
+        counters=counters,
     )
     if verbose:
         dt = time.perf_counter() - t0
         print(f"e2e kitti: {n_frames} frames -> {n_boxes} boxes in "
               f"{dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} f/s)")
+        print(counters.report())
     return n_frames
 
 

@@ -20,7 +20,7 @@ SMALL = LiftStageConfig(
 MASK_CFG = MaskStageConfig(max_detections=16, max_masks_total=32)
 
 
-def test_fused_e2e_matches_two_stage(tmp_path):
+def test_fused_e2e_matches_two_stage(tmp_path, capsys):
     from PIL import Image
 
     from cm3d_tpu.datasets.nuscenes.tables import CAM_LIST, NuScenesTables
@@ -90,7 +90,16 @@ def test_fused_e2e_matches_two_stage(tmp_path):
     # --- fused path, same models ---
     sub_e2e = run_e2e(str(root), VERSION, [scene], str(tmp_path / "e2e.json"),
                       models, lift_cfg=SMALL, mask_cfg=MASK_CFG,
-                      batch_size=2, verbose=False, mask_wh=(160, 90))
+                      batch_size=2, verbose=True, mask_wh=(160, 90))
+
+    # the fused path reports the same truncation counters as run_mask_stage
+    import json as _json
+
+    counter_lines = [l for l in capsys.readouterr().out.splitlines()
+                     if l.startswith('{"mask_counters"')]
+    assert counter_lines, "fused path must print mask counters"
+    mc = _json.loads(counter_lines[-1])["mask_counters"]
+    assert mc["frames"] == 2 and mc["masks_written"] > 0
 
     assert set(sub_e2e["results"]) == set(sub_two["results"])
     n_boxes = 0
