@@ -69,8 +69,9 @@ class NuScenesFrontend:
         mask_store: MaskArtifactStore,
         lift_cfg: LiftStageConfig = LiftStageConfig(),
         mask_wh: Tuple[int, int] = (1024, 576),
+        tables: NuScenesTables | None = None,
     ):
-        self.nusc = NuScenesTables(dataroot, version)
+        self.nusc = tables if tables is not None else NuScenesTables(dataroot, version)
         self.dataroot = Path(dataroot)
         self.store = mask_store
         self.cfg = lift_cfg

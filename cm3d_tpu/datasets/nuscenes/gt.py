@@ -28,12 +28,15 @@ def load_gt_for_eval(
     eval_split_scenes: Optional[List[str]] = None,
     rare: bool = False,
     need_map: bool = False,
+    tables: Optional[NuScenesTables] = None,
 ) -> Tuple[EvalBoxes, Dict, Dict, Optional[MapGeometry]]:
     """Returns (gt_boxes, ego_translations, bikerack_boxes, map_geometry).
 
     eval_split_scenes: scene names to keep; None = all scenes in the DB.
+    tables: an already-parsed NuScenesTables to reuse (the table set is
+        parsed eagerly, so callers that hold one should pass it).
     """
-    nusc = NuScenesTables(dataroot, version)
+    nusc = tables if tables is not None else NuScenesTables(dataroot, version)
     mapping = CATEGORY_TO_DETECTION_NAME_RARE if rare else CATEGORY_TO_DETECTION_NAME
     attribute_map = {a["token"]: a["name"] for a in nusc.table("attribute")}
 

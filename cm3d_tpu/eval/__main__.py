@@ -85,9 +85,10 @@ def main(argv=None) -> dict:
         from cm3d_tpu.datasets.nuscenes.splits import resolve_eval_set
         from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
 
-        table_scene_names = [
-            s["name"] for s in NuScenesTables(args.dataroot, args.version).table("scene")
-        ]
+        # one eager table parse shared by split resolution, GT loading and
+        # (optionally) the example-plot points frontend below
+        eval_tables = NuScenesTables(args.dataroot, args.version)
+        table_scene_names = [s["name"] for s in eval_tables.table("scene")]
         scenes = resolve_eval_set(
             args.eval_set, table_scene_names, args.splits_json or None
         )
@@ -97,6 +98,7 @@ def main(argv=None) -> dict:
             eval_split_scenes=scenes,
             rare=len(cfg.class_range) > 10,
             need_map=bool(args.drivable_filtering),
+            tables=eval_tables,
         )
 
     ev = DetectionEval(
@@ -113,12 +115,14 @@ def main(argv=None) -> dict:
         verbose=bool(args.verbose),
     )
     points_provider = None
-    if args.plot_examples > 0 and args.dataroot:
+    if args.plot_examples > 0 and args.dataroot and not args.gt_json:
         # table mode can draw the lidar points behind the boxes; hermetic
-        # --gt_json mode renders boxes-only examples
+        # --gt_json mode renders boxes-only examples (even when a dataroot
+        # happens to be set — its tables need not exist for fabricated GT)
         from cm3d_tpu.pipelines.pretrain import make_points_frontend
 
-        fe = make_points_frontend(args.dataroot, args.version, 32768)
+        fe = make_points_frontend(args.dataroot, args.version, 32768,
+                                  tables=eval_tables)
         token_to_sample = {s["token"]: s for s in fe.nusc.table("sample")}
 
         def points_provider(token):

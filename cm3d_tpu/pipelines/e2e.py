@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from typing import List, Optional
 
@@ -29,6 +30,7 @@ import numpy as np
 import dataclasses
 
 from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
+from cm3d_tpu.utils.observability import MaskCounters
 
 
 def _scale_ratio_for_thumbnail(lift_cfg: LiftStageConfig,
@@ -91,6 +93,8 @@ def run_fused(
     import jax
     import jax.numpy as jnp
 
+    if counters is None:  # count regardless; callers pass one to report it
+        counters = MaskCounters()
     pending: list = []
     n_frames = 0
     it = iter(frames)
@@ -156,10 +160,9 @@ def run_fused(
             handle = start_frame_masks(
                 models, None, mask_cfg, plane_layout="xy", prepared=prepared
             )
-            if counters is not None:
-                # same truncation accounting as run_mask_stage — the fused
-                # path must not silently drop what the two-stage path counts
-                counters.update(handle["counts"])
+            # same truncation accounting as run_mask_stage — the fused
+            # path must not silently drop what the two-stage path counts
+            counters.update(handle["counts"])
             out = assemble(handle)
             if out is None:
                 continue
@@ -259,8 +262,6 @@ def run_e2e(
                     return kf, meta.sample_token
 
                 yield images, assemble
-
-    from cm3d_tpu.utils.observability import MaskCounters
 
     counters = MaskCounters()
     n_frames = run_fused(
@@ -373,8 +374,6 @@ def run_e2e_waymo(
     # run_fused (max over cameras — Waymo's front/side cameras differ in
     # height); the lift's in-image test reads the canvas dims off the
     # planes, so the fused path is self-consistent without frontend.mask_wh.
-    from cm3d_tpu.utils.observability import MaskCounters
-
     counters = MaskCounters()
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg, on_boxes, batch_size,
@@ -485,8 +484,6 @@ def run_e2e_kitti(
         ]
         write_label(f"{out_dir}/pseudo/{idx:06d}.txt", pseudo)
 
-    from cm3d_tpu.utils.observability import MaskCounters
-
     counters = MaskCounters()
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg, on_boxes, batch_size,
@@ -516,6 +513,42 @@ def merge_submissions(paths: List[str], out_path: str) -> dict:
     with open(out_path, "w") as f:
         json.dump(merged, f)
     return merged
+
+
+def merge_host_outputs(paths: List[str], out: str,
+                       dataset: str = "nuscenes") -> None:
+    """Merge per-host --host_shard outputs into one, for any dataset.
+
+    nuscenes: submission JSONs merge per sample token (merge_submissions).
+    waymo: proto .bin shards concatenate byte-wise — Objects is a message
+        with a single repeated field, and protobuf defines concatenation
+        of serialized messages as message merging, so `cat` semantics are
+        exact (the reference's metrics binary reads the result as one bin).
+    kitti: per-host label DIRECTORIES hold disjoint {frame:06d}.txt files;
+        merging copies them into one directory (duplicate frame ids raise —
+        host shards must be disjoint).
+    """
+    if dataset == "nuscenes":
+        merge_submissions(paths, out)
+    elif dataset == "waymo":
+        with open(out, "wb") as f:
+            for path in paths:
+                with open(path, "rb") as g:
+                    f.write(g.read())
+    elif dataset == "kitti":
+        import shutil
+
+        os.makedirs(out, exist_ok=True)
+        for path in paths:
+            for name in sorted(os.listdir(path)):
+                dst = os.path.join(out, name)
+                if os.path.exists(dst):
+                    raise FileExistsError(
+                        f"{dst}: frame written by two host shards"
+                    )
+                shutil.copyfile(os.path.join(path, name), dst)
+    else:
+        raise ValueError(f"unknown dataset {dataset!r}")
 
 
 def main(argv=None):
@@ -558,7 +591,8 @@ def main(argv=None):
     p.add_argument("--host_shard", action="store_true",
                    help="multi-host: keep only this process's scene stride "
                    "(same flag as the masks CLI); each host writes "
-                   "{out}.host{i}, merge with pipelines.e2e.merge_submissions")
+                   "{out}.host{i}, merge with pipelines.e2e."
+                   "merge_host_outputs(paths, out, dataset)")
     args = p.parse_args(argv)
 
     from cm3d_tpu.pipelines.masks import (

@@ -22,16 +22,18 @@ import numpy as np
 from cm3d_tpu.config import CLASS_TO_ID, LiftStageConfig
 
 
-def make_points_frontend(dataroot: str, version: str, max_points: int):
+def make_points_frontend(dataroot: str, version: str, max_points: int,
+                         tables=None):
     """NuScenes frontend used only for sweep aggregation + tables (no mask
     store — shared by pretrain and detect so training and inference read
-    points identically)."""
+    points identically). tables: an already-parsed NuScenesTables to
+    reuse (avoids re-parsing the eagerly-loaded table set)."""
     from cm3d_tpu.datasets.artifacts import MaskArtifactStore
     from cm3d_tpu.datasets.nuscenes import NuScenesFrontend
 
     return NuScenesFrontend(
         dataroot, version, MaskArtifactStore("/nonexistent"),
-        LiftStageConfig(max_points=max_points),
+        LiftStageConfig(max_points=max_points), tables=tables,
     )
 
 

@@ -190,3 +190,49 @@ def test_e2e_cli_host_shard(monkeypatch, tmp_path):
     assert set(merged["results"]) == {"t0", "t1"}
     assert json.loads((tmp_path / "m.json").read_text())["meta"] == {
         "use_camera": True}
+
+
+def test_merge_host_outputs_waymo_bin_concat(tmp_path):
+    """Waymo per-host .bin shards merge by byte concatenation (Objects is
+    one repeated field; proto concatenation == message merging), and the
+    merged file decodes to the union of the shards."""
+    from cm3d_tpu.datasets.waymo.proto import (
+        WaymoObject,
+        decode_objects,
+        encode_objects,
+    )
+    from cm3d_tpu.pipelines import e2e
+
+    a = tmp_path / "o.bin.host0"
+    b = tmp_path / "o.bin.host1"
+    a.write_bytes(encode_objects([WaymoObject(id="h0a", score=0.5),
+                                  WaymoObject(id="h0b", score=0.25)]))
+    b.write_bytes(encode_objects([WaymoObject(id="h1a", score=0.75)]))
+    out = tmp_path / "o.bin"
+    e2e.merge_host_outputs([str(a), str(b)], str(out), dataset="waymo")
+    objs = decode_objects(out.read_bytes())
+    assert [o.id for o in objs] == ["h0a", "h0b", "h1a"]
+    assert [o.score for o in objs] == [0.5, 0.25, 0.75]
+
+
+def test_merge_host_outputs_kitti_dirs(tmp_path):
+    """KITTI per-host label dirs merge file-wise; a frame id written by two
+    shards is a hard error (shards must be disjoint)."""
+    import pytest
+
+    from cm3d_tpu.pipelines import e2e
+
+    d0 = tmp_path / "pseudo.host0"
+    d1 = tmp_path / "pseudo.host1"
+    d0.mkdir(), d1.mkdir()
+    (d0 / "000000.txt").write_text("Car 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0.9\n")
+    (d1 / "000001.txt").write_text("Pedestrian 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0.8\n")
+    out = tmp_path / "pseudo"
+    e2e.merge_host_outputs([str(d0), str(d1)], str(out), dataset="kitti")
+    assert sorted(p.name for p in out.iterdir()) == ["000000.txt", "000001.txt"]
+    assert (out / "000001.txt").read_text().startswith("Pedestrian")
+
+    (d1 / "000000.txt").write_text("dup\n")
+    with pytest.raises(FileExistsError):
+        e2e.merge_host_outputs([str(d0), str(d1)], str(tmp_path / "p2"),
+                               dataset="kitti")

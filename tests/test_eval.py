@@ -271,3 +271,34 @@ def test_plot_examples_writes_fixed_subset(tmp_path):
     assert len(seen) == 2
     for p in pngs:
         assert (tmp_path / "examples" / p).stat().st_size > 1000
+
+
+def test_gt_json_plot_examples_stays_hermetic(tmp_path):
+    """--gt_json + --plot_examples must render boxes-only examples without
+    touching the dataroot even when one is (habitually) passed — fabricated
+    GT tokens have no tables behind them, so loading them must not be
+    attempted (a bogus dataroot would raise FileNotFoundError)."""
+    import json
+    import os
+
+    from cm3d_tpu.eval.__main__ import main as eval_main
+
+    gt = _eval_boxes([_box("tok0", (1.0, 1.0)), _box("tok1", (-3.0, 2.0))])
+    pred = _eval_boxes([_box("tok0", (1.2, 1.0), score=0.9),
+                        _box("tok1", (-3.0, 2.1), score=0.8)])
+    (tmp_path / "gt.json").write_text(json.dumps({
+        "ego_translations": {"tok0": [0, 0, 0], "tok1": [0, 0, 0]},
+        "boxes": gt.serialize(),
+    }))
+    (tmp_path / "pred.json").write_text(json.dumps({
+        "meta": {"use_camera": True}, "results": {
+            t: [b.serialize() for b in pred[t]] for t in pred.sample_tokens},
+    }))
+    summary = eval_main([
+        str(tmp_path / "pred.json"), "--gt_json", str(tmp_path / "gt.json"),
+        "--output_dir", str(tmp_path / "m"), "--verbose", "0",
+        "--plot_examples", "2", "--dataroot", "/nonexistent/nuscenes",
+    ])
+    assert summary["mean_ap"] > 0.0
+    examples = os.listdir(tmp_path / "m" / "examples")
+    assert len(examples) == 2
