@@ -48,6 +48,38 @@ def shard_model_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 
+def make_sequence_sharded_encode(mesh: Mesh, model, params,
+                                 axis: str = "model"):
+    """GSPMD sequence parallelism for the SAM image encoder: the image's
+    row axis (and with it the 64x64 token grid's row axis) shards over
+    `axis`; params replicate. No hand-written collectives — XLA's SPMD
+    partitioner propagates the sharding through patch-embed (halo
+    exchange for the conv), the window-partition reshapes, and the
+    global-attention blocks (all-gather over ICI), exactly the
+    annotate-and-let-XLA-partition recipe the rest of cm3d_tpu.parallel
+    uses. This is the batch-independent latency lever for when chips
+    outnumber cameras (the camera-parallel mask stage covers the
+    chips <= cameras regime).
+
+    Returns encode(image [S,S,3]) -> embedding [S/p, S/p, C] with the
+    token-row axis still sharded (np.asarray / downstream ops gather).
+    """
+    import jax
+
+    rep = NamedSharding(mesh, P())
+    img_sh = NamedSharding(mesh, P(axis))
+
+    fn = jax.jit(
+        # encode_image is batched [B,H,W,3]; the helper's contract is one
+        # camera image [H,W,3] (matching Sam.__call__), so batch in/out here
+        lambda p, im: model.apply({"params": p}, im[None],
+                                  method=model.encode_image)[0],
+        in_shardings=(jax.tree.map(lambda _: rep, params), img_sh),
+        out_shardings=img_sh,
+    )
+    return lambda image: fn(params, image)
+
+
 def spec_tree(params: Any) -> Any:
     """The PartitionSpec pytree matching shard_model_params' placement."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]

@@ -133,3 +133,29 @@ def test_encode_chunk_matches_scan_single_device():
         )
         assert fm.labels == fm_ref.labels
         assert (fm.masks == fm_ref.masks).all(), f"chunk={chunk}"
+
+
+@pytest.mark.parametrize("n_seq", [2, 4])
+def test_sequence_sharded_encode_matches_unsharded(n_seq):
+    """GSPMD sequence-parallel encode (token rows sharded over the mesh,
+    XLA inserting the patch-embed halo + global-attn collectives) is
+    numerically identical to the single-device encode."""
+    from cm3d_tpu.parallel.sharding import make_sequence_sharded_encode
+
+    cfg = SAM_TEST
+    model = Sam(cfg)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((cfg.img_size, cfg.img_size, 3),
+                                 ).astype(np.float32))
+    bx = jnp.asarray(np.array([[4, 4, 30, 40]], np.float32))
+    params = model.init(jax.random.PRNGKey(0), img, bx)["params"]
+
+    ref = model.apply({"params": params}, img[None],
+                      method=model.encode_image)[0]
+
+    mesh = make_mesh(n_model=n_seq, devices=jax.devices()[:n_seq])
+    encode = make_sequence_sharded_encode(mesh, model, params)
+    out = encode(img)
+    assert len(out.sharding.device_set) == n_seq  # actually partitioned
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
