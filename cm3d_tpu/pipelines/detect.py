@@ -25,9 +25,12 @@ from cm3d_tpu.config import NUSCENES_CLASSES, class_arrays
 
 
 def make_detect_fn(model, pillar_cfg, radius_sq: np.ndarray,
-                   top_k: int = 128, score_thresh: float = 0.1):
-    """jitted (params, batch_stats, points [B,N,4], valid [B,N]) ->
-    (boxes [B,K,7], scores [B,K], classes [B,K], keep [B,K])."""
+                   top_k: int = 128, score_thresh: float = 0.1,
+                   fusion: bool = False):
+    """jitted (params, batch_stats, points [B,N,4], valid [B,N][, images,
+    intrinsics, cam_to_ego]) -> (boxes [B,K,7], scores [B,K],
+    classes [B,K], keep [B,K]). fusion=True expects a BevFusionDetector
+    and the three camera operands (same layout as train.FusionBatch)."""
     import jax
     import jax.numpy as jnp
 
@@ -35,20 +38,21 @@ def make_detect_fn(model, pillar_cfg, radius_sq: np.ndarray,
     from cm3d_tpu.train import decode_detections, pillarize
 
     radius_sq = jnp.asarray(radius_sq)
+    out_stride = (model.cfg.centerpoint if fusion else model.cfg).out_stride
 
     @jax.jit
-    def detect(params, batch_stats, points, valid):
+    def detect(params, batch_stats, points, valid, *camera):
         pillars = jax.vmap(lambda p, v: pillarize(p, v, pillar_cfg))(
             points, valid
         )
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            pillars, train=False,
+            pillars, *camera, train=False,
         )
 
         def one(o):
             boxes, scores, classes = decode_detections(
-                o, pillar_cfg, model.cfg.out_stride, top_k=top_k
+                o, pillar_cfg, out_stride, top_k=top_k
             )
             good = scores >= score_thresh
             keep = circle_nms_keep(
@@ -75,10 +79,14 @@ def run_detect(
     model_cfg=None,
     classes=NUSCENES_CLASSES,
     verbose: bool = True,
+    use_camera: bool = False,
+    image_hw=(144, 256),
+    fusion_cfg=None,
 ) -> dict:
     """Run the trained detector over keyframes; write + return the
     submission. `ckpt_dir` is pretrain's `{out}/centerpoint`
-    (params + batch_stats)."""
+    (params + batch_stats) — or `{out}/bevfusion` with use_camera=True,
+    which must match the training-time image_hw/fusion_cfg."""
     import jax
     import jax.numpy as jnp
 
@@ -86,19 +94,38 @@ def run_detect(
     from cm3d_tpu.models.checkpoints import load_params
     from cm3d_tpu.pipelines.pretrain import load_ego_points, make_points_frontend
     from cm3d_tpu.train import CenterPointConfig, PillarConfig
-    from cm3d_tpu.train.centerpoint import CenterPointDetector
     from cm3d_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
 
     pillar_cfg = pillar_cfg or PillarConfig()
-    model_cfg = model_cfg or CenterPointConfig()
-    model = CenterPointDetector(model_cfg)
     h, w = pillar_cfg.grid_hw
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, h, w, pillar_cfg.num_features)), train=True,
-    )
+    if use_camera:
+        from cm3d_tpu.train.bevfusion import BevFusionConfig, BevFusionDetector
+
+        fusion_cfg = fusion_cfg or BevFusionConfig(
+            centerpoint=model_cfg or CenterPointConfig()
+        )
+        model_cfg = fusion_cfg.centerpoint
+        model = BevFusionDetector(fusion_cfg, pillar_cfg)
+        ih, iw = image_hw
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, h, w, pillar_cfg.num_features)),
+            jnp.zeros((1, 6, ih, iw, 3)),
+            jnp.tile(jnp.eye(3), (1, 6, 1, 1)),
+            jnp.tile(jnp.eye(4), (1, 6, 1, 1)),
+            train=True,
+        )
+    else:
+        from cm3d_tpu.train.centerpoint import CenterPointDetector
+
+        model_cfg = model_cfg or CenterPointConfig()
+        model = CenterPointDetector(model_cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, h, w, pillar_cfg.num_features)), train=True,
+        )
     like = {"params": variables["params"],
             "batch_stats": variables.get("batch_stats", {})}
     restored = load_params(ckpt_dir, like=like)
@@ -109,7 +136,8 @@ def run_detect(
     # compares squared distances against (ops/nms.circle_nms_keep doc)
     _, _, radii = class_arrays(classes)
     detect = make_detect_fn(model, pillar_cfg, radii[: model_cfg.num_classes],
-                            top_k=top_k, score_thresh=score_thresh)
+                            top_k=top_k, score_thresh=score_thresh,
+                            fusion=use_camera)
 
     fe = make_points_frontend(dataroot, version, max_points)
     nusc = fe.nusc
@@ -127,13 +155,26 @@ def run_detect(
         pts = np.zeros((batch_size, max_points, 4), np.float32)
         val = np.zeros((batch_size, max_points), bool)
         egos = []
+        camera = []
+        if use_camera:
+            from cm3d_tpu.pipelines.pretrain import load_ring_cameras
+
+            ih, iw = image_hw
+            imgs = np.zeros((batch_size, 6, ih, iw, 3), np.float32)
+            intr = np.tile(np.eye(3, dtype=np.float32), (batch_size, 6, 1, 1))
+            exts = np.tile(np.eye(4, dtype=np.float32), (batch_size, 6, 1, 1))
         for j, sample in enumerate(chunk):
             # shared helper = the training frame, verbatim
             pts[j], val[j], ego_t = load_ego_points(fe, sample, max_points)
             egos.append(ego_t)
+            if use_camera:
+                im_u8, k, e = load_ring_cameras(fe, sample, image_hw, ego_t)
+                imgs[j], intr[j], exts[j] = im_u8 / 255.0, k, e
+        if use_camera:
+            camera = [jnp.asarray(imgs), jnp.asarray(intr), jnp.asarray(exts)]
         boxes, scores, cls, keep = jax.tree.map(
             np.asarray, detect(params, batch_stats, jnp.asarray(pts),
-                               jnp.asarray(val))
+                               jnp.asarray(val), *camera)
         )
         for j, sample in enumerate(chunk):
             centers = boxes[j, :, :3] + egos[j][None]  # back to global
@@ -168,12 +209,19 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--top_k", type=int, default=128)
     p.add_argument("--score_thresh", type=float, default=0.1)
+    p.add_argument("--use_camera", action="store_true",
+                   help="BEVFusion-lite checkpoint ({out}/bevfusion from "
+                   "pretrain --use_camera); loads the ring images too")
+    p.add_argument("--image_hw", default="144x256",
+                   help="camera input size HxW (must match training)")
     args = p.parse_args(argv)
+    ih, iw = (int(x) for x in args.image_hw.split("x"))
     run_detect(
         args.dataroot, args.version, args.ckpt, args.out,
         scenes=args.scenes.split(",") if args.scenes else None,
         batch_size=args.batch_size, top_k=args.top_k,
-        score_thresh=args.score_thresh,
+        score_thresh=args.score_thresh, use_camera=args.use_camera,
+        image_hw=(ih, iw),
     )
 
 

@@ -58,14 +58,55 @@ def load_ego_points(fe, sample: dict, max_points: int):
     return points, valid, ego_t
 
 
+def load_ring_cameras(fe, sample: dict, image_hw, ego_t_lidar):
+    """Ring images + calibration for camera+LiDAR fusion (BEVFusion rows
+    of the reference's table, index.html:298-334).
+
+    Returns (images [C,h,w,3] uint8, intrinsics [C,3,3] scaled to
+    image_hw, cam_to_train [C,4,4]). The "train" frame is
+    load_ego_points' frame — GLOBAL axes shifted by the keyframe lidar
+    ego translation (translation-only) — so each camera extrinsic
+    composes its full ego-pose rotation: R = R_egopose @ R_calibsensor,
+    t = R_egopose @ t_calibsensor + (t_egopose - ego_t_lidar)."""
+    from PIL import Image
+
+    from cm3d_tpu.datasets.nuscenes.frontend import _quat_to_mat
+    from cm3d_tpu.datasets.nuscenes.tables import CAM_LIST
+
+    h, w = image_hw
+    nusc = fe.nusc
+    imgs, intr, exts = [], [], []
+    for cam in CAM_LIST:
+        sd = nusc.get("sample_data", sample["data"][cam])
+        pose = nusc.get("ego_pose", sd["ego_pose_token"])
+        cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
+        im = Image.open(fe.dataroot / sd["filename"]).convert("RGB")
+        sx, sy = w / im.width, h / im.height
+        imgs.append(np.asarray(im.resize((w, h)), np.uint8))
+        k = np.asarray(cs["camera_intrinsic"], np.float32).copy()
+        k[0] *= sx
+        k[1] *= sy
+        r_ego = _quat_to_mat(pose["rotation"])
+        e = np.eye(4, dtype=np.float32)
+        e[:3, :3] = r_ego @ _quat_to_mat(cs["rotation"])
+        e[:3, 3] = (r_ego @ np.asarray(cs["translation"])
+                    + np.asarray(pose["translation"]) - ego_t_lidar)
+        intr.append(k)
+        exts.append(e)
+    return np.stack(imgs), np.stack(intr), np.stack(exts)
+
+
 def build_train_batches(
     dataroot: str,
     version: str,
     labels_json: str,
     max_points: int = 32768,
     max_boxes: int = 64,
+    image_hw=None,
 ):
-    """Yield (sample_token, points [N,4] ego, boxes [M,8], valids)."""
+    """Yield (sample_token, points [N,4] ego, boxes [M,8], valids[, camera
+    triple]). image_hw != None additionally loads the ring images +
+    calibration (uint8; normalized at batch-assembly time)."""
     from cm3d_tpu.eval.algo import quaternion_yaw
 
     with open(labels_json) as f:
@@ -92,7 +133,11 @@ def build_train_batches(
             boxes[i] = [t[0], t[1], t[2], w, l, h, yaw,
                         CLASS_TO_ID[o["detection_name"]]]
             bvalid[i] = True
-        yield token, points, pvalid, boxes, bvalid
+        if image_hw is not None:
+            cams = load_ring_cameras(fe, sample, image_hw, ego_t)
+            yield token, points, pvalid, boxes, bvalid, cams
+        else:
+            yield token, points, pvalid, boxes, bvalid
 
 
 def latest_state_dir(out_dir: str):
@@ -124,13 +169,21 @@ def run_pretrain(
     seed: int = 0,
     pillar_cfg=None,
     model_cfg=None,
+    use_camera: bool = False,
+    image_hw=(144, 256),
+    fusion_cfg=None,
 ) -> Dict[str, float]:
     """Train for `steps` GLOBAL steps, optionally checkpointing the full
     TrainState (params + batch_stats + optimizer state + step) every
     `save_every` steps to `{out_dir}/state_{step:06d}` and resuming from the
     latest such checkpoint. The per-step batch sampling is keyed by
     (seed, global_step), so a killed-and-resumed run replays the exact
-    sample sequence of an uninterrupted one (pinned by test)."""
+    sample sequence of an uninterrupted one (pinned by test).
+
+    use_camera=True trains the BEVFusion-lite camera+LiDAR detector
+    (train/bevfusion.py) instead: ring images at `image_hw` feed the
+    lift-splat BEV branch; the checkpoint saves to `{out_dir}/bevfusion`
+    (pipelines/detect.py --use_camera consumes it)."""
     import jax
     import jax.numpy as jnp
 
@@ -141,15 +194,38 @@ def run_pretrain(
 
     enable_compilation_cache()
 
-    data = list(build_train_batches(dataroot, version, labels_json))
+    data = list(build_train_batches(
+        dataroot, version, labels_json,
+        image_hw=image_hw if use_camera else None,
+    ))
     if not data:
         raise SystemExit("no training samples (empty labels or token mismatch)")
 
     pillar_cfg = pillar_cfg or PillarConfig()
-    model_cfg = model_cfg or CenterPointConfig()
-    state, model, tx = init_state(
-        jax.random.PRNGKey(seed), pillar_cfg, model_cfg, learning_rate
-    )
+    if use_camera:
+        from cm3d_tpu.train.bevfusion import (
+            BevFusionConfig,
+            init_fusion_state,
+            make_fusion_train_step,
+        )
+
+        fusion_cfg = fusion_cfg or BevFusionConfig(
+            centerpoint=model_cfg or CenterPointConfig()
+        )
+        n_cams = data[0][5][0].shape[0]
+        state, model, tx = init_fusion_state(
+            jax.random.PRNGKey(seed), pillar_cfg, fusion_cfg, image_hw,
+            n_cams=n_cams, learning_rate=learning_rate,
+        )
+        step_fn = make_fusion_train_step(model, tx, pillar_cfg)
+        ckpt_name = "bevfusion"
+    else:
+        model_cfg = model_cfg or CenterPointConfig()
+        state, model, tx = init_state(
+            jax.random.PRNGKey(seed), pillar_cfg, model_cfg, learning_rate
+        )
+        step_fn = make_train_step(model, tx, pillar_cfg)
+        ckpt_name = "centerpoint"
     start = 0
     if resume:
         ckpt = latest_state_dir(out_dir)
@@ -159,19 +235,32 @@ def run_pretrain(
         start = int(np.asarray(state.step))
         if verbose:
             print(f"resumed from {ckpt} at step {start}")
-    step = jax.jit(make_train_step(model, tx, pillar_cfg))
+    step = jax.jit(step_fn)
 
-    t0 = time.perf_counter()
-    last = {}
-    for s in range(start, steps):
-        pick = np.random.default_rng((seed, s)).integers(0, len(data), batch_size)
-        batch = TrainBatch(
+    def assemble(pick):
+        base = dict(
             points=jnp.asarray(np.stack([data[i][1] for i in pick])),
             point_valid=jnp.asarray(np.stack([data[i][2] for i in pick])),
             boxes=jnp.asarray(np.stack([data[i][3] for i in pick])),
             box_valid=jnp.asarray(np.stack([data[i][4] for i in pick])),
         )
-        state, metrics = step(state, batch)
+        if not use_camera:
+            return TrainBatch(**base)
+        from cm3d_tpu.train.bevfusion import FusionBatch
+
+        imgs = np.stack([data[i][5][0] for i in pick])
+        return FusionBatch(
+            **base,
+            images=jnp.asarray(imgs.astype(np.float32) / 255.0),
+            intrinsics=jnp.asarray(np.stack([data[i][5][1] for i in pick])),
+            cam_to_ego=jnp.asarray(np.stack([data[i][5][2] for i in pick])),
+        )
+
+    t0 = time.perf_counter()
+    last = {}
+    for s in range(start, steps):
+        pick = np.random.default_rng((seed, s)).integers(0, len(data), batch_size)
+        state, metrics = step(state, assemble(pick))
         last = {k: float(np.asarray(v)) for k, v in metrics.items()}
         if verbose and (s % max(1, steps // 10) == 0 or s == steps - 1):
             print(f"step {s}: " + json.dumps({k: round(v, 4) for k, v in last.items()}))
@@ -183,10 +272,10 @@ def run_pretrain(
         print(f"trained {steps - start} steps in {time.perf_counter() - t0:.1f}s")
     save_params(
         {"params": state.params, "batch_stats": state.batch_stats},
-        f"{out_dir}/centerpoint", overwrite=True,
+        f"{out_dir}/{ckpt_name}", overwrite=True,
     )
     if verbose:
-        print(f"saved checkpoint to {out_dir}/centerpoint")
+        print(f"saved checkpoint to {out_dir}/{ckpt_name}")
     return last
 
 
@@ -204,11 +293,19 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest state_* under --out")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_camera", action="store_true",
+                   help="train the BEVFusion-lite camera+LiDAR detector "
+                   "(ring images + lift-splat BEV branch); checkpoint "
+                   "saves to {out}/bevfusion")
+    p.add_argument("--image_hw", default="144x256",
+                   help="camera input size HxW for --use_camera")
     args = p.parse_args(argv)
+    ih, iw = (int(x) for x in args.image_hw.split("x"))
     run_pretrain(args.dataroot, args.version, args.labels, args.out,
                  args.steps, args.batch_size, args.lr,
                  save_every=args.save_every, resume=args.resume,
-                 seed=args.seed)
+                 seed=args.seed, use_camera=args.use_camera,
+                 image_hw=(ih, iw))
 
 
 if __name__ == "__main__":

@@ -157,3 +157,35 @@ def test_detect_scene_filter(tmp_path):
     )
     expected = {s["token"] for s in nusc.iter_samples(nusc.scene_by_name(scene))}
     assert set(sub["results"]) == expected
+
+
+def test_fusion_pretrain_then_detect(tmp_path):
+    """BEVFusion-lite loop: pretrain --use_camera trains the camera+LiDAR
+    model on the fixture's ring jpgs, detect --use_camera runs it back to a
+    standard submission (the reference's BEVFusion table rows, in-framework)."""
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+    from cm3d_tpu.pipelines.detect import run_detect
+    from cm3d_tpu.train.bevfusion import BevFusionConfig
+
+    root, labels = _setup(tmp_path)
+    out = tmp_path / "ckf"
+    fusion = BevFusionConfig(centerpoint=MODEL, cam_channels=4,
+                             cam_trunk=(4, 8), depth_bins=4,
+                             d_min=1.0, d_max=25.0)
+    hw = (48, 64)
+    metrics = _train(root, labels, out, steps=3, use_camera=True,
+                     image_hw=hw, fusion_cfg=fusion)
+    assert np.isfinite(metrics["loss"])
+    assert (out / "bevfusion").is_dir()
+
+    sub = run_detect(
+        str(root), VERSION, str(out / "bevfusion"),
+        str(tmp_path / "detf.json"), batch_size=2, top_k=16,
+        score_thresh=0.0, max_points=4096,
+        pillar_cfg=PILLAR, verbose=False,
+        use_camera=True, image_hw=hw, fusion_cfg=fusion,
+    )
+    nusc = NuScenesTables(root, VERSION)
+    tokens = {s["token"] for s in nusc.table("sample")}
+    assert set(sub["results"]) == tokens
+    assert sum(len(v) for v in sub["results"].values()) > 0
