@@ -85,7 +85,17 @@ def _segment_vmappable(n_cells: int, interpret: bool):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, cell, values, maxvals):
-        assert all(in_batched)
+        # broadcast unbatched operands (e.g. a constant -inf maxvals when
+        # only sums are wanted: full_like output carries no value
+        # dependency, so vmap sees it unbatched) before folding the batch
+        # into the row grid
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x, (axis_size,) + x.shape)
+
+        cell = bc(cell, in_batched[0])
+        values = bc(values, in_batched[1])
+        maxvals = bc(maxvals, in_batched[2])
         b, r, n = cell.shape
         d = values.shape[2]
         s, m = f(
@@ -115,6 +125,44 @@ def segment_sum_max_pallas(
     return _segment_vmappable(int(n_cells), bool(interpret))(
         cell, values, maxvals
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_sum_pallas(cell: jax.Array, values: jax.Array, n_cells: int,
+                       interpret: bool = False) -> jax.Array:
+    """Differentiable sum-only wrapper: [R, N] sorted cells + [R, D, N]
+    values -> [R, D, n_cells] sums. The pallas_call itself has no AD rule
+    (pillarize never differentiates through it — pillars don't depend on
+    params), but the camera splat (train/bevfusion.py) trains THROUGH the
+    reduction, so this wrapper supplies the exact VJP: the transpose of a
+    segment-sum over fixed cells is the per-element gather of the cell's
+    cotangent (one row gather, same cost class as the forward sort)."""
+    maxvals = jnp.full_like(cell, -jnp.inf, dtype=jnp.float32)
+    sums, _ = segment_sum_max_pallas(cell, values, maxvals, n_cells,
+                                     interpret=interpret)
+    return sums
+
+
+def _segment_sum_fwd(cell, values, n_cells, interpret):
+    return segment_sum_pallas(cell, values, n_cells, interpret), cell
+
+
+def _segment_sum_bwd(n_cells, interpret, cell, g):
+    # g: [R, D, n_cells]; sink ids (>= n_cells) must read a zero cotangent
+    gz = jnp.concatenate([g, jnp.zeros(g.shape[:2] + (1,), g.dtype)], axis=2)
+    safe = jnp.minimum(cell, n_cells)  # [R, N]
+    dvalues = jnp.take_along_axis(
+        gz, jnp.broadcast_to(safe[:, None, :],
+                             (cell.shape[0], g.shape[1], cell.shape[1])),
+        axis=2,
+    )
+    import numpy as np
+
+    # integer primal -> float0 cotangent (custom_vjp contract)
+    return np.zeros(cell.shape, dtype=jax.dtypes.float0), dvalues
+
+
+segment_sum_pallas.defvjp(_segment_sum_fwd, _segment_sum_bwd)
 
 
 def _segment_impl(cell, values, maxvals, n_cells, interpret):

@@ -68,6 +68,10 @@ def make_sequence_sharded_encode(mesh: Mesh, model, params,
 
     rep = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, P(axis))
+    # replicate ONCE at closure build: without this, every encode() call
+    # would copy the whole param tree across the mesh to satisfy
+    # in_shardings (a ~2.4 GB transfer per call for SAM ViT-H f32)
+    params = jax.device_put(params, rep)
 
     fn = jax.jit(
         # encode_image is batched [B,H,W,3]; the helper's contract is one

@@ -134,8 +134,22 @@ def build_train_batches(
                         CLASS_TO_ID[o["detection_name"]]]
             bvalid[i] = True
         if image_hw is not None:
-            cams = load_ring_cameras(fe, sample, image_hw, ego_t)
-            yield token, points, pvalid, boxes, bvalid, cams
+            import io
+
+            from PIL import Image
+
+            imgs_u8, intr, exts = load_ring_cameras(fe, sample, image_hw,
+                                                    ego_t)
+            # hold the resident dataset as SMALL re-encoded JPEGs (~8 KB/
+            # camera at 144x256 vs ~110 KB raw u8 — the alternative at
+            # trainval scale is ~20 GB of images pinned for the whole
+            # run); assemble() decodes the picked batch's ring per step
+            bufs = []
+            for im in imgs_u8:
+                b = io.BytesIO()
+                Image.fromarray(im).save(b, format="JPEG", quality=90)
+                bufs.append(b.getvalue())
+            yield token, points, pvalid, boxes, bvalid, (bufs, intr, exts)
         else:
             yield token, points, pvalid, boxes, bvalid
 
@@ -212,7 +226,7 @@ def run_pretrain(
         fusion_cfg = fusion_cfg or BevFusionConfig(
             centerpoint=model_cfg or CenterPointConfig()
         )
-        n_cams = data[0][5][0].shape[0]
+        n_cams = len(data[0][5][0])
         state, model, tx = init_fusion_state(
             jax.random.PRNGKey(seed), pillar_cfg, fusion_cfg, image_hw,
             n_cams=n_cams, learning_rate=learning_rate,
@@ -246,9 +260,17 @@ def run_pretrain(
         )
         if not use_camera:
             return TrainBatch(**base)
+        import io
+
+        from PIL import Image
+
         from cm3d_tpu.train.bevfusion import FusionBatch
 
-        imgs = np.stack([data[i][5][0] for i in pick])
+        imgs = np.stack([
+            np.stack([np.asarray(Image.open(io.BytesIO(buf)))
+                      for buf in data[i][5][0]])
+            for i in pick
+        ])
         return FusionBatch(
             **base,
             images=jnp.asarray(imgs.astype(np.float32) / 255.0),

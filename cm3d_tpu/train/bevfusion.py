@@ -37,8 +37,8 @@ import optax
 import flax.linen as nn
 
 from cm3d_tpu.train.centerpoint import CenterPointConfig, CenterPointDetector
-from cm3d_tpu.train.targets import build_targets, focal_loss, reg_loss
-from cm3d_tpu.train.voxelize import PillarConfig, pillarize
+from cm3d_tpu.train.train import TrainState, make_train_step_impl
+from cm3d_tpu.train.voxelize import PillarConfig
 from cm3d_tpu.train import voxelize as _voxelize
 
 
@@ -120,15 +120,19 @@ def splat_to_bev(
         else bool(_voxelize._USE_PALLAS_SEGMENT)
     )
     if use_pallas:
-        from cm3d_tpu.kernels.segment_pallas import segment_sum_max_pallas
+        # the differentiable sum-only wrapper: training flows params
+        # through this reduction (unlike pillarize), so it must carry the
+        # segment-sum VJP — and its maxvals operand derives from cell so
+        # the kernel's custom_vmap sees every operand batched
+        from cm3d_tpu.kernels.segment_pallas import segment_sum_pallas
 
         cell_s, perm = jax.lax.sort(
             (cell, jnp.arange(n, dtype=jnp.int32)), num_keys=1
         )
         vals = contrib[perm].T  # one row gather, channels-major for the kernel
-        sums, _ = segment_sum_max_pallas(
-            cell_s[None], vals[None], jnp.full((1, n), -jnp.inf), n_cells,
-            interpret=(_voxelize._USE_PALLAS_SEGMENT == "interpret"),
+        sums = segment_sum_pallas(
+            cell_s[None], vals[None], n_cells,
+            (_voxelize._USE_PALLAS_SEGMENT == "interpret"),
         )
         bev = sums[0].T  # [n_cells, F]
     else:
@@ -170,6 +174,13 @@ class BevFusionDetector(nn.Module):
         """pillars: [B, H, W, Fp]; images: [B, C, h, w, 3];
         intrinsics: [B, C, 3, 3]; cam_to_ego: [B, C, 4, 4]."""
         bsz, c, ih, iw, _ = images.shape
+        stride = self.cfg.img_stride
+        assert ih % stride == 0 and iw % stride == 0, (
+            f"image_hw ({ih}, {iw}) must be divisible by the camera trunk "
+            f"stride {stride}: a ceil-sized conv output walks pixel centers "
+            f"past the image extent and silently misprojects the splat "
+            f"against the scaled intrinsics"
+        )
         feats, depth = CameraTrunk(self.cfg, name="camera")(
             images.reshape(bsz * c, ih, iw, 3), train
         )
@@ -197,11 +208,8 @@ class FusionBatch(NamedTuple):
     cam_to_ego: jax.Array   # [B, C, 4, 4]
 
 
-class FusionTrainState(NamedTuple):
-    params: Any
-    batch_stats: Any
-    opt_state: Any
-    step: jax.Array
+# identical fields and lifecycle; orbax checkpoints interchange
+FusionTrainState = TrainState
 
 
 def init_fusion_state(
@@ -242,46 +250,18 @@ def make_fusion_train_step(
     pillar_cfg: PillarConfig,
     axis_name: str | None = None,
 ):
-    """Fusion twin of train.make_train_step: voxelize + camera splat ->
-    fused heads -> identical targets/losses -> adamw. Shards over `data`
-    like everything else (SURVEY.md §2.4)."""
-    cfg = model.cfg.centerpoint
+    """Fusion instance of train.make_train_step_impl: voxelize + camera
+    splat -> fused heads; targets/losses/optimizer are the SHARED builder
+    (one copy to keep in sync). Shards over `data` like everything else
+    (SURVEY.md §2.4)."""
 
-    def loss_fn(params, batch_stats, batch: FusionBatch):
-        pillars = jax.vmap(lambda p, v: pillarize(p, v, pillar_cfg))(
-            batch.points, batch.point_valid
-        )
-        out, mutated = model.apply(
+    def apply_fn(params, batch_stats, pillars, batch: FusionBatch):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             pillars, batch.images, batch.intrinsics, batch.cam_to_ego,
             train=True,
             mutable=["batch_stats"],
         )
-        hm_t, reg_t, reg_m = jax.vmap(
-            lambda b, v: build_targets(b, v, pillar_cfg, cfg.num_classes,
-                                       cfg.out_stride)
-        )(batch.boxes, batch.box_valid)
-        l_hm = focal_loss(out["heatmap"], hm_t)
-        pred_reg = jnp.concatenate(
-            [out["offset"], out["z"], out["size"], out["yaw"]], axis=-1
-        )
-        l_reg = reg_loss(pred_reg, reg_t, reg_m)
-        loss = l_hm + 2.0 * l_reg
-        return loss, (mutated.get("batch_stats", batch_stats),
-                      {"loss": loss, "loss_heatmap": l_hm, "loss_reg": l_reg})
 
-    def step(state: FusionTrainState, batch: FusionBatch):
-        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
-        )
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            FusionTrainState(params, new_stats, opt_state, state.step + 1),
-            metrics,
-        )
-
-    return step
+    return make_train_step_impl(apply_fn, model.cfg.centerpoint, tx,
+                                pillar_cfg, axis_name)

@@ -54,27 +54,23 @@ def init_state(
     return state, model, tx
 
 
-def make_train_step(
-    model: CenterPointDetector,
+def make_train_step_impl(
+    apply_fn,
+    cfg: CenterPointConfig,
     tx: optax.GradientTransformation,
     pillar_cfg: PillarConfig,
     axis_name: str | None = None,
 ):
-    """Returns step(state, batch) -> (state, metrics). When axis_name is
-    given the gradients pmean over that mesh axis (use under shard_map or
-    pmap); under plain jit with sharded batch XLA handles the reduction."""
-    cfg = model.cfg
+    """Shared step builder for every BEV detector head family (CenterPoint
+    and BEVFusion-lite share targets, losses, metrics and the optimizer
+    update — only the forward differs). apply_fn(params, batch_stats,
+    pillars, batch) -> (head maps, mutated variables)."""
 
-    def loss_fn(params, batch_stats, batch: TrainBatch):
+    def loss_fn(params, batch_stats, batch):
         pillars = jax.vmap(lambda p, v: pillarize(p, v, pillar_cfg))(
             batch.points, batch.point_valid
         )
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            pillars,
-            train=True,
-            mutable=["batch_stats"],
-        )
+        out, mutated = apply_fn(params, batch_stats, pillars, batch)
         hm_t, reg_t, reg_m = jax.vmap(
             lambda b, v: build_targets(b, v, pillar_cfg, cfg.num_classes,
                                        cfg.out_stride)
@@ -88,7 +84,7 @@ def make_train_step(
         return loss, (mutated.get("batch_stats", batch_stats),
                       {"loss": loss, "loss_heatmap": l_hm, "loss_reg": l_reg})
 
-    def step(state: TrainState, batch: TrainBatch):
+    def step(state: TrainState, batch):
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )
@@ -100,6 +96,28 @@ def make_train_step(
         return TrainState(params, new_stats, opt_state, state.step + 1), metrics
 
     return step
+
+
+def make_train_step(
+    model: CenterPointDetector,
+    tx: optax.GradientTransformation,
+    pillar_cfg: PillarConfig,
+    axis_name: str | None = None,
+):
+    """Returns step(state, batch) -> (state, metrics). When axis_name is
+    given the gradients pmean over that mesh axis (use under shard_map or
+    pmap); under plain jit with sharded batch XLA handles the reduction."""
+
+    def apply_fn(params, batch_stats, pillars, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pillars,
+            train=True,
+            mutable=["batch_stats"],
+        )
+
+    return make_train_step_impl(apply_fn, model.cfg, tx, pillar_cfg,
+                                axis_name)
 
 
 def decode_detections(
