@@ -8,7 +8,7 @@ full-size weights — see cm3d_tpu/benchmarks.py for the protocol and its
 content-swap caveat) whose measured numbers are recorded in
 MASK_BENCH_r0*.json.
 
-Modes: --stage lift | masks | e2e | train (single metric each).
+Modes: --stage lift | masks | e2e | train | fusion_train (single metric each).
 """
 
 from __future__ import annotations
@@ -40,6 +40,9 @@ def main() -> None:
         return
     if stage == "train":
         _emit(benchmarks.bench_train())
+        return
+    if stage == "fusion_train":
+        _emit(benchmarks.bench_fusion_train())
         return
     if stage == "lift":
         _emit(benchmarks.bench_lift())

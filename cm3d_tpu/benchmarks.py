@@ -423,3 +423,83 @@ def bench_train(batch_size: int = 8, n_iters: int = 20) -> dict:
         "vs_baseline": round(38.7 / ms, 3),
         "steps_per_sec": round(n_iters / dt, 2),
     }
+
+
+def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
+                       image_hw=(144, 256)) -> dict:
+    """BEVFusion-lite training-step throughput at production pillar scale:
+    bench_train's LiDAR workload plus the 6-camera ring through the conv
+    trunk + depth head + lift-splat BEV pooling (differentiable Pallas
+    segment sum). The camera branch adds ~83k splat elements/sample at
+    144x256/24 bins."""
+    import jax
+    import jax.numpy as jnp
+
+    from cm3d_tpu.train import CenterPointConfig, PillarConfig
+    from cm3d_tpu.train.bevfusion import (
+        BevFusionConfig,
+        FusionBatch,
+        init_fusion_state,
+        make_fusion_train_step,
+    )
+
+    pillar_cfg = PillarConfig()
+    cfg = BevFusionConfig(centerpoint=CenterPointConfig())
+    state, model, tx = init_fusion_state(
+        jax.random.PRNGKey(0), pillar_cfg, cfg, image_hw, n_cams=6)
+    step = jax.jit(make_fusion_train_step(model, tx, pillar_cfg))
+
+    rng = np.random.default_rng(0)
+    n_pts, n_box = 32768, 64
+    ih, iw = image_hw
+    pts = np.empty((batch_size, n_pts, 4), np.float32)
+    pts[..., 0] = rng.uniform(pillar_cfg.x_min, pillar_cfg.x_max,
+                              (batch_size, n_pts))
+    pts[..., 1] = rng.uniform(pillar_cfg.y_min, pillar_cfg.y_max,
+                              (batch_size, n_pts))
+    pts[..., 2] = rng.uniform(-2.0, 1.0, (batch_size, n_pts))
+    pts[..., 3] = rng.uniform(0.0, 1.0, (batch_size, n_pts))
+    boxes = np.zeros((batch_size, n_box, 8), np.float32)
+    boxes[..., 0] = rng.uniform(-45, 45, (batch_size, n_box))
+    boxes[..., 1] = rng.uniform(-45, 45, (batch_size, n_box))
+    boxes[..., 3:6] = rng.uniform(0.5, 4.5, (batch_size, n_box, 3))
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (batch_size, n_box))
+    boxes[..., 7] = rng.integers(0, cfg.centerpoint.num_classes,
+                                 (batch_size, n_box))
+    k = np.array([[260.0, 0, iw / 2], [0, 260.0, ih / 2], [0, 0, 1]],
+                 np.float32)
+    batch = FusionBatch(
+        points=jnp.asarray(pts),
+        point_valid=jnp.ones((batch_size, n_pts), bool),
+        boxes=jnp.asarray(boxes),
+        box_valid=jnp.ones((batch_size, n_box), bool),
+        images=jnp.asarray(
+            rng.random((batch_size, 6, ih, iw, 3)).astype(np.float32)),
+        intrinsics=jnp.asarray(np.tile(k, (batch_size, 6, 1, 1))),
+        cam_to_ego=jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32), (batch_size, 6, 1, 1))),
+    )
+    batch = jax.device_put(batch)
+
+    def sync(metrics):
+        return float(np.asarray(metrics["loss"]))
+
+    state, metrics = step(state, batch)  # warmup / compile
+    sync(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch)
+    sync(metrics)  # serial device stream: last sync covers all
+    dt = time.perf_counter() - t0
+
+    ms = dt / n_iters * 1000
+    return {
+        "metric": "fusion_train_step_ms_batch8",
+        "value": round(ms, 2),
+        "unit": f"ms/step (batch {batch_size}, 6x{ih}x{iw} ring)",
+        # the LiDAR-only kernelized step as baseline: how much the camera
+        # branch adds on top of 10.0 ms
+        "vs_baseline": round(10.0 / ms, 3),
+        "steps_per_sec": round(n_iters / dt, 2),
+    }

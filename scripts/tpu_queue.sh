@@ -30,6 +30,9 @@ step graft_entry 1200 python __graft_entry__.py
 # 3. train-step bench (new --stage train)
 step bench_train 1200 python bench.py --stage train
 
+# 3b. fusion train-step bench (camera+LiDAR, new in round 3)
+step bench_fusion_train 1800 python bench.py --stage fusion_train
+
 # 4. compact-kernel tile sweep (lift stretch)
 step tile_sweep 2400 python -c "exec(open('scripts/sweep_compact_tiles.py').read())"
 
