@@ -96,27 +96,82 @@ def load_ring_cameras(fe, sample: dict, image_hw, ego_t_lidar):
     return np.stack(imgs), np.stack(intr), np.stack(exts)
 
 
+def build_gt_labels(dataroot: str, version: str, tables=None) -> Dict[str, list]:
+    """GT annotations as a submission-style results dict — the label source
+    for GT-fraction fine-tuning. The reference protocol (index.html:246-334
+    semi-sup tables) pretrains on CM3D pseudo-labels, then fine-tunes on a
+    5/10/20% GT slice; this builds the GT side from the raw tables so the
+    whole loop runs in-framework (`--labels_gt`, usually with `--split`)."""
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+    from cm3d_tpu.eval.config import CATEGORY_TO_DETECTION_NAME
+
+    nusc = tables if tables is not None else NuScenesTables(dataroot, version)
+    results: Dict[str, list] = {}
+    for scene in nusc.table("scene"):
+        for sample in nusc.iter_samples(scene):
+            objs = []
+            for ann_token in sample["anns"]:
+                ann = nusc.get("sample_annotation", ann_token)
+                name = CATEGORY_TO_DETECTION_NAME.get(ann["category_name"])
+                if name is None:
+                    continue
+                objs.append({
+                    "translation": ann["translation"],
+                    "rotation": ann["rotation"],
+                    "size": ann["size"],
+                    "detection_name": name,
+                    "detection_score": 1.0,
+                })
+            results[sample["token"]] = objs
+    return results
+
+
+def split_sample_tokens(nusc, split: str, splits_json=None) -> set:
+    """Sample tokens of the scenes in `split` (resolve_eval_set semantics:
+    a split name like train_detect50/val25, 'all', or comma-separated
+    explicit scene names). Replaces the reference's edit-the-source scene
+    slicing (eval_custom.py:283-286) for training-data selection."""
+    from cm3d_tpu.datasets.nuscenes.splits import resolve_eval_set
+
+    scene_names = [s["name"] for s in nusc.table("scene")]
+    keep = set(resolve_eval_set(split, scene_names, splits_json))
+    tokens = set()
+    for scene in nusc.table("scene"):
+        if scene["name"] in keep:
+            for sample in nusc.iter_samples(scene):
+                tokens.add(sample["token"])
+    return tokens
+
+
 def build_train_batches(
     dataroot: str,
     version: str,
-    labels_json: str,
+    labels_json: str = None,
     max_points: int = 32768,
     max_boxes: int = 64,
     image_hw=None,
+    results: Dict[str, list] = None,
+    sample_tokens=None,
+    tables=None,
 ):
     """Yield (sample_token, points [N,4] ego, boxes [M,8], valids[, camera
     triple]). image_hw != None additionally loads the ring images +
-    calibration (uint8; normalized at batch-assembly time)."""
+    calibration (uint8; normalized at batch-assembly time). Labels come
+    from `results` (in-memory dict) or `labels_json`; `sample_tokens`
+    restricts to a scene split's samples (GT-fraction fine-tuning)."""
     from cm3d_tpu.eval.algo import quaternion_yaw
 
-    with open(labels_json) as f:
-        results = json.load(f)["results"]
+    if results is None:
+        with open(labels_json) as f:
+            results = json.load(f)["results"]
 
-    fe = make_points_frontend(dataroot, version, max_points)
+    fe = make_points_frontend(dataroot, version, max_points, tables=tables)
     nusc = fe.nusc
     token_to_sample = {s["token"]: s for s in nusc.table("sample")}
 
     for token, objs in results.items():
+        if sample_tokens is not None and token not in sample_tokens:
+            continue
         sample = token_to_sample.get(token)
         if sample is None:
             continue
@@ -186,6 +241,10 @@ def run_pretrain(
     use_camera: bool = False,
     image_hw=(144, 256),
     fusion_cfg=None,
+    labels_gt: bool = False,
+    split: str = None,
+    splits_json: str = None,
+    init_from: str = None,
 ) -> Dict[str, float]:
     """Train for `steps` GLOBAL steps, optionally checkpointing the full
     TrainState (params + batch_stats + optimizer state + step) every
@@ -197,7 +256,14 @@ def run_pretrain(
     use_camera=True trains the BEVFusion-lite camera+LiDAR detector
     (train/bevfusion.py) instead: ring images at `image_hw` feed the
     lift-splat BEV branch; the checkpoint saves to `{out_dir}/bevfusion`
-    (pipelines/detect.py --use_camera consumes it)."""
+    (pipelines/detect.py --use_camera consumes it).
+
+    GT-fraction fine-tuning (the reference's semi-sup protocol,
+    index.html:246-334): labels_gt=True sources labels from the GT tables
+    instead of a submission JSON, split= restricts samples to a scene split
+    (e.g. a 25/50% train_detect list via splits_json), and init_from= warm-
+    starts params + batch_stats from a saved checkpoint (fresh optimizer,
+    step 0 — unlike resume, which restores the FULL train state)."""
     import jax
     import jax.numpy as jnp
 
@@ -208,9 +274,29 @@ def run_pretrain(
 
     enable_compilation_cache()
 
+    if resume and init_from:
+        raise SystemExit("--resume restores the full train state; it is "
+                         "mutually exclusive with --init_from")
+    if (labels_json is None) == (not labels_gt):
+        raise SystemExit("pass exactly one label source: --labels <json> "
+                         "or --labels_gt")
+
+    tables = None
+    results = None
+    sample_tokens = None
+    if labels_gt or split:
+        from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+
+        tables = NuScenesTables(dataroot, version)
+    if labels_gt:
+        results = build_gt_labels(dataroot, version, tables=tables)
+    if split:
+        sample_tokens = split_sample_tokens(tables, split, splits_json)
+
     data = list(build_train_batches(
         dataroot, version, labels_json,
         image_hw=image_hw if use_camera else None,
+        results=results, sample_tokens=sample_tokens, tables=tables,
     ))
     if not data:
         raise SystemExit("no training samples (empty labels or token mismatch)")
@@ -241,6 +327,13 @@ def run_pretrain(
         step_fn = make_train_step(model, tx, pillar_cfg)
         ckpt_name = "centerpoint"
     start = 0
+    if init_from:
+        like = {"params": state.params, "batch_stats": state.batch_stats}
+        loaded = load_params(init_from, like=like)
+        state = state._replace(params=loaded["params"],
+                               batch_stats=loaded["batch_stats"])
+        if verbose:
+            print(f"warm-started params from {init_from}")
     if resume:
         ckpt = latest_state_dir(out_dir)
         if ckpt is None:
@@ -305,7 +398,18 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="pseudo-label detector pretraining")
     p.add_argument("--dataroot", required=True)
     p.add_argument("--version", default="v1.0-mini")
-    p.add_argument("--labels", required=True, help="submission JSON")
+    p.add_argument("--labels", help="submission JSON (pseudo-labels); "
+                   "exactly one of --labels / --labels_gt")
+    p.add_argument("--labels_gt", action="store_true",
+                   help="train on GT annotations from the tables (the "
+                   "semi-sup fine-tune label source)")
+    p.add_argument("--split", help="restrict samples to a scene split "
+                   "(split name, 'all', or comma-separated scene names)")
+    p.add_argument("--splits_json",
+                   help="custom splits JSON for --split (train_detect50/25)")
+    p.add_argument("--init_from",
+                   help="warm-start params+batch_stats from a saved "
+                   "checkpoint dir (fine-tune: fresh optimizer, step 0)")
     p.add_argument("--out", default="pretrain_ckpt")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=4)
@@ -327,7 +431,9 @@ def main(argv=None):
                  args.steps, args.batch_size, args.lr,
                  save_every=args.save_every, resume=args.resume,
                  seed=args.seed, use_camera=args.use_camera,
-                 image_hw=(ih, iw))
+                 image_hw=(ih, iw), labels_gt=args.labels_gt,
+                 split=args.split, splits_json=args.splits_json,
+                 init_from=args.init_from)
 
 
 if __name__ == "__main__":

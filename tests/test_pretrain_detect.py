@@ -189,3 +189,83 @@ def test_fusion_pretrain_then_detect(tmp_path):
     tokens = {s["token"] for s in nusc.table("sample")}
     assert set(sub["results"]) == tokens
     assert sum(len(v) for v in sub["results"].values()) > 0
+
+
+def test_finetune_gt_split_warm_start(tmp_path):
+    """Semi-sup fine-tune (reference protocol, index.html:246-334): pretrain
+    on pseudo-labels, then --labels_gt --split --init_from warm-starts
+    params+batch_stats from the checkpoint (fresh optimizer, step 0)."""
+    from cm3d_tpu.models.checkpoints import load_params
+
+    root, labels = _setup(tmp_path)
+    _train(root, labels, tmp_path / "pre", steps=2)
+    pre_ckpt = str(tmp_path / "pre" / "centerpoint")
+
+    # steps=0 fine-tune: the saved checkpoint must BE the warm start
+    _train(root, None, tmp_path / "ft0", steps=0, labels_gt=True,
+           split="scene-0001", init_from=pre_ckpt)
+    a = load_params(pre_ckpt)
+    b = load_params(str(tmp_path / "ft0" / "centerpoint"))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)
+        ),
+        a, b,
+    )
+
+    # a real fine-tune on GT labels trains green
+    m = _train(root, None, tmp_path / "ft", steps=2, labels_gt=True,
+               split="scene-0001", init_from=pre_ckpt)
+    assert np.isfinite(m["loss"])
+
+
+def test_finetune_split_excludes_all_samples(tmp_path):
+    """A split naming no fixture scene filters every sample out and fails
+    loudly instead of training on nothing."""
+    import pytest
+
+    root, _ = _setup(tmp_path)
+    with pytest.raises(SystemExit, match="no training samples"):
+        _train(root, None, tmp_path / "x", labels_gt=True,
+               split="scene-9999")
+
+
+def test_label_source_validation(tmp_path):
+    """Exactly one of labels_json / labels_gt; resume and init_from are
+    mutually exclusive."""
+    import pytest
+
+    root, labels = _setup(tmp_path)
+    with pytest.raises(SystemExit, match="exactly one label source"):
+        _train(root, None, tmp_path / "x")
+    with pytest.raises(SystemExit, match="exactly one label source"):
+        _train(root, labels, tmp_path / "x", labels_gt=True)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        _train(root, labels, tmp_path / "x", resume=True,
+               init_from=str(tmp_path / "nowhere"))
+
+
+def test_build_gt_labels_matches_annotations(tmp_path):
+    """GT label extraction: every fixture sample gets its mapped
+    annotations (translation/rotation/size/name) in results-dict form."""
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+    from cm3d_tpu.eval.config import CATEGORY_TO_DETECTION_NAME
+    from cm3d_tpu.pipelines.pretrain import build_gt_labels
+
+    root, _ = _setup(tmp_path)
+    nusc = NuScenesTables(root, VERSION)
+    results = build_gt_labels(str(root), VERSION, tables=nusc)
+    samples = nusc.table("sample")
+    assert set(results) == {s["token"] for s in samples}
+    for s in samples:
+        expect = [
+            a for a in (nusc.get("sample_annotation", t) for t in s["anns"])
+            if a["category_name"] in CATEGORY_TO_DETECTION_NAME
+        ]
+        got = results[s["token"]]
+        assert len(got) == len(expect)
+        for o, a in zip(got, expect):
+            assert o["detection_name"] == CATEGORY_TO_DETECTION_NAME[
+                a["category_name"]]
+            np.testing.assert_allclose(o["translation"], a["translation"])
+            np.testing.assert_allclose(o["size"], a["size"])
