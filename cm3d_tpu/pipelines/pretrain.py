@@ -245,6 +245,11 @@ def run_pretrain(
     split: str = None,
     splits_json: str = None,
     init_from: str = None,
+    lr_schedule: str = "const",
+    warmup_steps: int = 0,
+    grad_clip: float = None,
+    ema_decay: float = 0.0,
+    augment: bool = False,
 ) -> Dict[str, float]:
     """Train for `steps` GLOBAL steps, optionally checkpointing the full
     TrainState (params + batch_stats + optimizer state + step) every
@@ -302,6 +307,14 @@ def run_pretrain(
         raise SystemExit("no training samples (empty labels or token mismatch)")
 
     pillar_cfg = pillar_cfg or PillarConfig()
+    from cm3d_tpu.train import AugmentConfig
+    from cm3d_tpu.train.train import make_optimizer
+
+    opt = make_optimizer(learning_rate, total_steps=steps,
+                         schedule=lr_schedule, warmup_steps=warmup_steps,
+                         grad_clip=grad_clip)
+    aug_cfg = AugmentConfig() if augment else None
+    step_kw = dict(ema_decay=ema_decay, augment=aug_cfg, aug_seed=seed)
     if use_camera:
         from cm3d_tpu.train.bevfusion import (
             BevFusionConfig,
@@ -315,16 +328,17 @@ def run_pretrain(
         n_cams = len(data[0][5][0])
         state, model, tx = init_fusion_state(
             jax.random.PRNGKey(seed), pillar_cfg, fusion_cfg, image_hw,
-            n_cams=n_cams, learning_rate=learning_rate,
+            n_cams=n_cams, tx=opt, ema=ema_decay > 0,
         )
-        step_fn = make_fusion_train_step(model, tx, pillar_cfg)
+        step_fn = make_fusion_train_step(model, tx, pillar_cfg, **step_kw)
         ckpt_name = "bevfusion"
     else:
         model_cfg = model_cfg or CenterPointConfig()
         state, model, tx = init_state(
-            jax.random.PRNGKey(seed), pillar_cfg, model_cfg, learning_rate
+            jax.random.PRNGKey(seed), pillar_cfg, model_cfg,
+            tx=opt, ema=ema_decay > 0,
         )
-        step_fn = make_train_step(model, tx, pillar_cfg)
+        step_fn = make_train_step(model, tx, pillar_cfg, **step_kw)
         ckpt_name = "centerpoint"
     start = 0
     if init_from:
@@ -332,6 +346,8 @@ def run_pretrain(
         loaded = load_params(init_from, like=like)
         state = state._replace(params=loaded["params"],
                                batch_stats=loaded["batch_stats"])
+        if ema_decay > 0:
+            state = state._replace(ema_params=loaded["params"])
         if verbose:
             print(f"warm-started params from {init_from}")
     if resume:
@@ -385,8 +401,9 @@ def run_pretrain(
                 print(f"saved train state at step {s + 1}")
     if verbose:
         print(f"trained {steps - start} steps in {time.perf_counter() - t0:.1f}s")
+    deploy_params = state.ema_params if ema_decay > 0 else state.params
     save_params(
-        {"params": state.params, "batch_stats": state.batch_stats},
+        {"params": deploy_params, "batch_stats": state.batch_stats},
         f"{out_dir}/{ckpt_name}", overwrite=True,
     )
     if verbose:
@@ -410,6 +427,17 @@ def main(argv=None):
     p.add_argument("--init_from",
                    help="warm-start params+batch_stats from a saved "
                    "checkpoint dir (fine-tune: fresh optimizer, step 0)")
+    p.add_argument("--lr_schedule", choices=("const", "cosine"),
+                   default="const", help="LR schedule over --steps")
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--grad_clip", type=float,
+                   help="global-norm gradient clip")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="params EMA decay (e.g. 0.999); the deploy "
+                   "checkpoint saves the EMA")
+    p.add_argument("--augment", action="store_true",
+                   help="global flip/rotate/scale/shift augmentation "
+                   "inside the train step (train/augment.py)")
     p.add_argument("--out", default="pretrain_ckpt")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=4)
@@ -433,7 +461,9 @@ def main(argv=None):
                  seed=args.seed, use_camera=args.use_camera,
                  image_hw=(ih, iw), labels_gt=args.labels_gt,
                  split=args.split, splits_json=args.splits_json,
-                 init_from=args.init_from)
+                 init_from=args.init_from, lr_schedule=args.lr_schedule,
+                 warmup_steps=args.warmup_steps, grad_clip=args.grad_clip,
+                 ema_decay=args.ema_decay, augment=args.augment)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,13 @@ that shards batch-parallel over the device mesh.
 from cm3d_tpu.train.voxelize import pillarize, PillarConfig
 from cm3d_tpu.train.centerpoint import CenterPointConfig, CenterPointDetector
 from cm3d_tpu.train.targets import build_targets
-from cm3d_tpu.train.train import TrainState, make_train_step, decode_detections
+from cm3d_tpu.train.train import (
+    TrainState,
+    decode_detections,
+    make_optimizer,
+    make_train_step,
+)
+from cm3d_tpu.train.augment import AugmentConfig
 
 __all__ = [
     "pillarize",
@@ -19,6 +25,8 @@ __all__ = [
     "CenterPointDetector",
     "build_targets",
     "TrainState",
+    "make_optimizer",
     "make_train_step",
     "decode_detections",
+    "AugmentConfig",
 ]

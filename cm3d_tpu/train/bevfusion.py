@@ -219,6 +219,8 @@ def init_fusion_state(
     image_hw: Tuple[int, int],
     n_cams: int = 6,
     learning_rate: float = 1e-3,
+    tx=None,
+    ema: bool = False,
 ):
     """Mirrors train.init_state for the fusion model."""
     model = BevFusionDetector(cfg, pillar_cfg)
@@ -234,12 +236,13 @@ def init_fusion_state(
         jnp.tile(jnp.eye(4), (1, n_cams, 1, 1)),
         train=True,
     )
-    tx = optax.adamw(learning_rate)
+    tx = tx if tx is not None else optax.adamw(learning_rate)
     state = FusionTrainState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
+        ema_params=variables["params"] if ema else None,
     )
     return state, model, tx
 
@@ -249,6 +252,9 @@ def make_fusion_train_step(
     tx: optax.GradientTransformation,
     pillar_cfg: PillarConfig,
     axis_name: str | None = None,
+    ema_decay: float = 0.0,
+    augment=None,
+    aug_seed: int = 0,
 ):
     """Fusion instance of train.make_train_step_impl: voxelize + camera
     splat -> fused heads; targets/losses/optimizer are the SHARED builder
@@ -264,4 +270,5 @@ def make_fusion_train_step(
         )
 
     return make_train_step_impl(apply_fn, model.cfg.centerpoint, tx,
-                                pillar_cfg, axis_name)
+                                pillar_cfg, axis_name, ema_decay=ema_decay,
+                                augment=augment, aug_seed=aug_seed)

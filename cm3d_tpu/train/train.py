@@ -25,6 +25,9 @@ class TrainState(NamedTuple):
     batch_stats: Any
     opt_state: Any
     step: jax.Array
+    # exponential moving average of params (None unless ema is enabled;
+    # the deploy checkpoint saves the EMA when present)
+    ema_params: Any = None
 
 
 class TrainBatch(NamedTuple):
@@ -34,22 +37,60 @@ class TrainBatch(NamedTuple):
     box_valid: jax.Array  # [B, M]
 
 
+def make_optimizer(
+    learning_rate: float = 1e-3,
+    total_steps: int | None = None,
+    schedule: str = "const",
+    warmup_steps: int = 0,
+    grad_clip: float | None = None,
+    weight_decay: float = 1e-4,
+) -> optax.GradientTransformation:
+    """AdamW with an optional LR schedule and global-norm gradient clip —
+    the standard CenterPoint-style training recipe knobs (the reference
+    trains its semi-sup rows in external repos; these are the equivalents
+    a production run needs in-framework)."""
+    if schedule == "cosine":
+        if not total_steps:
+            raise ValueError("cosine schedule needs total_steps")
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps
+        )
+    elif schedule == "const":
+        if warmup_steps:
+            lr = optax.join_schedules(
+                [optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                 optax.constant_schedule(learning_rate)],
+                [warmup_steps],
+            )
+        else:
+            lr = learning_rate
+    else:
+        raise ValueError(f"unknown schedule: {schedule!r}")
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
 def init_state(
     rng: jax.Array,
     pillar_cfg: PillarConfig,
     model_cfg: CenterPointConfig,
     learning_rate: float = 1e-3,
+    tx: optax.GradientTransformation | None = None,
+    ema: bool = False,
 ) -> Tuple[TrainState, CenterPointDetector, optax.GradientTransformation]:
     model = CenterPointDetector(model_cfg)
     h, w = pillar_cfg.grid_hw
     dummy = jnp.zeros((1, h, w, pillar_cfg.num_features))
     variables = model.init(rng, dummy, train=True)
-    tx = optax.adamw(learning_rate)
+    tx = tx if tx is not None else optax.adamw(learning_rate)
     state = TrainState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
+        ema_params=variables["params"] if ema else None,
     )
     return state, model, tx
 
@@ -60,11 +101,19 @@ def make_train_step_impl(
     tx: optax.GradientTransformation,
     pillar_cfg: PillarConfig,
     axis_name: str | None = None,
+    ema_decay: float = 0.0,
+    augment=None,
+    aug_seed: int = 0,
 ):
     """Shared step builder for every BEV detector head family (CenterPoint
     and BEVFusion-lite share targets, losses, metrics and the optimizer
     update — only the forward differs). apply_fn(params, batch_stats,
-    pillars, batch) -> (head maps, mutated variables)."""
+    pillars, batch) -> (head maps, mutated variables).
+
+    ema_decay > 0 maintains state.ema_params (init_state(ema=True)).
+    augment: an AugmentConfig — the global flip/rotate/scale/shift
+    transform runs inside the step, keyed by (aug_seed, state.step) so a
+    resumed run replays the exact augmentation sequence."""
 
     def loss_fn(params, batch_stats, batch):
         pillars = jax.vmap(lambda p, v: pillarize(p, v, pillar_cfg))(
@@ -85,6 +134,17 @@ def make_train_step_impl(
                       {"loss": loss, "loss_heatmap": l_hm, "loss_reg": l_reg})
 
     def step(state: TrainState, batch):
+        if augment is not None:
+            from cm3d_tpu.train.augment import augment_batch
+
+            key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), state.step)
+            cams = getattr(batch, "cam_to_ego", None)
+            pts, boxes, cams = augment_batch(
+                key, batch.points, batch.boxes, augment, cam_to_ego=cams
+            )
+            batch = batch._replace(points=pts, boxes=boxes)
+            if cams is not None:
+                batch = batch._replace(cam_to_ego=cams)
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )
@@ -93,7 +153,15 @@ def make_train_step_impl(
             metrics = jax.lax.pmean(metrics, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, new_stats, opt_state, state.step + 1), metrics
+        if ema_decay:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, params,
+            )
+        else:
+            ema = state.ema_params
+        return TrainState(params, new_stats, opt_state, state.step + 1,
+                          ema), metrics
 
     return step
 
@@ -103,6 +171,9 @@ def make_train_step(
     tx: optax.GradientTransformation,
     pillar_cfg: PillarConfig,
     axis_name: str | None = None,
+    ema_decay: float = 0.0,
+    augment=None,
+    aug_seed: int = 0,
 ):
     """Returns step(state, batch) -> (state, metrics). When axis_name is
     given the gradients pmean over that mesh axis (use under shard_map or
@@ -117,7 +188,8 @@ def make_train_step(
         )
 
     return make_train_step_impl(apply_fn, model.cfg, tx, pillar_cfg,
-                                axis_name)
+                                axis_name, ema_decay=ema_decay,
+                                augment=augment, aug_seed=aug_seed)
 
 
 def decode_detections(

@@ -269,3 +269,39 @@ def test_build_gt_labels_matches_annotations(tmp_path):
                 a["category_name"]]
             np.testing.assert_allclose(o["translation"], a["translation"])
             np.testing.assert_allclose(o["size"], a["size"])
+
+
+def test_pretrain_recipe_flags_and_ema_deploy(tmp_path):
+    """--lr_schedule/--warmup/--grad_clip/--ema_decay/--augment through
+    run_pretrain: trains green, the deploy checkpoint is the EMA (differs
+    from a no-EMA run of the same seed), and save_every/resume round-trips
+    the EMA leaf through orbax."""
+    from cm3d_tpu.models.checkpoints import load_params
+
+    root, labels = _setup(tmp_path)
+    kw = dict(steps=4, lr_schedule="cosine", warmup_steps=1, grad_clip=1.0,
+              augment=True)
+    m = _train(root, labels, tmp_path / "ema", ema_decay=0.9,
+               save_every=2, **kw)
+    assert np.isfinite(m["loss"])
+    m2 = _train(root, labels, tmp_path / "raw", **kw)
+    assert np.isfinite(m2["loss"])
+
+    a = load_params(str(tmp_path / "ema" / "centerpoint"))
+    b = load_params(str(tmp_path / "raw" / "centerpoint"))
+    diffs = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()),
+        a["params"], b["params"]))
+    assert max(diffs) > 0  # EMA deploy != raw final params
+
+    # kill-and-restart with EMA on: resumed run equals uninterrupted
+    _train(root, labels, tmp_path / "ema2", ema_decay=0.9, save_every=2,
+           **{**kw, "steps": 2})
+    _train(root, labels, tmp_path / "ema2", ema_decay=0.9, save_every=2,
+           resume=True, **kw)
+    c = load_params(str(tmp_path / "ema2" / "centerpoint"))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7),
+        a, c,
+    )

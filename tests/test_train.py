@@ -142,3 +142,128 @@ def test_train_step_runs_sharded():
         state2, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_augment_oracle_geometry():
+    """augment_batch: box centers transform exactly like points, sizes
+    scale by |det A3|^(1/3), yaw direction follows A3, and cam_to_ego is
+    premultiplied so camera-frame points land on the transformed ego
+    points."""
+    from cm3d_tpu.train.augment import AugmentConfig, augment_batch
+
+    cfg = AugmentConfig(flip_x_prob=0.5, flip_y_prob=0.5, rot_max=0.6,
+                        scale_min=0.9, scale_max=1.1, translate_std=0.3)
+    b, n, m, c = 3, 16, 5, 2
+    pts = RNG.normal(0, 10, (b, n, 4)).astype(np.float32)
+    boxes = np.zeros((b, m, 8), np.float32)
+    boxes[..., :3] = RNG.normal(0, 10, (b, m, 3))
+    boxes[..., 3:6] = RNG.uniform(0.5, 4.0, (b, m, 3))
+    boxes[..., 6] = RNG.uniform(-np.pi, np.pi, (b, m))
+    boxes[..., 7] = RNG.integers(0, 3, (b, m))
+    cams = np.tile(np.eye(4, dtype=np.float32), (b, c, 1, 1))
+    cams[..., :3, 3] = RNG.normal(0, 2, (b, c, 3))
+
+    # plant point 0 of every sample at box 0's center
+    pts[:, 0, :3] = boxes[:, 0, :3]
+
+    key = jax.random.PRNGKey(11)
+    new_pts, new_boxes, new_cams = augment_batch(
+        key, jnp.asarray(pts), jnp.asarray(boxes), cfg,
+        cam_to_ego=jnp.asarray(cams))
+    new_pts, new_boxes, new_cams = map(np.asarray,
+                                       (new_pts, new_boxes, new_cams))
+
+    # randomness engaged: at least one sample rotated/scaled
+    assert not np.allclose(new_pts[..., :3], pts[..., :3])
+    # intensity untouched
+    np.testing.assert_array_equal(new_pts[..., 3], pts[..., 3])
+    assert not np.allclose(new_boxes[..., 6], boxes[..., 6])
+    np.testing.assert_array_equal(new_boxes[..., 7], boxes[..., 7])
+
+    for i in range(b):
+        # recover the affine from the cam update: A = new_cams @ inv(cams)
+        a = new_cams[i, 0] @ np.linalg.inv(cams[i, 0])
+        a3, shift = a[:3, :3], a[:3, 3]
+        np.testing.assert_allclose(a, new_cams[i, 1] @
+                                   np.linalg.inv(cams[i, 1]), atol=1e-5)
+        # points follow A
+        np.testing.assert_allclose(
+            new_pts[i, :, :3], pts[i, :, :3] @ a3.T + shift, atol=1e-4)
+        # centers follow A (point 0 was planted at box 0's center)
+        np.testing.assert_allclose(
+            new_boxes[i, :, :3], boxes[i, :, :3] @ a3.T + shift, atol=1e-4)
+        np.testing.assert_allclose(new_pts[i, 0, :3], new_boxes[i, 0, :3],
+                                   atol=1e-4)
+        # sizes scale by |det|^(1/3)
+        scale = abs(np.linalg.det(a3)) ** (1.0 / 3.0)
+        np.testing.assert_allclose(new_boxes[i, :, 3:6],
+                                   boxes[i, :, 3:6] * scale, rtol=1e-5)
+        # yaw direction follows A3: A3[:2,:2] @ d(yaw) = scale * d(yaw')
+        d = np.stack([np.cos(boxes[i, :, 6]), np.sin(boxes[i, :, 6])])
+        d2 = np.stack([np.cos(new_boxes[i, :, 6]),
+                       np.sin(new_boxes[i, :, 6])])
+        np.testing.assert_allclose(a3[:2, :2] @ d, scale * d2, atol=1e-4)
+
+    # same key -> identical transform; different key -> different
+    p2, _, _ = augment_batch(key, jnp.asarray(pts), jnp.asarray(boxes), cfg,
+                             cam_to_ego=jnp.asarray(cams))
+    np.testing.assert_array_equal(np.asarray(p2), new_pts)
+    p3, _, _ = augment_batch(jax.random.PRNGKey(12), jnp.asarray(pts),
+                             jnp.asarray(boxes), cfg,
+                             cam_to_ego=jnp.asarray(cams))
+    assert not np.allclose(np.asarray(p3), new_pts)
+
+
+def test_ema_schedule_clip_and_augmented_step():
+    """make_optimizer knobs + EMA tracking + in-step augmentation: the
+    step runs green, EMA follows decay*ema + (1-decay)*params, and the
+    (seed, step)-keyed augmentation replays exactly across runs."""
+    from cm3d_tpu.train import AugmentConfig, make_optimizer
+
+    tx = make_optimizer(3e-3, total_steps=4, schedule="cosine",
+                        warmup_steps=1, grad_clip=1.0)
+    batch = _make_batch()
+
+    def run():
+        state, model, _tx = init_state(jax.random.PRNGKey(0), PILLAR, MODEL,
+                                       tx=tx, ema=True)
+        step = jax.jit(make_train_step(model, _tx, PILLAR, ema_decay=0.5,
+                                       augment=AugmentConfig(),
+                                       aug_seed=3))
+        ema_ref = state.params
+        for _ in range(3):
+            prev_ema = ema_ref
+            state, metrics = step(state, batch)
+            assert np.isfinite(float(np.asarray(metrics["loss"])))
+            ema_ref = jax.tree.map(lambda e, p: 0.5 * e + 0.5 * p,
+                                   prev_ema, state.params)
+        return state, ema_ref
+
+    state, ema_ref = run()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        state.ema_params, ema_ref,
+    )
+    # EMA lags params (they differ after training)
+    diffs = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda e, p: float(np.abs(np.asarray(e) - np.asarray(p)).max()),
+        state.ema_params, state.params))
+    assert max(diffs) > 0
+
+    # exact replay: augmentation is keyed by (aug_seed, step), no host RNG
+    state2, _ = run()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, state2.params,
+    )
+
+
+def test_make_optimizer_validation():
+    from cm3d_tpu.train import make_optimizer
+
+    with pytest.raises(ValueError, match="total_steps"):
+        make_optimizer(1e-3, schedule="cosine")
+    with pytest.raises(ValueError, match="unknown schedule"):
+        make_optimizer(1e-3, schedule="step")
