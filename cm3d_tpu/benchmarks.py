@@ -498,8 +498,11 @@ def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
         "metric": "fusion_train_step_ms_batch8",
         "value": round(ms, 2),
         "unit": f"ms/step (batch {batch_size}, 6x{ih}x{iw} ring)",
-        # the LiDAR-only kernelized step as baseline: how much the camera
-        # branch adds on top of 10.0 ms
-        "vs_baseline": round(10.0 / ms, 3),
+        # no external baseline for the fusion step (the reference trains
+        # BEVFusion out-of-repo); the LiDAR-only kernelized step is context
+        # for how much the camera branch adds, NOT a health ratio — keeping
+        # it out of vs_baseline so "vs_baseline < 1" stays meaningful
+        "vs_baseline": None,
+        "lidar_only_step_ms": 10.0,
         "steps_per_sec": round(n_iters / dt, 2),
     }

@@ -19,6 +19,27 @@ from typing import Optional
 _BUILD_DIR = Path(__file__).parent / "_build"
 
 
+def _ensure_build_dir() -> Optional[Path]:
+    """Writable cache dir for compiled artifacts, or None (fallbacks only).
+
+    Non-editable installs can land in a read-only site-packages; fall back
+    to a per-user temp dir there so the native path still works, and to
+    None (pure-numpy fallbacks) if even that is unwritable."""
+    try:
+        _BUILD_DIR.mkdir(exist_ok=True)
+        return _BUILD_DIR
+    except OSError:
+        pass
+    import tempfile
+
+    alt = Path(tempfile.gettempdir()) / f"cm3d_native_build_{os.getuid()}"
+    try:
+        alt.mkdir(exist_ok=True)
+        return alt
+    except OSError:
+        return None
+
+
 def build_binary(
     source_names: list[str], bin_stem: str, extra_flags: Optional[list[str]] = None
 ) -> Optional[Path]:
@@ -31,16 +52,18 @@ def build_binary(
     for f in extra_flags or []:
         h.update(f.encode())
     tag = h.hexdigest()[:16]
-    bin_path = _BUILD_DIR / f"{bin_stem}-{tag}"
+    build_dir = _ensure_build_dir()
+    if build_dir is None:
+        return None
+    bin_path = build_dir / f"{bin_stem}-{tag}"
     if not bin_path.exists():
-        _BUILD_DIR.mkdir(exist_ok=True)
         cxx = os.environ.get("CXX", "g++")
         cmd = [cxx, "-O2", "-std=c++17"] + (extra_flags or []) + [
             "-o", str(bin_path)
         ] + [str(s) for s in sources]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+        except (subprocess.CalledProcessError, OSError):
             return None
     return bin_path
 
@@ -53,9 +76,11 @@ def build_shared_lib(source_names: list[str], lib_stem: str) -> Optional[ctypes.
     for s in sources:
         h.update(s.read_bytes())
     tag = h.hexdigest()[:16]
-    lib_path = _BUILD_DIR / f"{lib_stem}-{tag}.so"
+    build_dir = _ensure_build_dir()
+    if build_dir is None:
+        return None
+    lib_path = build_dir / f"{lib_stem}-{tag}.so"
     if not lib_path.exists():
-        _BUILD_DIR.mkdir(exist_ok=True)
         is_cxx = any(s.suffix in (".cc", ".cpp") for s in sources)
         cc = os.environ.get("CXX", "g++") if is_cxx else os.environ.get("CC", "cc")
         cmd = [cc, "-O3"] + (["-std=c++17"] if is_cxx else []) + [
@@ -63,7 +88,7 @@ def build_shared_lib(source_names: list[str], lib_stem: str) -> Optional[ctypes.
         ] + [str(s) for s in sources]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+        except (subprocess.CalledProcessError, OSError):
             return None
     try:
         return ctypes.CDLL(str(lib_path))

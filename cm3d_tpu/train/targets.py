@@ -66,11 +66,15 @@ def build_targets(
     )
     heatmap = jnp.max(gaussians, axis=0)  # [H', W', C]
 
-    # regression at center cells (last writer wins on collisions)
+    # regression at center cells (last writer wins on collisions);
+    # out-of-grid / invalid boxes redirect OUT of bounds so mode="drop"
+    # discards their writes (clamping them instead would zero a valid
+    # box's targets in the clamped edge cell — common with GT labels
+    # beyond the pillar range or augmentation pushing boxes off-grid)
     reg = jnp.zeros((h, w, 8))
     reg_mask = jnp.zeros((h, w), bool)
-    ixc = jnp.clip(ix, 0, h - 1)
-    iyc = jnp.clip(iy, 0, w - 1)
+    ixc = jnp.where(in_grid, ix, h)
+    iyc = jnp.where(in_grid, iy, w)
     vals = jnp.stack(
         [
             cx - (ix.astype(jnp.float32) + 0.5),
@@ -84,9 +88,8 @@ def build_targets(
         ],
         axis=1,
     )
-    vals = jnp.where(in_grid[:, None], vals, 0.0)
     reg = reg.at[ixc, iyc].set(vals, mode="drop")
-    reg_mask = reg_mask.at[ixc, iyc].set(in_grid, mode="drop")
+    reg_mask = reg_mask.at[ixc, iyc].set(True, mode="drop")
     return heatmap, reg, reg_mask
 
 

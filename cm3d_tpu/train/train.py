@@ -138,6 +138,12 @@ def make_train_step_impl(
             from cm3d_tpu.train.augment import augment_batch
 
             key = jax.random.fold_in(jax.random.PRNGKey(aug_seed), state.step)
+            if axis_name is not None:
+                # decorrelate augmentation across devices: without this,
+                # sample j on every device draws the SAME transform each
+                # step (the replicated (seed, step) key), collapsing
+                # effective augmentation diversity from global_B to local_B
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             cams = getattr(batch, "cam_to_ego", None)
             pts, boxes, cams = augment_batch(
                 key, batch.points, batch.boxes, augment, cam_to_ego=cams

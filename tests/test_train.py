@@ -66,6 +66,30 @@ def test_targets_heatmap_peak_at_center():
     np.testing.assert_allclose(r[3:6], np.log([2.0, 4.5, 1.6]), atol=1e-5)
 
 
+def test_targets_out_of_grid_box_dropped_not_clamped():
+    """A valid box beyond the grid must contribute NO targets — and must
+    not clobber a real box sitting in the edge cell its index would clamp
+    to (regression: clamping redirected out-of-range writes into cell
+    h-1, zeroing the edge box's regression targets)."""
+    res = PILLAR.resolution * 2
+    h = PILLAR.grid_hw[0] // 2
+    edge_x = PILLAR.x_min + (h - 1 + 0.5) * res  # center of the last cell
+    boxes = np.zeros((2, 8), np.float32)
+    boxes[0] = [edge_x, 0.0, 0.5, 2.0, 4.5, 1.6, 0.3, 1]  # in the edge cell
+    boxes[1] = [edge_x + 5.0, 0.0, 0.5, 2.0, 4.5, 1.6, 0.3, 2]  # off-grid
+    valid = np.array([True, True])
+    hm, reg, mask = build_targets(
+        jnp.asarray(boxes), jnp.asarray(valid), PILLAR, 3, out_stride=2
+    )
+    mask = np.asarray(mask)
+    iy = int((0.0 - PILLAR.y_min) / res)
+    assert mask[h - 1, iy]
+    assert mask.sum() == 1  # the off-grid box wrote nowhere
+    r = np.asarray(reg)[h - 1, iy]
+    np.testing.assert_allclose(r[3:6], np.log([2.0, 4.5, 1.6]), atol=1e-5)
+    assert np.asarray(hm)[..., 2].max() == 0  # and splatted no heatmap
+
+
 def _make_batch(b=2, n=4096, m=6):
     pts = np.zeros((b, n, 4), np.float32)
     valid = np.zeros((b, n), bool)
@@ -258,6 +282,33 @@ def test_ema_schedule_clip_and_augmented_step():
                                                    np.asarray(b)),
         state.params, state2.params,
     )
+
+
+def test_augment_decorrelates_across_devices():
+    """Under a collective step (axis_name set), each device must draw a
+    DIFFERENT augmentation for the same (seed, step) — observable through
+    batch_stats, which are per-device (not pmean'd): identical per-device
+    batches yield divergent BatchNorm stats iff the transforms differ."""
+    from cm3d_tpu.train import AugmentConfig
+
+    n_dev = jax.local_device_count()
+    assert n_dev >= 2
+    state, model, tx = init_state(jax.random.PRNGKey(0), PILLAR, MODEL)
+    step = jax.pmap(
+        make_train_step(model, tx, PILLAR, axis_name="data",
+                        augment=AugmentConfig(), aug_seed=7),
+        axis_name="data",
+    )
+    batch = _make_batch(b=1, n=1024, m=2)
+    rep = lambda t: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_dev,) + x.shape), t)
+    state2, _ = step(rep(state), rep(batch))
+    leaves = jax.tree_util.tree_leaves(state2.batch_stats)
+    assert leaves, "model has no batch_stats to observe"
+    spread = max(
+        float(np.abs(np.asarray(l) - np.asarray(l)[:1]).max()) for l in leaves
+    )
+    assert spread > 0, "per-device augmentations were identical"
 
 
 def test_make_optimizer_validation():
