@@ -280,6 +280,9 @@ def main(argv=None) -> int:
 
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--sam", default="")
+    p.add_argument("--sam_size", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"],
+                   help="SAM encoder scale matching --sam")
     p.add_argument("--detic", default="")
     p.add_argument("--clip", default="")
     p.add_argument("--zoe", default="")
@@ -289,10 +292,15 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="", help="write the full report JSON here")
     args = p.parse_args(argv)
 
+    import functools
+
+    from cm3d_tpu.models.sam import sam_config_for
+
     full = {}
     rc = 0
     for name, path, fn in [
-        ("sam", args.sam, verify_sam),
+        ("sam", args.sam,
+         functools.partial(verify_sam, cfg=sam_config_for(args.sam_size))),
         ("detic", args.detic, verify_detic),
         ("clip", args.clip, verify_clip),
         ("zoe", args.zoe, verify_zoe),

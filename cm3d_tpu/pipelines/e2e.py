@@ -571,6 +571,10 @@ def main(argv=None):
     p.add_argument("--bpe_path", default="")
     p.add_argument("--rect_encode", action="store_true",
                    help="SAM rectangle encode (faster; small deviation)")
+    p.add_argument("--sam_size", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"],
+                   help="SAM encoder scale matching --sam_ckpt (same flag "
+                   "as the masks CLI)")
     p.add_argument("--detector", default="detic",
                    choices=("detic", "gdino"),
                    help="2D detector: detic (reference default) or the "
@@ -633,7 +637,7 @@ def main(argv=None):
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
-            encode_chunk=args.encode_chunk,
+            encode_chunk=args.encode_chunk, sam_size=args.sam_size,
         )
     if args.detector == "gdino":
         models = attach_gdino(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import time
 from typing import Callable, List, Optional, Tuple
 
@@ -663,6 +664,18 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
                       tuple(vocabulary))
 
 
+def load_converted(path: str, convert_fn):
+    """Checkpoint dispatch for the model CLIs: a directory is an
+    already-converted orbax tree (one-time scripts/convert_checkpoints.py
+    run — the production load path, device-ready, no torch unpickle); a
+    file is the released torch checkpoint, converted on the fly."""
+    if os.path.isdir(path):
+        from cm3d_tpu.models.checkpoints import load_params
+
+        return load_params(path)
+    return convert_fn(path)
+
+
 def build_real_models(
     detic_ckpt: str,
     sam_ckpt: str,
@@ -673,8 +686,13 @@ def build_real_models(
     rect_encode: bool = False,
     mesh=None,
     encode_chunk: int = 1,
+    sam_size: str = "vit_h",
 ) -> MaskModels:
-    """Full-size models from released torch checkpoints, jitted batched."""
+    """Full-size models from released torch checkpoints, jitted batched.
+
+    sam_size picks the SAM encoder scale (vit_h = the reference's
+    sam_vit_h_4b8939.pth, gen_2d_masks_detic.py:112; vit_l / vit_b are the
+    released smaller checkpoints — a documented speed/quality deviation)."""
     import jax.numpy as jnp
 
     from cm3d_tpu.models.clip_text import (
@@ -685,11 +703,20 @@ def build_real_models(
     )
     from cm3d_tpu.models.convert_sam import convert_sam_params, load_torch_state_dict
     from cm3d_tpu.models.detic import DETIC_SWINB, Detic
-    from cm3d_tpu.models.sam import SAM_VIT_H, Sam
+    from cm3d_tpu.models.sam import Sam, sam_config_for
 
-    detic_params = convert_detic_params(load_detic_checkpoint(detic_ckpt))
-    sam_params = convert_sam_params(load_torch_state_dict(sam_ckpt))
-    clip_params = convert_clip_text_params(load_torch_state_dict(clip_ckpt))
+    sam_base = sam_config_for(sam_size)
+    detic_params = load_converted(
+        detic_ckpt, lambda p: convert_detic_params(load_detic_checkpoint(p))
+    )
+    sam_params = load_converted(
+        sam_ckpt,
+        lambda p: convert_sam_params(load_torch_state_dict(p), sam_base),
+    )
+    clip_params = load_converted(
+        clip_ckpt,
+        lambda p: convert_clip_text_params(load_torch_state_dict(p)),
+    )
     tokenizer = SimpleTokenizer.from_file(bpe_path)
     classifier = jnp.asarray(
         embed_vocabulary(clip_params, tokenizer, list(vocabulary))
@@ -699,7 +726,7 @@ def build_real_models(
         DETIC_SWINB, dtype=dtype,
         swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype),
     )
-    sam_cfg = dataclasses.replace(SAM_VIT_H, dtype=dtype,
+    sam_cfg = dataclasses.replace(sam_base, dtype=dtype,
                                   rect_encode=rect_encode)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
@@ -731,7 +758,10 @@ def attach_zoedepth(
         )["params"]
     else:
         model = ZoeDepthModel(ZOE_N)
-        params = convert_zoedepth_params(load_torch_state_dict(ckpt_path))
+        params = load_converted(
+            ckpt_path,
+            lambda p: convert_zoedepth_params(load_torch_state_dict(p)),
+        )
     return dataclasses.replace(
         models, predict_depth=make_predict_depth(model, params, flip_aug)
     )
@@ -785,7 +815,10 @@ def attach_gdino(
         cfg = GDINO_SWINT
         tok = WordPieceTokenizer.from_file(vocab_path, BertConfig())
         model = GroundingDino(cfg)
-        params = convert_gdino_params(load_torch_state_dict(ckpt_path), cfg)
+        params = load_converted(
+            ckpt_path,
+            lambda p: convert_gdino_params(load_torch_state_dict(p), cfg),
+        )
     detect = make_gdino_detector(
         model, params, tok, vocabulary, box_threshold=box_threshold
     )
@@ -883,6 +916,11 @@ def main(argv=None):
                    help="tiny random-weight models (hermetic smoke run)")
     p.add_argument("--detic_ckpt", default="")
     p.add_argument("--sam_ckpt", default="")
+    p.add_argument("--sam_size", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"],
+                   help="SAM encoder scale matching --sam_ckpt (vit_h is "
+                   "the reference's checkpoint; smaller sizes are a "
+                   "documented speed/quality deviation)")
     p.add_argument("--clip_ckpt", default="")
     p.add_argument("--bpe_path", default="")
     p.add_argument("--no_resume", action="store_true")
@@ -943,7 +981,7 @@ def main(argv=None):
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
-            encode_chunk=args.encode_chunk,
+            encode_chunk=args.encode_chunk, sam_size=args.sam_size,
         )
 
     if args.use_zoedepth:

@@ -17,8 +17,13 @@ sys.path.insert(0, ".")
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--sam", default="")
+    p.add_argument("--sam_size", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"],
+                   help="SAM encoder scale matching --sam")
     p.add_argument("--detic", default="")
     p.add_argument("--clip", default="")
+    p.add_argument("--zoe", default="")
+    p.add_argument("--gdino", default="")
     p.add_argument("--out_dir", required=True)
     args = p.parse_args()
 
@@ -28,10 +33,13 @@ def main():
         from cm3d_tpu.models.convert_sam import (
             convert_sam_params, load_torch_state_dict,
         )
+        from cm3d_tpu.models.sam import sam_config_for
 
-        params = convert_sam_params(load_torch_state_dict(args.sam))
-        save_params(params, f"{args.out_dir}/sam_vit_h")
-        print("saved sam_vit_h")
+        params = convert_sam_params(
+            load_torch_state_dict(args.sam), sam_config_for(args.sam_size)
+        )
+        save_params(params, f"{args.out_dir}/sam_{args.sam_size}")
+        print(f"saved sam_{args.sam_size}")
     if args.detic:
         from cm3d_tpu.models.convert_detic import (
             convert_detic_params, load_detic_checkpoint,
@@ -47,6 +55,21 @@ def main():
         params = convert_clip_text_params(load_torch_state_dict(args.clip))
         save_params(params, f"{args.out_dir}/clip_text")
         print("saved clip_text")
+    if args.zoe:
+        from cm3d_tpu.models.convert_sam import load_torch_state_dict
+        from cm3d_tpu.models.zoedepth import convert_zoedepth_params
+
+        params = convert_zoedepth_params(load_torch_state_dict(args.zoe))
+        save_params(params, f"{args.out_dir}/zoedepth_n")
+        print("saved zoedepth_n")
+    if args.gdino:
+        from cm3d_tpu.models.convert_sam import load_torch_state_dict
+        from cm3d_tpu.models.gdino import GDINO_SWINT, convert_gdino_params
+
+        params = convert_gdino_params(load_torch_state_dict(args.gdino),
+                                      GDINO_SWINT)
+        save_params(params, f"{args.out_dir}/gdino_swint")
+        print("saved gdino_swint")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,9 @@ step tile_sweep 2400 python -c "exec(open('scripts/sweep_compact_tiles.py').read
 # 5. SAM ring-encode chunk-batch A/B (mask-stage floor lever)
 step ab_sam_batch 2400 python -c "exec(open('scripts/ab_sam_batch.py').read())"
 
+# 5b. SAM size family A/B (--sam_size speed offer for the README)
+step ab_sam_sizes 2400 python -c "exec(open('scripts/ab_sam_sizes.py').read())"
+
 # 6. fused e2e bench (slowest: full-scale 2D compiles) — run last
 step bench_e2e 3600 python bench.py --stage e2e
 

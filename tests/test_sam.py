@@ -202,6 +202,41 @@ def test_tiny_sam_converts_and_runs():
     ), f"{init_shapes}\n!=\n{conv_shapes}"
 
 
+def test_sam_size_presets_convert_and_resolve():
+    """--sam_size wiring: the cfg-driven converter handles non-ViT-H
+    shapes (deeper stack, different global-attn indexes — a tiny vit_l-like
+    stand-in here), and sam_config_for resolves the released family."""
+    import dataclasses
+
+    from cm3d_tpu.models.sam import (
+        SAM_VIT_B, SAM_VIT_H, SAM_VIT_L, sam_config_for,
+    )
+
+    assert sam_config_for("vit_h") is SAM_VIT_H
+    assert sam_config_for("vit_l") is SAM_VIT_L
+    assert sam_config_for("vit_b") is SAM_VIT_B
+    assert (SAM_VIT_H.encoder_depth, SAM_VIT_L.encoder_depth,
+            SAM_VIT_B.encoder_depth) == (32, 24, 12)
+    with pytest.raises(ValueError, match="vit_b"):
+        sam_config_for("vit_xl")
+
+    cfg = dataclasses.replace(SAM_TEST, encoder_depth=3,
+                              encoder_global_attn=(0, 2))
+    params = convert_sam_params(_fake_torch_sd(cfg), cfg)
+    model = Sam(cfg)
+    img = jnp.asarray(RNG.random((cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    boxes = jnp.asarray(np.array([[4, 4, 30, 40]], np.float32))
+    masks, iou = model.apply({"params": params}, img, boxes)
+    assert masks.shape == (1, cfg.embed_hw * 4, cfg.embed_hw * 4)
+    assert np.isfinite(np.asarray(masks)).all()
+    init_shapes = jax.tree.map(
+        lambda x: x.shape, model.init(jax.random.PRNGKey(0), img, boxes)["params"]
+    )
+    conv_shapes = jax.tree.map(lambda x: np.asarray(x).shape, params)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b, init_shapes,
+                                     conv_shapes))
+
+
 def test_prompt_encoder_corners_differ():
     cfg = SAM_TEST
     sd = _fake_torch_sd(cfg)

@@ -61,3 +61,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["block0"]["kernel"],
                                   params["block0"]["kernel"])
     np.testing.assert_array_equal(back["bias"], params["bias"])
+
+
+def test_load_converted_dispatches_orbax_dir_vs_torch_file(tmp_path):
+    """build_real_models' checkpoint dispatch (docs/MIGRATION.md contract):
+    an orbax DIRECTORY loads directly (no torch conversion); a file path
+    routes through the torch converter."""
+    from cm3d_tpu.models.checkpoints import save_params
+    from cm3d_tpu.pipelines.masks import load_converted
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    save_params(params, str(tmp_path / "sam_vit_h"))
+
+    def boom(_path):
+        raise AssertionError("convert_fn must not run for an orbax dir")
+
+    back = load_converted(str(tmp_path / "sam_vit_h"), boom)
+    np.testing.assert_array_equal(back["w"], params["w"])
+
+    calls = []
+    out = load_converted(str(tmp_path / "sam.pth"),
+                         lambda p: calls.append(p) or {"ok": 1})
+    assert out == {"ok": 1} and calls == [str(tmp_path / "sam.pth")]
