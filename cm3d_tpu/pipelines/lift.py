@@ -44,6 +44,7 @@ def run_lift(
     profile_dir: str | None = None,
     verbose: bool = True,
     resume: bool = False,
+    data_parallel: int = 0,
 ) -> dict:
     import jax
 
@@ -61,7 +62,21 @@ def run_lift(
 
     store = MaskArtifactStore(mask_dir)
     frontend = NuScenesFrontend(dataroot, version, store, lift_cfg)
-    step = jax.jit(make_keyframe_step_fn(lift_cfg))
+    if data_parallel:
+        # pure DP over the keyframe batch (parallel.sharded_keyframe_step:
+        # batch dim on `data`, tables replicated, no collectives)
+        if batch_size % data_parallel:
+            raise SystemExit(
+                f"--data_parallel {data_parallel} must divide "
+                f"--batch_size {batch_size}"
+            )
+        from cm3d_tpu.parallel import make_mesh
+        from cm3d_tpu.parallel.pipeline import sharded_keyframe_step
+
+        step = sharded_keyframe_step(make_mesh(n_data=data_parallel),
+                                     lift_cfg)
+    else:
+        step = jax.jit(make_keyframe_step_fn(lift_cfg))
     writer = SubmissionWriter()
 
     # Resume: samples already in the output file keep their boxes and are
@@ -176,6 +191,9 @@ def main(argv=None):
                    help="comma-separated scene names; '' = all with artifacts")
     p.add_argument("--out", default="pseudolabels.json")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the keyframe batch over an N-chip data mesh "
+                   "(N must divide --batch_size; 0 = single device)")
     p.add_argument("--resume", action="store_true",
                    help="keep samples already in --out; lift only the rest")
     p.add_argument("--host_shard", action="store_true",
@@ -214,7 +232,8 @@ def main(argv=None):
     )
     run_lift(args.dataroot, args.version, args.mask_dir, scenes, args.out,
              lift_cfg=lift_cfg, batch_size=args.batch_size,
-             profile_dir=args.profile or None, resume=args.resume)
+             profile_dir=args.profile or None, resume=args.resume,
+             data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

@@ -250,6 +250,7 @@ def run_pretrain(
     grad_clip: float = None,
     ema_decay: float = 0.0,
     augment: bool = False,
+    data_parallel: int = 0,
 ) -> Dict[str, float]:
     """Train for `steps` GLOBAL steps, optionally checkpointing the full
     TrainState (params + batch_stats + optimizer state + step) every
@@ -268,7 +269,12 @@ def run_pretrain(
     instead of a submission JSON, split= restricts samples to a scene split
     (e.g. a 25/50% train_detect list via splits_json), and init_from= warm-
     starts params + batch_stats from a saved checkpoint (fresh optimizer,
-    step 0 — unlike resume, which restores the FULL train state)."""
+    step 0 — unlike resume, which restores the FULL train state).
+
+    data_parallel=N shards the GLOBAL batch over an N-chip data mesh
+    (GSPMD under plain jit: params replicate, the gradient all-reduce
+    rides ICI — same math as single-device, pinned by parity test);
+    batch_size stays the global batch and must divide by N."""
     import jax
     import jax.numpy as jnp
 
@@ -358,6 +364,29 @@ def run_pretrain(
         start = int(np.asarray(state.step))
         if verbose:
             print(f"resumed from {ckpt} at step {start}")
+    if data_parallel:
+        if batch_size % data_parallel:
+            raise SystemExit(
+                f"--data_parallel {data_parallel} must divide "
+                f"--batch_size {batch_size} (global batch)"
+            )
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from cm3d_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=data_parallel)
+        # params/opt state replicate; only the batch shards (pure DP) —
+        # under plain jit GSPMD inserts the gradient all-reduce itself
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+
+        def shard_batch(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
+    else:
+        def shard_batch(x):
+            return x
     step = jax.jit(step_fn)
 
     def assemble(pick):
@@ -391,7 +420,7 @@ def run_pretrain(
     last = {}
     for s in range(start, steps):
         pick = np.random.default_rng((seed, s)).integers(0, len(data), batch_size)
-        state, metrics = step(state, assemble(pick))
+        state, metrics = step(state, jax.tree.map(shard_batch, assemble(pick)))
         last = {k: float(np.asarray(v)) for k, v in metrics.items()}
         if verbose and (s % max(1, steps // 10) == 0 or s == steps - 1):
             print(f"step {s}: " + json.dumps({k: round(v, 4) for k, v in last.items()}))
@@ -447,6 +476,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest state_* under --out")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the global batch over an N-chip data mesh "
+                   "(N must divide --batch_size; 0 = single device)")
     p.add_argument("--use_camera", action="store_true",
                    help="train the BEVFusion-lite camera+LiDAR detector "
                    "(ring images + lift-splat BEV branch); checkpoint "
@@ -463,7 +495,8 @@ def main(argv=None):
                  split=args.split, splits_json=args.splits_json,
                  init_from=args.init_from, lr_schedule=args.lr_schedule,
                  warmup_steps=args.warmup_steps, grad_clip=args.grad_clip,
-                 ema_decay=args.ema_decay, augment=args.augment)
+                 ema_decay=args.ema_decay, augment=args.augment,
+                 data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

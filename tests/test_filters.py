@@ -190,6 +190,32 @@ def test_lift_resume_is_idempotent(fake_root):
         assert resumed["results"][tok] == full["results"][tok]
 
 
+def test_lift_data_parallel_matches_single_device(fake_root):
+    """--data_parallel N on the lift CLI is pure DP over the keyframe
+    batch (parallel.sharded_keyframe_step): the submission must match the
+    single-device run box for box."""
+    import pytest
+
+    from nusc_fixture import VERSION
+    from cm3d_tpu.pipelines.lift import run_lift
+
+    root, masks, info, tmp = fake_root
+    cfg = LiftStageConfig(**SMALL_LIFT)
+    scene = info["scene_name"]
+
+    single = run_lift(str(root), VERSION, str(masks), [scene],
+                      str(tmp / "dp_single.json"), lift_cfg=cfg,
+                      batch_size=2, verbose=False)
+    dp = run_lift(str(root), VERSION, str(masks), [scene],
+                  str(tmp / "dp2.json"), lift_cfg=cfg, batch_size=2,
+                  verbose=False, data_parallel=2)
+    assert dp["results"] == single["results"]
+    with pytest.raises(SystemExit, match="divide"):
+        run_lift(str(root), VERSION, str(masks), [scene],
+                 str(tmp / "dp_bad.json"), lift_cfg=cfg, batch_size=2,
+                 verbose=False, data_parallel=3)
+
+
 def test_lift_drivable_filter_end_to_end(fake_root):
     """Fixture map's drivable area is the +-60 m square: with the filter on,
     every kept car/truck box must sit inside it; grid crop is exercised."""

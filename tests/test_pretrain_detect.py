@@ -82,6 +82,30 @@ def test_pretrain_resume_matches_uninterrupted(tmp_path):
     )
 
 
+def test_pretrain_data_parallel_matches_single_device(tmp_path):
+    """--data_parallel N is pure DP over the same GLOBAL batch: the
+    trained checkpoint must match the single-device run (GSPMD all-reduce
+    is the only difference), and N must divide the global batch size."""
+    import pytest
+
+    from cm3d_tpu.models.checkpoints import load_params
+
+    root, labels = _setup(tmp_path)
+    _train(root, labels, tmp_path / "single")
+    _train(root, labels, tmp_path / "dp", data_parallel=2)
+    a = load_params(str(tmp_path / "single" / "centerpoint"))
+    b = load_params(str(tmp_path / "dp" / "centerpoint"))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6
+        ),
+        a, b,
+    )
+    with pytest.raises(SystemExit, match="divide"):
+        _train(root, labels, tmp_path / "bad", data_parallel=3,
+               batch_size=2)
+
+
 def test_pretrain_resume_without_checkpoint_fails(tmp_path):
     import pytest
 
