@@ -105,24 +105,44 @@ def make_keyframe_step_fn(cfg: LiftStageConfig = LiftStageConfig()):
     return step
 
 
-def sharded_keyframe_step(mesh, cfg: LiftStageConfig = LiftStageConfig()):
-    """Jit the batched step over a mesh: batch dim sharded on `data`,
-    class tables replicated. XLA inserts no collectives — the step is
-    fully per-keyframe (the scaling story is pure DP over ICI)."""
+def sharded_batch_step(mesh, step):
+    """Jit any batch-major step over a mesh: every input leaf's LEADING
+    dim is constrained onto `data` (pure DP — params-free steps whose
+    inputs are all [B, ...] pytrees: the nuScenes/Waymo keyframe step and
+    the KITTI step). XLA inserts no collectives; the scaling story is
+    keyframes over ICI."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-
-    step = make_keyframe_step_fn(cfg)
-    data_sharding = NamedSharding(mesh, P("data"))
 
     def shard_leaf(x):
         return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
 
     @functools.partial(jax.jit)
-    def run(frames: Keyframe):
-        frames = jax.lax.with_sharding_constraint(
-            frames, jax.tree.map(lambda x: shard_leaf(x), frames)
+    def run(*args):
+        args = jax.lax.with_sharding_constraint(
+            args, jax.tree.map(shard_leaf, args)
         )
-        return step(frames)
+        return step(*args)
 
-    del data_sharding
     return run
+
+
+def sharded_keyframe_step(mesh, cfg: LiftStageConfig = LiftStageConfig()):
+    """Jit the batched lift step over a mesh: batch dim sharded on `data`,
+    class tables replicated (see sharded_batch_step)."""
+    return sharded_batch_step(mesh, make_keyframe_step_fn(cfg))
+
+
+def dp_step(step, batch_size: int, data_parallel: int):
+    """The lift CLIs' --data_parallel contract: jit `step` plain when
+    data_parallel is 0, else DP-shard its batch-major inputs over a fresh
+    N-chip data mesh (N must divide the static batch)."""
+    if not data_parallel:
+        return jax.jit(step)
+    if batch_size % data_parallel:
+        raise SystemExit(
+            f"--data_parallel {data_parallel} must divide "
+            f"--batch_size {batch_size}"
+        )
+    from cm3d_tpu.parallel.mesh import make_mesh
+
+    return sharded_batch_step(make_mesh(n_data=data_parallel), step)

@@ -82,6 +82,7 @@ def run_detect(
     use_camera: bool = False,
     image_hw=(144, 256),
     fusion_cfg=None,
+    data_parallel: int = 0,
 ) -> dict:
     """Run the trained detector over keyframes; write + return the
     submission. `ckpt_dir` is pretrain's `{out}/centerpoint`
@@ -129,8 +130,33 @@ def run_detect(
     like = {"params": variables["params"],
             "batch_stats": variables.get("batch_stats", {})}
     restored = load_params(ckpt_dir, like=like)
-    params = jax.device_put(restored["params"])
-    batch_stats = jax.device_put(restored["batch_stats"])
+    if data_parallel:
+        # pure DP inference: params replicate, the keyframe batch shards
+        if batch_size % data_parallel:
+            raise SystemExit(
+                f"--data_parallel {data_parallel} must divide "
+                f"--batch_size {batch_size}"
+            )
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from cm3d_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=data_parallel)
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(restored["params"], repl)
+        batch_stats = jax.device_put(restored["batch_stats"], repl)
+
+        def place_batch(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
+    else:
+        params = jax.device_put(restored["params"])
+        batch_stats = jax.device_put(restored["batch_stats"])
+
+        def place_batch(x):
+            return x
 
     # CIRCLE_NMS_THRESH values are the squared thresholds the reference
     # compares squared distances against (ops/nms.circle_nms_keep doc)
@@ -171,10 +197,13 @@ def run_detect(
                 im_u8, k, e = load_ring_cameras(fe, sample, image_hw, ego_t)
                 imgs[j], intr[j], exts[j] = im_u8 / 255.0, k, e
         if use_camera:
-            camera = [jnp.asarray(imgs), jnp.asarray(intr), jnp.asarray(exts)]
+            camera = [place_batch(jnp.asarray(imgs)),
+                      place_batch(jnp.asarray(intr)),
+                      place_batch(jnp.asarray(exts))]
         boxes, scores, cls, keep = jax.tree.map(
-            np.asarray, detect(params, batch_stats, jnp.asarray(pts),
-                               jnp.asarray(val), *camera)
+            np.asarray, detect(params, batch_stats,
+                               place_batch(jnp.asarray(pts)),
+                               place_batch(jnp.asarray(val)), *camera)
         )
         for j, sample in enumerate(chunk):
             centers = boxes[j, :, :3] + egos[j][None]  # back to global
@@ -207,6 +236,9 @@ def main(argv=None):
     p.add_argument("--scenes", default="",
                    help="comma-separated scene names (default: all samples)")
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the keyframe batch over an N-chip data "
+                   "mesh (N must divide --batch_size)")
     p.add_argument("--top_k", type=int, default=128)
     p.add_argument("--score_thresh", type=float, default=0.1)
     p.add_argument("--use_camera", action="store_true",
@@ -221,7 +253,7 @@ def main(argv=None):
         scenes=args.scenes.split(",") if args.scenes else None,
         batch_size=args.batch_size, top_k=args.top_k,
         score_thresh=args.score_thresh, use_camera=args.use_camera,
-        image_hw=(ih, iw),
+        image_hw=(ih, iw), data_parallel=args.data_parallel,
     )
 
 

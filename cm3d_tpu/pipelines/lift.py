@@ -62,21 +62,10 @@ def run_lift(
 
     store = MaskArtifactStore(mask_dir)
     frontend = NuScenesFrontend(dataroot, version, store, lift_cfg)
-    if data_parallel:
-        # pure DP over the keyframe batch (parallel.sharded_keyframe_step:
-        # batch dim on `data`, tables replicated, no collectives)
-        if batch_size % data_parallel:
-            raise SystemExit(
-                f"--data_parallel {data_parallel} must divide "
-                f"--batch_size {batch_size}"
-            )
-        from cm3d_tpu.parallel import make_mesh
-        from cm3d_tpu.parallel.pipeline import sharded_keyframe_step
+    from cm3d_tpu.parallel.pipeline import dp_step
 
-        step = sharded_keyframe_step(make_mesh(n_data=data_parallel),
-                                     lift_cfg)
-    else:
-        step = jax.jit(make_keyframe_step_fn(lift_cfg))
+    step = dp_step(make_keyframe_step_fn(lift_cfg), batch_size,
+                   data_parallel)
     writer = SubmissionWriter()
 
     # Resume: samples already in the output file keep their boxes and are

@@ -68,6 +68,7 @@ def run_lift_kitti(
     lift_cfg: LiftStageConfig = None,
     batch_size: int = 8,
     verbose: bool = True,
+    data_parallel: int = 0,
 ) -> int:
     import jax
 
@@ -77,7 +78,9 @@ def run_lift_kitti(
     if lift_cfg is None:
         lift_cfg = KITTI_LIFT
     frontend = KittiFrontend(root, MaskArtifactStore(mask_dir), lift_cfg)
-    step = jax.jit(make_kitti_step_fn(lift_cfg))
+    from cm3d_tpu.parallel.pipeline import dp_step
+
+    step = dp_step(make_kitti_step_fn(lift_cfg), batch_size, data_parallel)
     os.makedirs(f"{out_dir}/pred", exist_ok=True)
     os.makedirs(f"{out_dir}/pseudo", exist_ok=True)
 
@@ -134,6 +137,9 @@ def main(argv=None):
     p.add_argument("--indices", default="", help="comma-separated; '' = all")
     p.add_argument("--out_dir", default="kitti_preds")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the keyframe batch over an N-chip data "
+                   "mesh (N must divide --batch_size)")
     args = p.parse_args(argv)
 
     store = MaskArtifactStore(args.mask_dir)
@@ -144,7 +150,8 @@ def main(argv=None):
     if not indices:
         raise SystemExit("no frames to process")
     run_lift_kitti(args.root, args.mask_dir, indices, args.out_dir,
-                   batch_size=args.batch_size)
+                   batch_size=args.batch_size,
+                   data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

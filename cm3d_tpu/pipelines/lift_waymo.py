@@ -31,6 +31,7 @@ def run_lift_waymo(
     lift_cfg: LiftStageConfig = None,
     batch_size: int = 8,
     verbose: bool = True,
+    data_parallel: int = 0,
 ) -> int:
     import jax
 
@@ -50,7 +51,10 @@ def run_lift_waymo(
     t_total = time.perf_counter()
 
     frontend = WaymoFrontend(frames_root, MaskArtifactStore(mask_dir), lift_cfg)
-    step = jax.jit(make_keyframe_step_fn(lift_cfg))
+    from cm3d_tpu.parallel.pipeline import dp_step
+
+    step = dp_step(make_keyframe_step_fn(lift_cfg), batch_size,
+                   data_parallel)
     all_objects = []
     pending: list = []
     n_frames = 0
@@ -115,6 +119,9 @@ def main(argv=None):
     p.add_argument("--scenes", default="", help="comma-separated; '' = all")
     p.add_argument("--out", default="pred.bin")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the keyframe batch over an N-chip data "
+                   "mesh (N must divide --batch_size)")
     args = p.parse_args(argv)
 
     from cm3d_tpu.datasets.waymo.frontend import WaymoFrontend
@@ -123,7 +130,8 @@ def main(argv=None):
     fe = WaymoFrontend(args.frames_root, store)
     scenes = args.scenes.split(",") if args.scenes else fe.scene_names()
     run_lift_waymo(args.frames_root, args.mask_dir, scenes, args.out,
-                   batch_size=args.batch_size)
+                   batch_size=args.batch_size,
+                   data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

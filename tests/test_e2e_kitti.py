@@ -103,3 +103,12 @@ def test_fused_kitti_matches_two_stage(tmp_path):
                 else:
                     assert np.isnan(oa.score) and np.isnan(ob.score)
     assert total > 0
+
+    # --data_parallel 2 lift is pure DP: byte-identical label files
+    run_lift_kitti(str(root), str(mask_dir), [0, 1],
+                   str(tmp_path / "dp"), SMALL_K, batch_size=2,
+                   verbose=False, data_parallel=2)
+    for idx in (0, 1):
+        for kind in ("pred", "pseudo"):
+            assert (tmp_path / "dp" / kind / f"{idx:06d}.txt").read_text() \
+                == (tmp_path / "two" / kind / f"{idx:06d}.txt").read_text()

@@ -98,6 +98,13 @@ def test_fused_waymo_matches_two_stage(tmp_path):
     two = decode_objects((tmp_path / "two.bin").read_bytes())
     fused = decode_objects((tmp_path / "fused.bin").read_bytes())
     assert len(two) == len(fused) > 0
+
+    # --data_parallel 2 lift is pure DP: byte-identical .bin
+    run_lift_waymo(str(frames_root), str(mask_dir), [scene],
+                   str(tmp_path / "dp.bin"), lift_cfg=SMALL_W,
+                   batch_size=2, verbose=False, data_parallel=2)
+    assert (tmp_path / "dp.bin").read_bytes() == \
+        (tmp_path / "two.bin").read_bytes()
     for a, b in zip(two, fused):
         assert a.type == b.type
         assert a.frame_timestamp_micros == b.frame_timestamp_micros

@@ -134,6 +134,15 @@ def test_detect_writes_eval_ready_submission(tmp_path):
     assert set(sub["results"]) == tokens
     assert json.loads((tmp_path / "det.json").read_text())["results"]
 
+    # --data_parallel 2 inference is pure DP: identical submission
+    dp = run_detect(
+        str(root), VERSION, str(out / "centerpoint"),
+        str(tmp_path / "det_dp.json"), batch_size=2, top_k=16,
+        score_thresh=0.0, max_points=4096,
+        pillar_cfg=PILLAR, model_cfg=MODEL, verbose=False, data_parallel=2,
+    )
+    assert dp["results"] == sub["results"]
+
     # the eval stack must accept the schema verbatim
     eb = EvalBoxes.deserialize(sub["results"])
     n_boxes = 0
