@@ -24,18 +24,32 @@ def _ensure_build_dir() -> Optional[Path]:
 
     Non-editable installs can land in a read-only site-packages; fall back
     to a per-user temp dir there so the native path still works, and to
-    None (pure-numpy fallbacks) if even that is unwritable."""
+    None (pure-numpy fallbacks) if even that is unwritable. The temp dir
+    lives in a world-shared /tmp under a predictable name, so it is only
+    trusted when it is OURS and private (0700, owner uid) — a pre-created
+    attacker-owned dir would otherwise let a hostile local user plant a
+    cached .so that ctypes.CDLL loads."""
     try:
         _BUILD_DIR.mkdir(exist_ok=True)
-        return _BUILD_DIR
+        if os.access(_BUILD_DIR, os.W_OK):
+            return _BUILD_DIR
     except OSError:
         pass
+    import stat
     import tempfile
 
     alt = Path(tempfile.gettempdir()) / f"cm3d_native_build_{os.getuid()}"
     try:
-        alt.mkdir(exist_ok=True)
-        return alt
+        alt.mkdir(mode=0o700, exist_ok=True)
+        st = os.lstat(alt)
+        if (
+            stat.S_ISDIR(st.st_mode)
+            and st.st_uid == os.getuid()
+            and not (st.st_mode & 0o077)
+            and os.access(alt, os.W_OK)
+        ):
+            return alt
+        return None
     except OSError:
         return None
 

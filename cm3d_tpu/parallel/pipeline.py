@@ -135,14 +135,9 @@ def sharded_keyframe_step(mesh, cfg: LiftStageConfig = LiftStageConfig()):
 def dp_step(step, batch_size: int, data_parallel: int):
     """The lift CLIs' --data_parallel contract: jit `step` plain when
     data_parallel is 0, else DP-shard its batch-major inputs over a fresh
-    N-chip data mesh (N must divide the static batch)."""
+    N-chip data mesh (validation in mesh.dp_mesh)."""
     if not data_parallel:
         return jax.jit(step)
-    if batch_size % data_parallel:
-        raise SystemExit(
-            f"--data_parallel {data_parallel} must divide "
-            f"--batch_size {batch_size}"
-        )
-    from cm3d_tpu.parallel.mesh import make_mesh
+    from cm3d_tpu.parallel.mesh import dp_mesh
 
-    return sharded_batch_step(make_mesh(n_data=data_parallel), step)
+    return sharded_batch_step(dp_mesh(data_parallel, batch_size), step)

@@ -132,25 +132,14 @@ def run_detect(
     restored = load_params(ckpt_dir, like=like)
     if data_parallel:
         # pure DP inference: params replicate, the keyframe batch shards
-        if batch_size % data_parallel:
-            raise SystemExit(
-                f"--data_parallel {data_parallel} must divide "
-                f"--batch_size {batch_size}"
-            )
-        from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as P
+        from cm3d_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
 
-        from cm3d_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(n_data=data_parallel)
-        repl = NamedSharding(mesh, P())
-        params = jax.device_put(restored["params"], repl)
-        batch_stats = jax.device_put(restored["batch_stats"], repl)
+        mesh = dp_mesh(data_parallel, batch_size)
+        params = replicate(restored["params"], mesh)
+        batch_stats = replicate(restored["batch_stats"], mesh)
 
         def place_batch(x):
-            return jax.device_put(
-                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
-            )
+            return shard_batch(x, mesh)
     else:
         params = jax.device_put(restored["params"])
         batch_stats = jax.device_put(restored["batch_stats"])

@@ -365,28 +365,18 @@ def run_pretrain(
         if verbose:
             print(f"resumed from {ckpt} at step {start}")
     if data_parallel:
-        if batch_size % data_parallel:
-            raise SystemExit(
-                f"--data_parallel {data_parallel} must divide "
-                f"--batch_size {batch_size} (global batch)"
-            )
-        from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as P
+        from cm3d_tpu.parallel.mesh import dp_mesh, replicate, shard_batch
 
-        from cm3d_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(n_data=data_parallel)
         # params/opt state replicate; only the batch shards (pure DP) —
         # under plain jit GSPMD inserts the gradient all-reduce itself
-        state = jax.device_put(state, NamedSharding(mesh, P()))
+        mesh = dp_mesh(data_parallel, batch_size)
+        state = replicate(state, mesh)
 
-        def shard_batch(x):
-            return jax.device_put(
-                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
-            )
+        def place_batch(b):
+            return shard_batch(b, mesh)
     else:
-        def shard_batch(x):
-            return x
+        def place_batch(b):
+            return b
     step = jax.jit(step_fn)
 
     def assemble(pick):
@@ -420,7 +410,7 @@ def run_pretrain(
     last = {}
     for s in range(start, steps):
         pick = np.random.default_rng((seed, s)).integers(0, len(data), batch_size)
-        state, metrics = step(state, jax.tree.map(shard_batch, assemble(pick)))
+        state, metrics = step(state, place_batch(assemble(pick)))
         last = {k: float(np.asarray(v)) for k, v in metrics.items()}
         if verbose and (s % max(1, steps // 10) == 0 or s == steps - 1):
             print(f"step {s}: " + json.dumps({k: round(v, 4) for k, v in last.items()}))

@@ -214,6 +214,14 @@ def test_lift_data_parallel_matches_single_device(fake_root):
         run_lift(str(root), VERSION, str(masks), [scene],
                  str(tmp / "dp_bad.json"), lift_cfg=cfg, batch_size=2,
                  verbose=False, data_parallel=3)
+    with pytest.raises(SystemExit, match="exceeds"):
+        run_lift(str(root), VERSION, str(masks), [scene],
+                 str(tmp / "dp_bad.json"), lift_cfg=cfg, batch_size=16,
+                 verbose=False, data_parallel=16)
+    with pytest.raises(SystemExit, match="positive"):
+        run_lift(str(root), VERSION, str(masks), [scene],
+                 str(tmp / "dp_bad.json"), lift_cfg=cfg, batch_size=2,
+                 verbose=False, data_parallel=-2)
 
 
 def test_lift_drivable_filter_end_to_end(fake_root):
