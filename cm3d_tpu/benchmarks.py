@@ -77,9 +77,11 @@ def bench_lift(batch_size: int = 8, n_iters: int = 10) -> dict:
     }
 
 
-def build_production_fake_models(dtype: str = "bfloat16"):
+def build_production_fake_models(dtype: str = "bfloat16",
+                                 rect_encode: bool = False):
     """Production-size Detic-SwinB + SAM-ViT-H with random weights behind
-    the standard batched wrappers (same FLOPs as converted checkpoints)."""
+    the standard batched wrappers (same FLOPs as converted checkpoints).
+    rect_encode=True benches the fast SAM encode mode (README decision)."""
     import dataclasses as dc
 
     import jax
@@ -95,7 +97,7 @@ def build_production_fake_models(dtype: str = "bfloat16"):
     detic_cfg = dc.replace(
         DETIC_SWINB, dtype=dtype, swin=dc.replace(SWIN_B, dtype=dtype)
     )
-    sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype)
+    sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype, rect_encode=rect_encode)
     detic_model, sam_model = Detic(detic_cfg), Sam(sam_cfg)
     clf = jnp.asarray(
         rng.standard_normal((detic_cfg.embed_dim, len(VOCAB))).astype(
@@ -270,7 +272,7 @@ def bench_mask_stage(
 
 def bench_e2e(
     dtype: str = "bfloat16", n_frames: int = 12, batch_size: int = 4,
-    models=None,
+    models=None, rect_encode: bool = False,
 ) -> dict:
     """Fused end-to-end throughput: images -> Detic -> SAM -> bit-planes ->
     lift step -> boxes, through pipelines.e2e.run_fused (the production
@@ -290,7 +292,9 @@ def bench_e2e(
     assert mask_cfg.max_masks_total == lift_cfg.max_masks
     rng = np.random.default_rng(0)
     if models is None:
-        models = _realistic_load(build_production_fake_models(dtype))
+        models = _realistic_load(
+            build_production_fake_models(dtype, rect_encode=rect_encode)
+        )
 
     syn = SyntheticConfig()
     base_kfs = [make_keyframe(syn, lift_cfg, rng) for _ in range(2)]
@@ -359,6 +363,7 @@ def bench_e2e(
         "vs_baseline": round(done / dt / 50.0, 4),
         "ms_per_keyframe": round(dt / done * 1000, 1),
         "boxes_kept": boxes_seen[0],
+        "rect_encode": rect_encode,
     }
 
 

@@ -45,4 +45,7 @@ step ab_sam_sizes 2400 python -c "exec(open('scripts/ab_sam_sizes.py').read())"
 # 6. fused e2e bench (slowest: full-scale 2D compiles) — run last
 step bench_e2e 3600 python bench.py --stage e2e
 
+# 6b. fast-mode e2e (opt-in --rect_encode: the README's speed offer)
+step bench_e2e_rect 3600 python bench.py --stage e2e --rect_encode
+
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG"
