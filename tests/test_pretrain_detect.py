@@ -223,6 +223,40 @@ def test_fusion_pretrain_then_detect(tmp_path):
     assert set(sub["results"]) == tokens
     assert sum(len(v) for v in sub["results"].values()) > 0
 
+    # --data_parallel 2 on BOTH fusion CLIs (shards the camera operands
+    # too): checkpoint and submission must match single-device
+    from cm3d_tpu.models.checkpoints import load_params
+
+    _train(root, labels, tmp_path / "ckf_dp", steps=3, use_camera=True,
+           image_hw=hw, fusion_cfg=fusion, data_parallel=2)
+    a = load_params(str(out / "bevfusion"))
+    b = load_params(str(tmp_path / "ckf_dp" / "bevfusion"))
+    jax.tree.map(
+        # GSPMD reduction order in the lift-splat segment sums jitters the
+        # last float bit; 1e-4 rel still pins "same training trajectory"
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5
+        ),
+        a, b,
+    )
+    dp = run_detect(
+        str(root), VERSION, str(out / "bevfusion"),
+        str(tmp_path / "detf_dp.json"), batch_size=2, top_k=16,
+        score_thresh=0.0, max_points=4096,
+        pillar_cfg=PILLAR, verbose=False,
+        use_camera=True, image_hw=hw, fusion_cfg=fusion, data_parallel=2,
+    )
+    assert set(dp["results"]) == set(sub["results"])
+    for tok, boxes in sub["results"].items():
+        got = dp["results"][tok]
+        assert len(got) == len(boxes)
+        for ba, bb in zip(boxes, got):
+            assert ba["detection_name"] == bb["detection_name"]
+            np.testing.assert_allclose(ba["translation"], bb["translation"],
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(ba["detection_score"],
+                                       bb["detection_score"], atol=1e-4)
+
 
 def test_finetune_gt_split_warm_start(tmp_path):
     """Semi-sup fine-tune (reference protocol, index.html:246-334): pretrain
