@@ -243,3 +243,43 @@ def test_lift_drivable_filter_end_to_end(fake_root):
             if b["detection_name"] in ("car", "truck", "bus"):
                 x, y = b["translation"][:2]
                 assert -61 < x < 61 and -61 < y < 61
+
+
+def test_get_priors_reference_quirks(fake_root):
+    """pipelines/get_priors vs an explicit-quirk oracle (reference
+    src/nuscenes/get_priors.py:38,53-58): the LAST sample of every scene
+    is skipped and each category's FIRST occurrence is dropped; the CLI
+    writes the same dict to JSON."""
+    from nusc_fixture import VERSION
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+    from cm3d_tpu.pipelines.get_priors import compute_priors, main
+
+    root, _masks, _info, tmp = fake_root
+    avg = compute_priors(str(root), VERSION)
+
+    nusc = NuScenesTables(root, VERSION)
+    sizes: dict = {}
+    for scene in nusc.table("scene"):
+        chain = [nusc.get("sample", scene["first_sample_token"])]
+        while chain[-1]["next"] != "":
+            chain.append(nusc.get("sample", chain[-1]["next"]))
+        for s in chain[:-1]:  # quirk: last sample skipped
+            for tok in s["anns"]:
+                ann = nusc.get("sample_annotation", tok)
+                sizes.setdefault(ann["category_name"], []).append(ann["size"])
+    assert sizes, "fixture has no annotations"
+    seen_multi = False
+    for cat, lst in sizes.items():
+        rest = lst[1:]  # quirk: first occurrence dropped
+        if rest:
+            seen_multi = True
+            np.testing.assert_allclose(avg[cat], np.mean(rest, axis=0),
+                                       rtol=1e-6)
+        else:
+            assert cat not in avg
+    assert seen_multi
+    assert set(avg) == {c for c, lst in sizes.items() if len(lst) > 1}
+
+    out = tmp / "priors_cli.json"
+    main(["--dataroot", str(root), "--version", VERSION, "--out", str(out)])
+    assert json.loads(out.read_text()) == avg
