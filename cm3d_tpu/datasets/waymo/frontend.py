@@ -26,6 +26,7 @@ Reference semantics reproduced (src/waymo/2d_to_3d.py):
 from __future__ import annotations
 
 import dataclasses
+import struct
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 
@@ -284,20 +285,42 @@ class WaymoFrontend:
         return kf, meta
 
     def iter_scene(self, scene: str) -> Iterator[Tuple[Keyframe, WaymoFrameMeta]]:
+        """Skip-and-log on corrupt frames (SURVEY.md §5 failure-detection
+        contract): a proto that fails to parse drops that frame only; a
+        container-level error (CRC mismatch / truncation) loses record
+        framing, so the scene stops there with a log instead of crashing
+        the whole run."""
         seg = self._segment_path(scene)
         if seg is not None:  # raw segment: one sequential pass, no index
             from cm3d_tpu.datasets.waymo.frame_proto import parse_frame
             from cm3d_tpu.datasets.waymo.tfrecord import TFRecordReader
 
-            for frame_num, payload in enumerate(TFRecordReader(seg)):
-                built = self.build_keyframe(
-                    scene, frame_num, parse_frame(payload)
-                )
+            records = iter(enumerate(TFRecordReader(seg)))
+            while True:
+                try:
+                    frame_num, payload = next(records)
+                except StopIteration:
+                    return
+                except (IOError, struct.error) as e:
+                    print(f"{scene}: segment unreadable, stopping scene "
+                          f"({e})")
+                    return
+                try:
+                    fr = parse_frame(payload)
+                except Exception as e:
+                    print(f"{scene} frame {frame_num}: corrupt frame "
+                          f"skipped ({e})")
+                    continue
+                built = self.build_keyframe(scene, frame_num, fr)
                 if built is not None:
                     yield built
-            return
         for frame_num, path in enumerate(self.frame_files(scene)):
-            fr = self.load_frame(path)
+            try:
+                fr = self.load_frame(path)
+            except Exception as e:
+                print(f"{scene} frame {frame_num}: corrupt frame-lite "
+                      f"skipped ({path.name}: {e})")
+                continue
             built = self.build_keyframe(scene, frame_num, fr)
             if built is not None:
                 yield built

@@ -92,8 +92,14 @@ def read_record(path: str | Path, offset: int, length: int,
     with open(path, "rb") as f:
         f.seek(offset)
         payload = f.read(length)
+        if len(payload) < length:
+            raise IOError(f"{path}@{offset}: truncated payload "
+                          f"({len(payload)}/{length} bytes)")
         if check_crc:
-            (pcrc,) = struct.unpack("<I", f.read(4))
+            crc_b = f.read(4)
+            if len(crc_b) < 4:
+                raise IOError(f"{path}@{offset}: truncated payload CRC")
+            (pcrc,) = struct.unpack("<I", crc_b)
             if masked_crc(payload) != pcrc:
                 raise IOError(f"{path}@{offset}: payload CRC mismatch")
     return payload
@@ -108,12 +114,23 @@ class TFRecordReader:
         with open(self.path, "rb") as f:
             while True:
                 header = f.read(8)
-                if len(header) < 8:
+                if len(header) == 0:
                     return
+                if len(header) < 8:
+                    raise IOError(f"{self.path}: truncated record header")
                 (length,) = struct.unpack("<Q", header)
-                (hcrc,) = struct.unpack("<I", f.read(4))
+                hcrc_b = f.read(4)
+                if len(hcrc_b) < 4:
+                    raise IOError(f"{self.path}: truncated header CRC")
+                (hcrc,) = struct.unpack("<I", hcrc_b)
                 payload = f.read(length)
-                (pcrc,) = struct.unpack("<I", f.read(4))
+                if len(payload) < length:
+                    raise IOError(f"{self.path}: truncated payload "
+                                  f"({len(payload)}/{length} bytes)")
+                pcrc_b = f.read(4)
+                if len(pcrc_b) < 4:
+                    raise IOError(f"{self.path}: truncated payload CRC")
+                (pcrc,) = struct.unpack("<I", pcrc_b)
                 if self.check_crc:
                     if masked_crc(header) != hcrc:
                         raise IOError(f"{self.path}: header CRC mismatch")

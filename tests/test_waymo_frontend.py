@@ -103,3 +103,53 @@ def test_gt_bin_roundtrip(fake_waymo, tmp_path):
     assert len(vehicles) == 8  # car+truck x 2 frames
     assert all(o.score == 0.5 for o in objs)
     assert objs[0].context_name == "ctx_segment-000"
+
+
+def test_iter_scene_skips_corrupt_frames_and_stops_on_truncation(
+        fake_waymo, tmp_path, capsys):
+    """Failure-detection contract (SURVEY.md §5): a record whose proto is
+    garbage (but whose container CRC is valid) drops that frame only; a
+    TRUNCATED segment stops the scene with a log; neither crashes. The
+    TFRecord reader itself raises clean IOErrors on truncation, not
+    struct.error."""
+    import pytest
+
+    from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+    from cm3d_tpu.datasets.waymo import frame_proto
+    from cm3d_tpu.datasets.waymo.frontend import WaymoFrontend
+    from cm3d_tpu.datasets.waymo.tfrecord import TFRecordReader, TFRecordWriter
+
+    frames, masks, info = fake_waymo
+    fe0 = WaymoFrontend(frames, MaskArtifactStore(masks), SMALL)
+    scene = info["scene"]
+    payloads = [
+        frame_proto.encode_frame_lite(fe0.load_frame(p))
+        for p in fe0.frame_files(scene)
+    ]
+
+    # corrupt trailing record: valid container framing, garbage proto
+    # (named after the real scene so its mask artifacts resolve)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with TFRecordWriter(raw / f"{scene}.tfrecord") as w:
+        w.write(payloads[0])
+        w.write(payloads[1])
+        w.write(b"\xff\xff\xff\xffnot a frame proto")
+    fe = WaymoFrontend(raw, MaskArtifactStore(masks), SMALL)
+    got = list(fe.iter_scene(scene))
+    assert len(got) == 2  # both real frames survive, bad record skipped
+    assert "corrupt frame skipped" in capsys.readouterr().out
+
+    # truncated segment: first record intact, second cut mid-payload
+    raw2 = tmp_path / "raw_trunc"
+    raw2.mkdir()
+    whole = (raw / f"{scene}.tfrecord").read_bytes()
+    head_len = 8 + 4 + len(payloads[0]) + 4
+    (raw2 / f"{scene}.tfrecord").write_bytes(whole[: head_len + 8 + 4 + 10])
+    fe2 = WaymoFrontend(raw2, MaskArtifactStore(masks), SMALL)
+    got2 = list(fe2.iter_scene(scene))
+    assert len(got2) == 1  # the intact frame; then a logged stop
+    assert "segment unreadable" in capsys.readouterr().out
+
+    with pytest.raises(IOError, match="truncated"):
+        list(TFRecordReader(raw2 / f"{scene}.tfrecord"))
