@@ -72,12 +72,26 @@ def main(argv=None) -> dict:
     )
 
     if args.gt_json:
+        if args.drivable_filtering:
+            raise SystemExit(
+                "--drivable_filtering needs the map tables; hermetic "
+                "--gt_json mode has none — run with --dataroot instead"
+            )
         with open(os.path.expanduser(args.gt_json)) as f:
             gt_data = json.load(f)
         gt_boxes = EvalBoxes.deserialize(gt_data["boxes"])
         ego_translations = {
             t: tuple(v) for t, v in gt_data["ego_translations"].items()
         }
+        missing = [t for t in pred_boxes.sample_tokens
+                   if t not in ego_translations]
+        if missing:
+            raise SystemExit(
+                f"--gt_json: {len(missing)} prediction sample_token(s) have "
+                f"no ego_translations entry (e.g. {missing[0]!r}); hermetic "
+                "mode cannot look poses up — add them to the GT file or "
+                "filter the submission"
+            )
         bikeracks = gt_data.get("bikerack_boxes")
         map_geometry = None
     else:
@@ -100,6 +114,25 @@ def main(argv=None) -> dict:
             need_map=bool(args.drivable_filtering),
             tables=eval_tables,
         )
+        # predictions outside the eval split still evaluate (as FPs) in the
+        # reference, whose add_center_dist looks poses up in the full DB
+        # (eval_custom.py:111-113, token assert commented out :934) — do
+        # the same from the already-parsed tables
+        missing = [t for t in pred_boxes.sample_tokens
+                   if t not in ego_translations]
+        if missing:
+            token_to_sample = {
+                s["token"]: s for s in eval_tables.table("sample")
+            }
+            for t in missing:
+                s = token_to_sample.get(t)
+                if s is None:
+                    raise SystemExit(
+                        f"prediction sample_token {t!r} is not in the "
+                        f"{args.version} DB"
+                    )
+                pose = eval_tables.sample_lidar_ego_pose(s)
+                ego_translations[t] = tuple(pose["translation"])
 
     ev = DetectionEval(
         gt_boxes=gt_boxes,

@@ -141,7 +141,15 @@ def add_center_dist_from_poses(
     """Set each box's ego_translation from per-sample ego poses
     (reference add_center_dist, eval_custom.py:103-127; z of ego pose is 0)."""
     for token in eval_boxes.sample_tokens:
-        pose = ego_translations[token]
+        try:
+            pose = ego_translations[token]
+        except KeyError:
+            raise KeyError(
+                f"no ego pose for sample {token!r} — every evaluated "
+                "sample (GT or prediction) needs an ego_translations "
+                "entry; the CLI fills extra prediction tokens from the "
+                "DB tables (reference eval_custom.py:111-113)"
+            ) from None
         for box in eval_boxes[token]:
             box.ego_translation = (
                 box.translation[0] - pose[0],

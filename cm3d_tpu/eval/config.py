@@ -74,14 +74,20 @@ _STD_RANGES = {
 # The official CVPR-2019 nuScenes detection challenge configuration.
 DETECTION_CVPR_2019 = DetectionEvalConfig(class_range=dict(_STD_RANGES))
 
-# Reference cfg/sam3d_config.json — identical ranges to cvpr_2019.
-SAM3D_CONFIG = DetectionEvalConfig(class_range=dict(_STD_RANGES))
+# Reference cfg/sam3d_config.json — cvpr_2019 ranges but min_recall and
+# min_precision are 0 (rare_config.json:18-19, sam3d_config.json:16-17):
+# calc_ap drops only recall index 0 with no precision rescale, and
+# calc_tp averages from the first confidence bin.
+SAM3D_CONFIG = DetectionEvalConfig(
+    class_range=dict(_STD_RANGES), min_recall=0.0, min_precision=0.0
+)
 
 # Reference cfg/rare_config.json — adds the rare classes (GT mapping then
 # routes human.pedestrian.child -> child, .stroller -> stroller;
-# eval_custom.py:204-233,928-931).
+# eval_custom.py:204-233,928-931) with the same min_recall=min_precision=0.
 RARE_CONFIG = DetectionEvalConfig(
-    class_range={**_STD_RANGES, "child": 40.0, "stroller": 40.0}
+    class_range={**_STD_RANGES, "child": 40.0, "stroller": 40.0},
+    min_recall=0.0, min_precision=0.0,
 )
 
 

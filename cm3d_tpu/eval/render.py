@@ -309,8 +309,15 @@ def plot_examples(
     written = []
     for token in tokens[:n]:
         path = os.path.join(example_dir, f"{token}.png")
+        if token not in ego_translations:
+            # defaulting to (0,0,0) would center the plot ~km away from
+            # the global-frame boxes and write a silently-empty png
+            raise KeyError(
+                f"plot_examples: no ego translation for sample {token!r} "
+                f"(inconsistent GT: every evaluated sample needs one)"
+            )
         visualize_sample(
-            gt_boxes, pred_boxes, token, ego_translations.get(token, (0, 0, 0)),
+            gt_boxes, pred_boxes, token, ego_translations[token],
             eval_range, path,
             points_xy=points_provider(token) if points_provider else None,
         )

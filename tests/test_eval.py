@@ -302,3 +302,66 @@ def test_gt_json_plot_examples_stays_hermetic(tmp_path):
     assert summary["mean_ap"] > 0.0
     examples = os.listdir(tmp_path / "m" / "examples")
     assert len(examples) == 2
+
+
+def test_reference_config_min_recall_precision_zero():
+    """cfg/rare_config.json:18-19 and sam3d_config.json:16-17 set
+    min_recall = min_precision = 0 — unlike cvpr_2019's 0.1/0.1 — which
+    changes calc_ap (no index-10 cut, no rescale) and calc_tp (averaging
+    starts at the first bin)."""
+    from cm3d_tpu.eval import SAM3D_CONFIG
+    from cm3d_tpu.eval.algo import MetricData, calc_ap
+
+    assert (RARE_CONFIG.min_recall, RARE_CONFIG.min_precision) == (0.0, 0.0)
+    assert (SAM3D_CONFIG.min_recall, SAM3D_CONFIG.min_precision) == (0.0, 0.0)
+    assert (DETECTION_CVPR_2019.min_recall,
+            DETECTION_CVPR_2019.min_precision) == (0.1, 0.1)
+
+    md = MetricData.no_predictions()
+    md.precision = np.linspace(1.0, 0.0, 101)
+    ap_ref = calc_ap(md, 0.0, 0.0)      # mean of precision[1:]
+    ap_cvpr = calc_ap(md, 0.1, 0.1)     # cut at 11, -0.1, /0.9
+    np.testing.assert_allclose(ap_ref, np.mean(md.precision[1:]))
+    exp = np.clip(md.precision[11:] - 0.1, 0, None).mean() / 0.9
+    np.testing.assert_allclose(ap_cvpr, exp)
+    assert ap_ref != ap_cvpr
+
+
+def test_eval_cli_loud_errors_and_extra_token_message(tmp_path):
+    """(a) --gt_json + --drivable_filtering is a loud SystemExit (hermetic
+    mode has no map tables; silently skipping the filter produced wrong
+    numbers); (b) a prediction token missing from ego_translations is a
+    loud SystemExit naming the token; (c) the library-level pose lookup
+    raises a descriptive KeyError, never a bare token."""
+    import json
+
+    import pytest
+
+    from cm3d_tpu.eval.__main__ import main as eval_main
+    from cm3d_tpu.eval.boxes import add_center_dist_from_poses
+
+    gt = _eval_boxes([_box("tok0", (1.0, 1.0))])
+    pred = _eval_boxes([_box("tok0", (1.2, 1.0), score=0.9),
+                        _box("tok9", (5.0, 5.0), score=0.8)])
+    (tmp_path / "gt.json").write_text(json.dumps({
+        "ego_translations": {"tok0": [0, 0, 0]},
+        "boxes": gt.serialize(),
+    }))
+    (tmp_path / "pred.json").write_text(json.dumps({
+        "meta": {}, "results": {
+            t: [b.serialize() for b in pred[t]] for t in pred.sample_tokens},
+    }))
+    with pytest.raises(SystemExit, match="drivable_filtering"):
+        eval_main([
+            str(tmp_path / "pred.json"), "--gt_json",
+            str(tmp_path / "gt.json"), "--output_dir", str(tmp_path / "m"),
+            "--verbose", "0", "--drivable_filtering", "1",
+        ])
+    with pytest.raises(SystemExit, match="tok9"):
+        eval_main([
+            str(tmp_path / "pred.json"), "--gt_json",
+            str(tmp_path / "gt.json"), "--output_dir", str(tmp_path / "m"),
+            "--verbose", "0",
+        ])
+    with pytest.raises(KeyError, match="ego pose for sample 'tok9'"):
+        add_center_dist_from_poses(pred, {"tok0": (0, 0, 0)})
