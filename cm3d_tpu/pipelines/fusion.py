@@ -14,13 +14,18 @@ Reference quirks reproduced on purpose:
   164-172).
 - heading extracted via scipy from_quat fed the (w,x,y,z) list in the
   (x,y,z,w) slot — the same quirk as push_centroid (:170).
-- alpha grid: arange(pred_min/sam3d_max, pred_max/sam3d_min, 0.04) (:270-276).
+- alpha grid: arange(pred_min/sam3d_max, pred_max/sam3d_min, 0.04) (:270-276);
+  the Waymo variant extends the stop by one step, reverses, and drops the
+  three largest alphas (waymo/linear_matching.py:317-325).
+- zero scores are excluded from the MIN confidence for SAM3D only
+  (:186-189); pred mins update unconditionally (:224-228).
 - merged SAM3D scores clipped to [0, 1] (:349,397).
 """
 
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -40,11 +45,16 @@ def _yaw_quat(yaw: float) -> List[float]:
     return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
 
 
-def submission_to_7dof(submission: dict):
+def submission_to_7dof(submission: dict, exclude_zero_min: bool = False):
     """Per-sample [N, 7] matcher boxes + supp lists (attr, score, vel, name).
 
     Matcher layout (see module docstring): [cx, cy, bottom_z,
     across=size1, along=size0, h, heading_quirk].
+
+    exclude_zero_min: the reference skips zero scores when updating the
+    MIN confidence for SAM3D only ("Box score is zero, omitting",
+    :186-189); the prediction min updates unconditionally (:224-228), so
+    a zero-scored pred box pins the alpha-grid start at 0.
     """
     box_dict: Dict[str, List[np.ndarray]] = {}
     supp_dict: Dict[str, List[list]] = {}
@@ -78,7 +88,7 @@ def submission_to_7dof(submission: dict):
             )
             s = obj["detection_score"]
             cmax = max(cmax, s)
-            if s != 0:
+            if s != 0 or not exclude_zero_min:
                 cmin = min(cmin, s)
     return box_dict, supp_dict, cmin, cmax
 
@@ -102,14 +112,19 @@ def compute_matches(pred_boxes, sam3d_boxes, iou: float = 0.2):
 
 
 def _box_dict_from_7dof(sample, box7, name, score, attr):
-    """Matcher 7-DoF back to a submission dict (reference :303-327)."""
+    """Matcher 7-DoF back to a submission dict (reference :303-327).
+
+    The in-conversion put size[1] in slot 3 and size[0] in slot 4 (the
+    matcher quirk, see submission_to_7dof); the reference's slots hold
+    size[0], size[1] and it writes them back in slot order (:321-324), so
+    restoring the original [w, l, h] here means reading slot 4 first."""
     heading = float(box7[6])
     return {
         "sample_token": sample,
         "translation": [
             float(box7[0]), float(box7[1]), float(box7[2]) + float(box7[5]) / 2
         ],
-        "size": [float(box7[3]), float(box7[4]), float(box7[5])],
+        "size": [float(box7[4]), float(box7[3]), float(box7[5])],
         "rotation": _yaw_quat(heading),
         "velocity": [0, 0],
         "detection_name": name,
@@ -134,16 +149,19 @@ def merge_for_alpha(
     def add(sample, d):
         merged["results"].setdefault(sample, []).append(d)
 
+    pred_matched = {ts: set(v) for ts, v in pred_m.items()}
+    sam_matched = {ts: set(v) for ts, v in sam_m.items()}
+
     for ts, boxes in pred_boxes.items():
         for i, b in enumerate(boxes):
-            if i in pred_m.get(ts, []):
+            if i in pred_matched.get(ts, ()):
                 continue
             s = pred_supp[ts][i]
             add(ts, _box_dict_from_7dof(ts, b, s[3], s[1], s[0]))
 
     for ts, boxes in sam_boxes.items():
         for i, b in enumerate(boxes):
-            if i in sam_m.get(ts, []):
+            if i in sam_matched.get(ts, ()):
                 continue
             s = sam_supp[ts][i]
             add(ts, _box_dict_from_7dof(
@@ -167,7 +185,20 @@ def merge_for_alpha(
 
 
 def alpha_grid(pred_min, pred_max, sam_min, sam_max, step: float = 0.04):
+    """nuScenes grid (reference nuscenes/linear_matching.py:270-276):
+    arange with an EXCLUSIVE stop at pred_max/sam_min."""
     return list(np.arange(pred_min / sam_max, pred_max / sam_min, step))
+
+
+def alpha_grid_waymo(pred_min, pred_max, sam_min, sam_max,
+                     step: float = 0.04):
+    """Waymo grid quirks (reference waymo/linear_matching.py:317-325):
+    the stop is pred_max/sam_min + step (one extra point vs nuScenes),
+    then the list is REVERSED and its first three entries (the three
+    largest alphas) dropped — search order matters because ties keep the
+    first-seen best."""
+    full = np.arange(pred_min / sam_max, pred_max / sam_min + step, step)
+    return list(full)[::-1][3:]
 
 
 def run_fusion_nuscenes(
@@ -192,26 +223,41 @@ def run_fusion_nuscenes(
         gt_data = json.load(f)
 
     pred_boxes, pred_supp, pmin, pmax = submission_to_7dof(pred)
-    sam_boxes, sam_supp, smin, smax = submission_to_7dof(sam3d)
+    sam_boxes, sam_supp, smin, smax = submission_to_7dof(
+        sam3d, exclude_zero_min=True
+    )
     pred_m, sam_m = compute_matches(pred_boxes, sam_boxes)
 
+    import contextlib
+    import io
+
+    # GT parsing hoisted out of the loop: add_center_dist and the range
+    # filter are idempotent on the same values, so every alpha sees the
+    # same GT (the per-alpha work is the merged-pred side only)
+    ego_translations = {
+        t: tuple(v) for t, v in gt_data["ego_translations"].items()
+    }
+    gt_boxes = EvalBoxes.deserialize(gt_data["boxes"])
+
+    alphas = alpha_grid(pmin, pmax, smin, smax)
+    if not alphas:
+        raise SystemExit(
+            f"empty alpha grid (pred conf [{pmin}, {pmax}], sam3d conf "
+            f"[{smin}, {smax}]) — empty or degenerate submissions"
+        )
     best_alpha, best_score, best_merged = 0.0, -1.0, None
-    for alpha in alpha_grid(pmin, pmax, smin, smax):
+    for alpha in alphas:
         merged = merge_for_alpha(
             alpha, pred_boxes, pred_supp, sam_boxes, sam_supp, pred_m, sam_m
         )
-        gt_boxes = EvalBoxes.deserialize(gt_data["boxes"])
         ev = DetectionEval(
             gt_boxes=gt_boxes,
             pred_boxes=EvalBoxes.deserialize(merged["results"]),
             cfg=DETECTION_CVPR_2019,
-            ego_translations={t: tuple(v) for t, v in
-                              gt_data["ego_translations"].items()},
+            ego_translations=ego_translations,
             object_only=object_only,
             verbose=False,
         )
-        import contextlib, io
-
         with contextlib.redirect_stdout(io.StringIO()):
             summary = ev.main()
         score = float(summary["mean_ap"])
@@ -225,8 +271,14 @@ def run_fusion_nuscenes(
     return best_alpha, best_score
 
 
-def _objects_to_frames(objs):
-    """Waymo objects grouped by (context, timestamp) into matcher arrays."""
+def _objects_to_frames(objs, exclude_zero_min: bool = False):
+    """Waymo objects grouped by (context, timestamp) into matcher arrays.
+
+    supp rows follow the reference layout [context, score, object id,
+    type] (waymo/linear_matching.py:198-205,241-248) — ids are preserved
+    through the merge. exclude_zero_min: like the nuScenes side, the
+    reference skips zero scores only for the SAM3D min (:211-214); the
+    pred min updates unconditionally (:251-254)."""
     box_dict, supp_dict = {}, {}
     cmin, cmax = 1e7, -1e7
     for o in objs:
@@ -238,9 +290,11 @@ def _objects_to_frames(objs):
                 float,
             )
         )
-        supp_dict.setdefault(key, []).append(["", o.score, [0, 0], o.type])
+        supp_dict.setdefault(key, []).append(
+            [o.context_name, o.score, o.id, o.type]
+        )
         cmax = max(cmax, o.score)
-        if o.score != 0:
+        if o.score != 0 or not exclude_zero_min:
             cmin = min(cmin, o.score)
     return box_dict, supp_dict, cmin, cmax
 
@@ -265,14 +319,18 @@ def run_fusion_waymo(
     pred = decode_objects(open(pred_bin, "rb").read())
     sam3d = decode_objects(open(sam3d_bin, "rb").read())
     pred_boxes, pred_supp, pmin, pmax = _objects_to_frames(pred)
-    sam_boxes, sam_supp, smin, smax = _objects_to_frames(sam3d)
+    sam_boxes, sam_supp, smin, smax = _objects_to_frames(
+        sam3d, exclude_zero_min=True
+    )
     pred_m, sam_m = compute_matches(pred_boxes, sam_boxes)
+    pred_matched = {ts: set(v) for ts, v in pred_m.items()}
+    sam_matched = {ts: set(v) for ts, v in sam_m.items()}
 
     def to_objects(merged_rows):
         out = []
         for key, rows in merged_rows.items():
             ctx, ts = key.rsplit("|", 1)
-            for b, typ, score in rows:
+            for b, typ, score, oid in rows:
                 out.append(
                     WaymoObject(
                         box=WaymoBox(
@@ -283,43 +341,60 @@ def run_fusion_waymo(
                         ),
                         type=int(typ), score=float(score),
                         frame_timestamp_micros=int(ts), context_name=ctx,
-                        id="fused",
+                        id=str(oid),
                     )
                 )
         return out
 
+    alphas = alpha_grid_waymo(pmin, pmax, smin, smax)
+    if not alphas:
+        raise SystemExit(
+            f"empty alpha grid (pred conf [{pmin}, {pmax}], sam3d conf "
+            f"[{smin}, {smax}]) — empty or degenerate prediction bins"
+        )
     best_alpha, best_score, best_bytes = 0.0, -1.0, b""
-    for alpha in alpha_grid(pmin, pmax, smin, smax):
+    for alpha in alphas:
         rows: Dict[str, list] = {}
 
-        def add(key, b, typ, score):
-            rows.setdefault(key, []).append((b, typ, score))
+        def add(key, b, typ, score, oid):
+            rows.setdefault(key, []).append((b, typ, score, oid))
 
         for ts, boxes in pred_boxes.items():
             for i, b in enumerate(boxes):
-                if i not in pred_m.get(ts, []):
+                if i not in pred_matched.get(ts, ()):
                     s = pred_supp[ts][i]
-                    add(ts, b, s[3], s[1])
+                    add(ts, b, s[3], s[1], s[2])
         for ts, boxes in sam_boxes.items():
             for i, b in enumerate(boxes):
-                if i not in sam_m.get(ts, []):
+                if i not in sam_matched.get(ts, ()):
                     s = sam_supp[ts][i]
-                    add(ts, b, s[3], float(np.clip(s[1] * alpha, 0, 1)))
+                    add(ts, b, s[3], float(np.clip(s[1] * alpha, 0, 1)),
+                        s[2])
         for ts in pred_m:
             for k, pred_id in enumerate(pred_m[ts]):
                 sam_id = sam_m[ts][k]
                 ps, ss = pred_supp[ts][pred_id], sam_supp[ts][sam_id]
                 if ss[1] * alpha > ps[1]:
                     add(ts, sam_boxes[ts][sam_id], ps[3],
-                        float(np.clip(ss[1] * alpha, 0, 1)))
+                        float(np.clip(ss[1] * alpha, 0, 1)), ss[2])
                 else:
-                    add(ts, pred_boxes[ts][pred_id], ps[3], ps[1])
+                    # reference quirk (:458): the pred-wins id indexes the
+                    # PRED supp list with the SAM3D id; out of range would
+                    # crash there — fall back to the pred's own id
+                    # (documented deviation)
+                    supp = pred_supp[ts]
+                    oid = (supp[sam_id][2] if sam_id < len(supp)
+                           else ps[2])
+                    add(ts, pred_boxes[ts][pred_id], ps[3], ps[1], oid)
 
         buf = encode_objects(to_objects(rows))
         with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as tf_:
             tf_.write(buf)
             tmp = tf_.name
-        _, ap = run_detection_metrics(tmp, gt_bin)
+        try:
+            _, ap = run_detection_metrics(tmp, gt_bin)
+        finally:
+            os.unlink(tmp)
         score = ap["Overall/L2 mAP"]
         if score > best_score:
             best_score, best_alpha, best_bytes = score, alpha, buf

@@ -149,3 +149,47 @@ def test_run_fusion_waymo(tmp_path):
     )
     assert best_score > 0.30  # vehicle mAP ~1.0 / 3 classes (only vehicles exist)
     assert (tmp_path / "fused.bin").stat().st_size > 0
+
+    # original object ids survive the merge (reference carries supp[2]
+    # back onto every output object)
+    from cm3d_tpu.datasets.waymo.proto import decode_objects
+
+    fused = decode_objects((tmp_path / "fused.bin").read_bytes())
+    assert fused and all(o.id == "x" for o in fused)
+
+
+def test_size_round_trips_and_zero_min_semantics():
+    """Review fixes pinned: (a) the fused submission restores the original
+    [w, l, h] order (the in-conversion slot swap is a MATCHER quirk, not an
+    output transform — reference :164-172 in, :321-324 out); (b) zero
+    scores pin the PRED min (reference :224-228 updates unconditionally)
+    but are excluded from the SAM3D min (:186-189)."""
+    pred = {"results": {"t1": [
+        _sub_box("t1", (0, 0), score=0.9, size=(2.0, 4.5, 1.6)),
+        _sub_box("t1", (40, 40), score=0.0),
+    ]}}
+    sam = {"results": {"t1": [
+        _sub_box("t1", (-20, -20), score=0.0),
+        _sub_box("t1", (-30, 30), score=0.8),
+    ]}}
+    pb, ps, pmin, pmax = submission_to_7dof(pred)
+    sb, ss, smin, smax = submission_to_7dof(sam, exclude_zero_min=True)
+    assert pmin == 0.0          # pred zero participates
+    assert smin == 0.8          # sam3d zero omitted
+    pm, sm = compute_matches(pb, sb)
+    merged = merge_for_alpha(0.5, pb, ps, sb, ss, pm, sm)
+    for b in merged["results"]["t1"]:
+        assert b["size"] == [2.0, 4.5, 1.6]  # w/l NOT transposed
+
+
+def test_alpha_grid_waymo_quirks():
+    """waymo/linear_matching.py:317-325: stop extended by one step, list
+    reversed, three largest alphas dropped."""
+    from cm3d_tpu.pipelines.fusion import alpha_grid_waymo
+
+    got = alpha_grid_waymo(0.1, 0.9, 1.0, 1.0, step=0.04)
+    ref = list(np.arange(0.1 / 1.0, 0.9 / 1.0 + 0.04, 0.04))[::-1][3:]
+    np.testing.assert_allclose(got, ref)
+    assert got[0] > got[-1]  # descending
+    full = np.arange(0.1, 0.9 + 0.04, 0.04)
+    assert len(got) == len(full) - 3
