@@ -235,7 +235,11 @@ class NuScenesFrontend:
         for i in range(m_real):
             name = get_detection_name(labels_raw[i])
             if name not in CLASS_TO_ID:
-                continue  # bit stays set but mask_valid gates it out
+                # bit stays set in the packed planes; the lift ANDs
+                # invalid masks' bits out of every gathered word
+                # (ops/lift.py valid_words) so they can't consume union
+                # capacity, and mask_valid gates the box outputs
+                continue
             mask_cam[i] = cams_raw[i]
             mask_label[i] = CLASS_TO_ID[name]
             mask_score[i] = scores_raw[i]

@@ -24,10 +24,13 @@ CAM_LIST = (
     "CAM_FRONT_LEFT",
 )
 
+# exactly the tables the pipeline reads (grep-verified): the devkit's
+# category/sensor/instance/map tables are never touched here and are not
+# loaded. sample_annotation is the one table allowed to be absent
+# (v1.0-test ships no GT); a missing CORE table means a corrupt/partial
+# extraction and must fail loudly, like the version dir itself.
 _TABLES = (
-    "category",
     "attribute",
-    "sensor",
     "calibrated_sensor",
     "ego_pose",
     "log",
@@ -35,9 +38,8 @@ _TABLES = (
     "sample",
     "sample_data",
     "sample_annotation",
-    "instance",
-    "map",
 )
+_OPTIONAL_TABLES = frozenset({"sample_annotation"})
 
 
 class NuScenesTables:
@@ -56,7 +58,17 @@ class NuScenesTables:
         self._index: Dict[str, Dict[str, dict]] = {}
         for name in _TABLES:
             p = table_dir / f"{name}.json"
-            rows = json.loads(p.read_text()) if p.exists() else []
+            if p.exists():
+                rows = json.loads(p.read_text())
+            elif name in _OPTIONAL_TABLES:
+                rows = []
+            else:
+                raise FileNotFoundError(
+                    f"nuScenes table missing: {p} — a corrupt or partially "
+                    f"extracted version dir must fail loudly (only "
+                    f"{sorted(_OPTIONAL_TABLES)} may be absent, e.g. "
+                    f"v1.0-test)"
+                )
             self._tables[name] = rows
             self._index[name] = {r["token"]: r for r in rows}
 
@@ -74,10 +86,11 @@ class NuScenesTables:
     # -- scene / sample traversal ------------------------------------------
 
     def scene_by_name(self, name: str) -> dict:
-        toks = self.field2token("scene", "name", name)
-        if not toks:
+        row = next((r for r in self._tables["scene"] if r["name"] == name),
+                   None)
+        if row is None:
             raise KeyError(f"no scene named {name}")
-        return self.get("scene", toks[0])
+        return row
 
     def iter_samples(self, scene: dict) -> Iterator[dict]:
         sample = self.get("sample", scene["first_sample_token"])
@@ -110,6 +123,10 @@ class NuScenesTables:
         t_first = 1e-6 * self.get("sample", first["sample_token"])["timestamp"]
         t_last = 1e-6 * self.get("sample", last["sample_token"])["timestamp"]
         dt = t_last - t_first
+        if has_next and has_prev:
+            # devkit doubles the window when differencing across BOTH
+            # neighbors (prev->next spans two keyframe intervals)
+            max_time_diff *= 2
         if dt > max_time_diff or dt <= 0:
             return np.array([np.nan, np.nan, np.nan])
         return (pos_last - pos_first) / dt

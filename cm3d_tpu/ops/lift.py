@@ -179,6 +179,20 @@ def lift_keyframe(
     nu = min(params.max_points_in_masks, nc)
     k = min(k, nu)
     word_idx = (jnp.arange(m, dtype=jnp.int32) >> 5)  # [M]
+    # Invalid masks (class outside the vocabulary, padding slots) keep
+    # their bits in the packed planes; AND them out of every gathered
+    # word so they can't consume union capacity (NU) or flip
+    # cam_truncated — the reference never carries such masks into the
+    # lift at all (gen_2d_masks writes only mapped classes).
+    vbits = jnp.where(mask_valid, jnp.uint32(1), jnp.uint32(0)) << (
+        jnp.arange(m, dtype=jnp.uint32) & jnp.uint32(31)
+    )
+    valid_words = (
+        jnp.pad(vbits, (0, mw * 32 - m))
+        .reshape(mw, 32)
+        .sum(axis=1)
+        .astype(jnp.uint32)
+    )  # [Mw] (disjoint bits: sum == OR)
 
     if fold:
         from cm3d_tpu.kernels.compact_pallas import compact_rows_pallas
@@ -208,7 +222,7 @@ def lift_keyframe(
         )
 
         # --- One word gather per (camera, compacted point) — inherent. ---
-        wpts = words_flat[flat_c]  # [C, NC, Mw]
+        wpts = words_flat[flat_c] & valid_words  # [C, NC, Mw]
         union = jnp.any(wpts != 0, axis=-1) & cam_ok  # [C, NC]
         cam_truncated = cam_truncated | (jnp.sum(union, axis=1) > nu)
 
@@ -263,7 +277,7 @@ def lift_keyframe(
     flat_c = jnp.where(cam_ok, flat_c, 0)
 
     # --- One word gather per (camera, compacted point). ---
-    wpts = words_flat[flat_c]  # [C, NC, Mw]
+    wpts = words_flat[flat_c] & valid_words  # [C, NC, Mw]
 
     # --- Union compaction: only points under ANY mask bit go further. ---
     union = jnp.any(wpts != 0, axis=-1) & cam_ok  # [C, NC]

@@ -256,3 +256,56 @@ def test_lift_multi_camera_matches_oracle():
                 np.asarray(out.centroids[i]), centroid_ref, rtol=1e-4, atol=1e-3
             )
     assert n_checked >= 5
+
+
+def test_invalid_masks_do_not_consume_union_capacity():
+    """An invalid mask's pixels must be invisible to the any-mask union:
+    with a huge rejected-class mask and a tiny NU budget, the valid mask
+    keeps every one of its points and the camera does not report
+    truncation (the reference never carries unmapped-class masks into the
+    lift at all)."""
+    points, _, (ego_t, ego_q, cam_t, cam_q, intr) = make_scene(n_points=4000)
+    masks = np.zeros((2, W, H), bool)
+    masks[0, 10:-10, 10:-10] = True  # INVALID: covers nearly the image
+    masks[1, 100:130, 60:90] = True  # valid: small box
+    mvalid = np.array([False, True])
+
+    def run(mv):
+        return lift_keyframe(
+            jnp.asarray(points),
+            jnp.ones(len(points), bool),
+            jnp.asarray(ego_t[None].astype(np.float32)),
+            jnp.asarray(ego_q[None].astype(np.float32)),
+            jnp.asarray(cam_t[None].astype(np.float32)),
+            jnp.asarray(cam_q[None].astype(np.float32)),
+            jnp.asarray(intr[None].astype(np.float32)),
+            jnp.asarray(pack_masks_np(masks)),
+            jnp.zeros(2, jnp.int32),
+            jnp.asarray(mv),
+            LiftParams(erode=False, max_points_in_masks=1024),
+        )
+
+    out = run(mvalid)
+    # reference count: the same mask alone with a roomy budget
+    alone = lift_keyframe(
+        jnp.asarray(points),
+        jnp.ones(len(points), bool),
+        jnp.asarray(ego_t[None].astype(np.float32)),
+        jnp.asarray(ego_q[None].astype(np.float32)),
+        jnp.asarray(cam_t[None].astype(np.float32)),
+        jnp.asarray(cam_q[None].astype(np.float32)),
+        jnp.asarray(intr[None].astype(np.float32)),
+        jnp.asarray(pack_masks_np(masks[1:])),
+        jnp.zeros(1, jnp.int32),
+        jnp.ones(1, bool),
+        LiftParams(erode=False),
+    )
+    want = int(alone.point_counts[0])
+    assert want > 0
+    assert int(out.point_counts[1]) == want
+    assert not bool(out.cam_truncated[0])
+    np.testing.assert_allclose(np.asarray(out.centroids[1]),
+                               np.asarray(alone.centroids[0]), atol=1e-5)
+    # with BOTH masks valid the big one genuinely overflows the budget
+    both = run(np.array([True, True]))
+    assert bool(both.cam_truncated[0])

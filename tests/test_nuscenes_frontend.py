@@ -168,3 +168,71 @@ def test_eval_cli_table_mode(fake_root, tmp_path):
         "--verbose", "0",
     ])
     assert summary["mean_ap"] > 0.35  # perfect preds on 4 present classes
+
+
+def test_box_velocity_devkit_window_doubling(tmp_path):
+    """devkit box_velocity: when BOTH neighbors exist the time window
+    doubles (prev->next spans two keyframe intervals), so a ~2 s gap gets
+    a finite estimate; a single neighbor at the same gap stays NaN."""
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+
+    root = tmp_path / "nusc"
+    ver = root / "v1.0-fake"
+    ver.mkdir(parents=True)
+
+    def tok(i):
+        return f"t{i:02d}"
+
+    samples = [
+        {"token": tok(i), "timestamp": int(i * 1.0e6), "next": "",
+         "prev": "", "scene_token": "s", "data": {}, "anns": []}
+        for i in range(3)
+    ]
+    anns = []
+    for i, pos in enumerate([(0.0, 0, 0), (2.0, 0, 0), (4.0, 0, 0)]):
+        anns.append({
+            "token": f"a{i}", "sample_token": tok(i),
+            "translation": list(pos), "size": [1, 1, 1],
+            "rotation": [1, 0, 0, 0], "category_name": "vehicle.car",
+            "prev": f"a{i-1}" if i > 0 else "",
+            "next": f"a{i+1}" if i < 2 else "",
+            "num_lidar_pts": 5, "num_radar_pts": 0, "attribute_tokens": [],
+            "instance_token": "inst",
+        })
+    tables = {
+        "attribute": [], "calibrated_sensor": [], "ego_pose": [],
+        "log": [], "scene": [], "sample": samples, "sample_data": [],
+        "sample_annotation": anns,
+    }
+    for name, rows in tables.items():
+        (ver / f"{name}.json").write_text(json.dumps(rows))
+
+    nusc = NuScenesTables(root, "v1.0-fake")
+    # middle annotation: prev->next spans 2.0 s > 1.5 but <= 3.0 (doubled)
+    v = nusc.box_velocity("a1")
+    np.testing.assert_allclose(v, [2.0, 0, 0], atol=1e-9)
+    # edge annotation: one neighbor, 1.0 s gap -> fine
+    np.testing.assert_allclose(nusc.box_velocity("a0"), [2.0, 0, 0],
+                               atol=1e-9)
+    # single neighbor at 2.0 s: window NOT doubled -> NaN
+    anns2 = [dict(a) for a in anns[:2]]
+    anns2[0]["next"] = "a1"
+    anns2[1]["prev"] = "a0"
+    anns2[1]["next"] = ""
+    samples2 = [dict(samples[0]), dict(samples[1])]
+    samples2[1]["timestamp"] = int(2.0e6)
+    tables["sample"] = samples2
+    tables["sample_annotation"] = anns2
+    for name, rows in tables.items():
+        (ver / f"{name}.json").write_text(json.dumps(rows))
+    nusc2 = NuScenesTables(root, "v1.0-fake")
+    assert np.isnan(nusc2.box_velocity("a0")).all()
+
+    # missing CORE table fails loudly; missing sample_annotation does not
+    (ver / "scene.json").unlink()
+    with pytest.raises(FileNotFoundError, match="scene"):
+        NuScenesTables(root, "v1.0-fake")
+    (ver / "scene.json").write_text("[]")
+    (ver / "sample_annotation.json").unlink()
+    nusc3 = NuScenesTables(root, "v1.0-fake")
+    assert nusc3.table("sample_annotation") == []
