@@ -30,7 +30,6 @@ the readers below accept both forms.
 
 from __future__ import annotations
 
-import struct
 import zlib
 from typing import Dict, List, Optional
 
@@ -40,12 +39,22 @@ from cm3d_tpu.datasets.waymo.proto import (
     _bytes_field,
     _double_field,
     _iter_fields,
-    _tag,
-    _varint,
+    _read_varint,
     _varint_field,
 )
 
 LASER_TOP = 1  # LaserName.TOP
+
+
+def _object_array(items: list) -> np.ndarray:
+    """1-D object array of arbitrary payloads. np.array(list, dtype=object)
+    COLLAPSES to a 2-D object array when the payloads happen to have equal
+    length (or when there is exactly one), after which bytes(row) returns
+    pointer garbage — build the array explicitly instead."""
+    out = np.empty(len(items), object)
+    for i, it in enumerate(items):
+        out[i] = it
+    return out
 
 
 def _repeated_double(values: list, wire: int, v) -> None:
@@ -53,7 +62,9 @@ def _repeated_double(values: list, wire: int, v) -> None:
     if wire == 1:
         values.append(float(v))
     elif wire == 2:
-        values.extend(struct.unpack(f"<{len(v) // 8}d", v))
+        if len(v) % 8:
+            raise ValueError("packed double field not a multiple of 8 bytes")
+        values.extend(np.frombuffer(v, "<f8"))
 
 
 def _transform(buf: bytes) -> np.ndarray:
@@ -65,14 +76,20 @@ def _transform(buf: bytes) -> np.ndarray:
 
 
 def _matrix_float(buf: bytes) -> np.ndarray:
-    data: List[float] = []
+    chunks: List[np.ndarray] = []
     dims: List[int] = []
     for field, wire, v in _iter_fields(buf):
         if field == 1:  # packed floats (packed=true in dataset.proto)
             if wire == 2:
-                data.extend(struct.unpack(f"<{len(v) // 4}f", v))
+                # zero-copy view: the TOP range image is ~680k floats/frame
+                # and the raw-ingest hot path parses one per frame
+                if len(v) % 4:
+                    raise ValueError(
+                        "packed float field not a multiple of 4 bytes"
+                    )
+                chunks.append(np.frombuffer(v, "<f4"))
             elif wire == 5:
-                data.append(float(v))
+                chunks.append(np.array([v], np.float32))
         elif field == 2 and wire == 2:  # MatrixShape
             for sf, sw, sv in _iter_fields(v):
                 if sf == 1:
@@ -81,17 +98,10 @@ def _matrix_float(buf: bytes) -> np.ndarray:
                     elif sw == 2:  # packed varints
                         pos = 0
                         while pos < len(sv):
-                            x = 0
-                            shift = 0
-                            while True:
-                                b = sv[pos]
-                                pos += 1
-                                x |= (b & 0x7F) << shift
-                                if not b & 0x80:
-                                    break
-                                shift += 7
+                            x, pos = _read_varint(sv, pos)
                             dims.append(x)
-    return np.array(data, np.float32).reshape(dims)
+    data = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    return data.astype(np.float32, copy=False).reshape(dims)
 
 
 def _parse_laser_calibration(buf: bytes) -> dict:
@@ -258,6 +268,11 @@ def parse_frame(buf: bytes) -> Dict:
     return {
         "context_name": context_name,
         "timestamp_micros": np.int64(timestamp),
+        # real per-camera sensor sizes (CameraCalibration fields 4/5) —
+        # informational: the projection ratio itself stays the reference's
+        # hardcoded 1024/1920 (waymo/2d_to_3d.py:523)
+        "cam_width": np.array([c["width"] for c in cam_calibs], np.int32),
+        "cam_height": np.array([c["height"] for c in cam_calibs], np.int32),
         "pose": pose,
         "range_image": np.ascontiguousarray(range_image, np.float32),
         "inclinations": np.ascontiguousarray(incl),
@@ -270,11 +285,10 @@ def parse_frame(buf: bytes) -> Dict:
             [c["extrinsic"] if c["extrinsic"] is not None else np.eye(4)
              for c in cam_calibs]
         ) if cam_calibs else np.zeros((0, 4, 4)),
-        "cam_images_jpeg": np.array(
-            [np.frombuffer(img, np.uint8) for _, img in images],
-            dtype=object,
+        "cam_images_jpeg": _object_array(
+            [np.frombuffer(img, np.uint8) for _, img in images]
         ),
-        "lane_polylines": np.array(lane_polylines, dtype=object),
+        "lane_polylines": _object_array(lane_polylines),
         "labels_box": boxes,
         "labels_type": np.array([l["type"] for l in with_box], np.int32),
         "labels_num_points": np.array(
@@ -326,9 +340,7 @@ def _encode_matrix_float(arr: np.ndarray) -> bytes:
     arr = np.asarray(arr, np.float32)
     data = arr.astype("<f4").tobytes()
     shape = b"".join(_varint_field(1, int(d)) for d in arr.shape)
-    return (
-        _tag(1, 2) + _varint(len(data)) + data + _bytes_field(2, shape)
-    )
+    return _bytes_field(1, data) + _bytes_field(2, shape)
 
 
 def encode_frame(

@@ -95,6 +95,14 @@ def _iter_fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
             pos += 4
         elif wire == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:
+                # a short slice would silently parse a truncated message
+                # as a shorter valid one; corrupt data must fail loudly so
+                # skip-and-log consumers (WaymoFrontend.iter_scene) fire
+                raise ValueError(
+                    f"truncated length-delimited field {field}: "
+                    f"{ln} bytes declared, {n - pos} left"
+                )
             v = buf[pos : pos + ln]
             pos += ln
         else:

@@ -51,7 +51,7 @@ def range_image_to_points(
     r = range_image
     x = cos_incl * cos_az * r
     y = cos_incl * sin_az * r
-    z = sin_incl * jnp.ones((1, w)) * r
+    z = sin_incl * r
     pts = jnp.stack([x, y, z], axis=-1)  # [H, W, 3] sensor frame
     pts = pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
 

@@ -229,3 +229,33 @@ def test_create_gt_bin_from_raw_segment(tmp_path):
     # identical proto bytes modulo float64->wire round trip (exact: both
     # paths serialize the same doubles)
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_equal_length_payloads_stay_1d_object_arrays():
+    """np.array(list-of-equal-length-arrays, dtype=object) collapses to a
+    2-D object array whose rows yield pointer garbage under bytes(); the
+    codec must keep cam_images_jpeg and lane_polylines 1-D per-item object
+    arrays even when every payload has the same length (single camera,
+    equal-size JPEGs, equal-point polylines)."""
+    fr = _fake_frame_lite()
+    same = b"\xff\xd8" + b"A" * 40  # identical fake JPEG bytes
+    fr["cam_images_jpeg"] = frame_proto._object_array(
+        [np.frombuffer(same, np.uint8).copy() for _ in range(3)]
+    )
+    fr["lane_polylines"] = frame_proto._object_array(
+        [np.arange(12, dtype=np.float64).reshape(4, 3) for _ in range(2)]
+    )
+    back = frame_proto.parse_frame(frame_proto.encode_frame_lite(fr))
+    imgs = back["cam_images_jpeg"]
+    assert imgs.dtype == object and imgs.ndim == 1 and len(imgs) == 3
+    assert bytes(bytearray(imgs[0])) == same
+    lanes = back["lane_polylines"]
+    assert lanes.dtype == object and lanes.ndim == 1 and len(lanes) == 2
+    assert lanes[0].shape == (4, 3)
+
+    # truncated submessage fails loudly instead of short-parsing
+    import pytest
+
+    buf = frame_proto.encode_frame_lite(fr)
+    with pytest.raises(ValueError, match="truncated"):
+        frame_proto.parse_frame(buf[:-7])
