@@ -20,7 +20,10 @@ camera_calibrations=2, laser_calibrations=3}; CameraCalibration{name=1,
 intrinsic=2, extrinsic=3, width=4, height=5}; LaserCalibration{name=1,
 beam_inclinations=2, beam_inclination_min=3, beam_inclination_max=4,
 extrinsic=5}; Transform{transform=1}; Laser{name=1, ri_return1=2};
-RangeImage{range_image=1 (deprecated), range_image_compressed=2};
+RangeImage{range_image=1 (deprecated), range_image_compressed=2,
+range_image_pose_compressed=4 — the TOP lidar's per-pixel rolling-shutter
+pose [H, W, 6] (roll, pitch, yaw, x, y, z), vehicle->global at each
+pixel's capture time};
 MatrixFloat{data=1 packed, shape=2}; MatrixShape{dims=1};
 CameraImage{name=1, image=2}. map.proto: MapFeature{id=1, lane=3};
 LaneCenter{polyline=8}; MapPoint{x=1, y=2, z=3}. Protos are proto2:
@@ -185,6 +188,7 @@ def parse_frame(buf: bytes) -> Dict:
     images: List[tuple] = []  # (name, jpeg bytes)
     ri_compressed: Optional[bytes] = None
     ri_uncompressed: Optional[np.ndarray] = None
+    ri_pose_compressed: Optional[bytes] = None
     lane_polylines: List[np.ndarray] = []
     labels: List[dict] = []
 
@@ -220,6 +224,8 @@ def parse_frame(buf: bytes) -> Dict:
                 for rf, rw, rv in _iter_fields(ri1):
                     if rf == 2 and rw == 2:
                         ri_compressed = rv
+                    elif rf == 4 and rw == 2:  # rolling-shutter pixel pose
+                        ri_pose_compressed = rv
                     elif rf == 1 and rw == 2:  # deprecated uncompressed
                         ri_uncompressed = _matrix_float(rv)
         elif field == 6 and wire == 2:
@@ -239,6 +245,15 @@ def parse_frame(buf: bytes) -> Dict:
     else:
         raise ValueError("Frame has no TOP-laser first-return range image")
     range_image = ri[..., 0] if ri.ndim == 3 else ri
+    # [H, W, 6] per-pixel vehicle->global pose (TOP rolling shutter); the
+    # reference passes it into convert_range_image_to_point_cloud
+    # (waymo/2d_to_3d.py:473-474) so unprojected points are corrected for
+    # ego motion during the scan. Empty when the segment lacks it.
+    ri_pose = (
+        _matrix_float(zlib.decompress(ri_pose_compressed))
+        if ri_pose_compressed is not None
+        else np.zeros((0,), np.float32)
+    )
 
     top = next((c for c in laser_calibs if c["name"] == LASER_TOP), None)
     if top is None:
@@ -275,6 +290,7 @@ def parse_frame(buf: bytes) -> Dict:
         "cam_height": np.array([c["height"] for c in cam_calibs], np.int32),
         "pose": pose,
         "range_image": np.ascontiguousarray(range_image, np.float32),
+        "range_image_pose": np.ascontiguousarray(ri_pose, np.float32),
         "inclinations": np.ascontiguousarray(incl),
         "lidar_extrinsic": top["extrinsic"]
         if top["extrinsic"] is not None else np.eye(4),
@@ -309,6 +325,8 @@ def encode_frame_lite(fr: Dict) -> bytes:
     dataset_pb2.Frame wire message — fixture synthesis + cache round trips.
     Inverse of parse_frame up to the documented normalizations (inclination
     reversal, range-image channel extraction)."""
+    pose_img = np.asarray(fr.get("range_image_pose",
+                                  np.zeros((0,), np.float32)), np.float32)
     return encode_frame(
         str(fr["context_name"]),
         int(fr["timestamp_micros"]),
@@ -327,6 +345,7 @@ def encode_frame_lite(fr: Dict) -> bytes:
                 fr["labels_num_points"],
             )
         ],
+        range_image_pose=pose_img if pose_img.size else None,
     )
 
 
@@ -355,6 +374,7 @@ def encode_frame(
     cam_images_jpeg: Optional[List[bytes]] = None,
     lane_polylines: Optional[List[np.ndarray]] = None,
     labels: Optional[List[dict]] = None,  # box [7], type, id, num_points
+    range_image_pose: Optional[np.ndarray] = None,  # [H, W, 6]
 ) -> bytes:
     ri = np.asarray(range_image, np.float32)
     if ri.ndim == 2:
@@ -384,6 +404,15 @@ def encode_frame(
     ri_msg = _bytes_field(
         2, zlib.compress(_encode_matrix_float(ri))
     )
+    if range_image_pose is not None:
+        ri_msg += _bytes_field(
+            4,
+            zlib.compress(
+                _encode_matrix_float(
+                    np.asarray(range_image_pose, np.float32)
+                )
+            ),
+        )
     laser = _bytes_field(
         5, _varint_field(1, LASER_TOP) + _bytes_field(2, ri_msg)
     )

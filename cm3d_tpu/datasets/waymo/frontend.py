@@ -183,11 +183,30 @@ class WaymoFrontend:
             labels_raw, scores_raw, cams_raw, packed_bits = packed
 
         pose = np.asarray(fr["pose"], np.float64)
-        # points: vehicle frame, then vehicle->global (lane frame)
+        # points: vehicle frame, then vehicle->global (lane frame).
+        # TOP-lidar rolling shutter: when the frame carries the per-pixel
+        # pose image, points are corrected to the frame's vehicle frame
+        # exactly like the reference's convert_range_image_to_point_cloud
+        # (waymo/2d_to_3d.py:473-474) — up to ~1 m at highway speed.
+        ri_pose = np.asarray(fr.get("range_image_pose",
+                                    np.zeros(0, np.float32)))
+        pose_kw = {}
+        if ri_pose.size:
+            from cm3d_tpu.ops.range_image import pixel_pose_matrices
+
+            pose_kw = dict(
+                pixel_pose=pixel_pose_matrices(
+                    jnp.asarray(ri_pose, jnp.float32)
+                ),
+                frame_pose_inv=jnp.asarray(
+                    np.linalg.inv(pose), jnp.float32
+                ),
+            )
         pts_veh, valid = range_image_to_points(
             jnp.asarray(fr["range_image"]),
             jnp.asarray(fr["inclinations"]),
             jnp.asarray(fr["lidar_extrinsic"]),
+            **pose_kw,
         )
         pts_veh = np.asarray(pts_veh)[np.asarray(valid)]
         pts_global = pts_veh @ pose[:3, :3].T + pose[:3, 3]

@@ -34,6 +34,33 @@ def uniform_inclinations(height: int, incl_min: float, incl_max: float) -> jax.A
     return incl_max + ratios * (incl_min - incl_max)
 
 
+def pixel_pose_matrices(pose6: jax.Array) -> jax.Array:
+    """[H, W, 6] (roll, pitch, yaw, x, y, z) -> [H, W, 4, 4] vehicle->global
+    transforms (waymo transform_utils.get_rotation_matrix semantics:
+    R = Rz(yaw) @ Ry(pitch) @ Rx(roll)). All-zero rows (Waymo's invalid
+    pixels) become the identity transform — harmless, those pixels carry
+    range <= 0 and are dropped by the validity mask anyway."""
+    roll, pitch, yaw = pose6[..., 0], pose6[..., 1], pose6[..., 2]
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    rot = jnp.stack(
+        [
+            jnp.stack([cy * cp, cy * sp * sr - sy * cr,
+                       cy * sp * cr + sy * sr], axis=-1),
+            jnp.stack([sy * cp, sy * sp * sr + cy * cr,
+                       sy * sp * cr - cy * sr], axis=-1),
+            jnp.stack([-sp, cp * sr, cp * cr], axis=-1),
+        ],
+        axis=-2,
+    )  # [H, W, 3, 3]
+    m = jnp.zeros(pose6.shape[:-1] + (4, 4), pose6.dtype)
+    m = m.at[..., :3, :3].set(rot)
+    m = m.at[..., :3, 3].set(pose6[..., 3:6])
+    m = m.at[..., 3, 3].set(1.0)
+    return m
+
+
 def range_image_to_points(
     range_image: jax.Array,  # [H, W] ranges in meters (<=0 -> invalid)
     inclinations: jax.Array,  # [H] row inclinations, top row first

@@ -22,6 +22,12 @@ def export_segment(path: str, out_root: str) -> int:
     out_dir = os.path.join(out_root, name)
     os.makedirs(out_dir, exist_ok=True)
 
+    def _obj_arr(items):
+        out = np.empty(len(items), object)
+        for i, it in enumerate(items):
+            out[i] = it
+        return out
+
     n = 0
     for f, data in enumerate(tf.data.TFRecordDataset(path, compression_type="")):
         frame = dataset_pb2.Frame()
@@ -37,6 +43,17 @@ def export_segment(path: str, out_root: str) -> int:
         ri.ParseFromString(zlib.decompress(ri_proto))
         shape = list(ri.shape.dims)
         range_image = np.array(ri.data, np.float32).reshape(shape)[..., 0]
+        # TOP rolling-shutter per-pixel pose [H, W, 6] (the reference
+        # passes range_image_top_pose into the point-cloud conversion)
+        ri_pose = np.zeros((0,), np.float32)
+        if laser.ri_return1.range_image_pose_compressed:
+            pm = dataset_pb2.MatrixFloat()
+            pm.ParseFromString(
+                zlib.decompress(laser.ri_return1.range_image_pose_compressed)
+            )
+            ri_pose = np.array(pm.data, np.float32).reshape(
+                list(pm.shape.dims)
+            )
         if calib.beam_inclinations:
             incl = np.array(calib.beam_inclinations, np.float32)[::-1]
         else:
@@ -52,8 +69,9 @@ def export_segment(path: str, out_root: str) -> int:
             [np.array(c.extrinsic.transform, np.float64).reshape(4, 4) for c in cams]
         )
         images = sorted(frame.images, key=lambda im: im.name)
-        cam_images = np.array([np.frombuffer(im.image, np.uint8)
-                               for im in images], dtype=object)
+        cam_images = np.empty(len(images), object)
+        for i, im in enumerate(images):
+            cam_images[i] = np.frombuffer(im.image, np.uint8)
 
         lane_polylines = []
         for feat in frame.map_features:
@@ -81,6 +99,7 @@ def export_segment(path: str, out_root: str) -> int:
             timestamp_micros=np.int64(frame.timestamp_micros),
             pose=np.array(frame.pose.transform, np.float64).reshape(4, 4),
             range_image=range_image,
+            range_image_pose=ri_pose,
             inclinations=incl,
             lidar_extrinsic=np.array(
                 calib.extrinsic.transform, np.float64
@@ -88,7 +107,7 @@ def export_segment(path: str, out_root: str) -> int:
             cam_intrinsic=cam_intr,
             cam_extrinsic=cam_ext,
             cam_images_jpeg=cam_images,
-            lane_polylines=np.array(lane_polylines, dtype=object),
+            lane_polylines=_obj_arr(lane_polylines),
             labels_box=np.array(labels_box, np.float64).reshape(-1, 7),
             labels_type=np.array(labels_type, np.int32),
             labels_num_points=np.array(labels_np, np.int32),

@@ -30,7 +30,8 @@ EXPECTED_FIELDS = {
                              "beam_inclination_max": 4, "extrinsic": 5},
         "Transform": {"transform": 1},
         "Laser": {"name": 1, "ri_return1": 2},
-        "RangeImage": {"range_image": 1, "range_image_compressed": 2},
+        "RangeImage": {"range_image": 1, "range_image_compressed": 2,
+                       "range_image_pose_compressed": 4},
         "MatrixFloat": {"data": 1, "shape": 2},
         "MatrixShape": {"dims": 1},
         "CameraImage": {"name": 1, "image": 2},
@@ -259,3 +260,66 @@ def test_equal_length_payloads_stay_1d_object_arrays():
     buf = frame_proto.encode_frame_lite(fr)
     with pytest.raises(ValueError, match="truncated"):
         frame_proto.parse_frame(buf[:-7])
+
+
+def test_rolling_shutter_pose_roundtrip_and_correction():
+    """TOP rolling-shutter pixel pose (RangeImage field 4): survives the
+    wire round trip; pixel poses equal to the frame pose are a NET
+    IDENTITY on the unprojected points; a translated pixel pose shifts
+    them exactly (reference passes range_image_top_pose into
+    convert_range_image_to_point_cloud, waymo/2d_to_3d.py:473-474)."""
+    import jax.numpy as jnp
+
+    from cm3d_tpu.ops.range_image import (
+        pixel_pose_matrices,
+        range_image_to_points,
+    )
+
+    fr = _fake_frame_lite()
+    h, w = fr["range_image"].shape
+    rng = np.random.default_rng(3)
+
+    # frame pose: a nontrivial yaw+translation; pixel pose == frame pose
+    yaw = 0.7
+    pose = np.eye(4)
+    pose[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+    pose[:3, 3] = [10.0, -4.0, 1.0]
+    fr["pose"] = pose
+    pose6 = np.zeros((h, w, 6), np.float32)
+    pose6[..., 2] = yaw
+    pose6[..., 3:6] = pose[:3, 3]
+    fr["range_image_pose"] = pose6
+
+    back = frame_proto.parse_frame(frame_proto.encode_frame_lite(fr))
+    np.testing.assert_allclose(back["range_image_pose"], pose6, atol=1e-7)
+
+    mats = pixel_pose_matrices(jnp.asarray(pose6))
+    np.testing.assert_allclose(np.asarray(mats[0, 0]), pose, atol=1e-6)
+
+    plain, _ = range_image_to_points(
+        jnp.asarray(fr["range_image"]), jnp.asarray(fr["inclinations"]),
+        jnp.asarray(fr["lidar_extrinsic"], jnp.float32),
+    )
+    corrected, _ = range_image_to_points(
+        jnp.asarray(fr["range_image"]), jnp.asarray(fr["inclinations"]),
+        jnp.asarray(fr["lidar_extrinsic"], jnp.float32),
+        pixel_pose=mats,
+        frame_pose_inv=jnp.asarray(np.linalg.inv(pose), jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(corrected), np.asarray(plain),
+                               atol=1e-4)
+
+    # ego moved +1 m in x between pixel capture and frame time
+    pose6_shift = pose6.copy()
+    pose6_shift[..., 3] += 1.0
+    shifted, _ = range_image_to_points(
+        jnp.asarray(fr["range_image"]), jnp.asarray(fr["inclinations"]),
+        jnp.asarray(fr["lidar_extrinsic"], jnp.float32),
+        pixel_pose=pixel_pose_matrices(jnp.asarray(pose6_shift)),
+        frame_pose_inv=jnp.asarray(np.linalg.inv(pose), jnp.float32),
+    )
+    delta = np.asarray(shifted) - np.asarray(plain)
+    # +1 m global-x maps through inv(pose)'s rotation
+    want = np.linalg.inv(pose)[:3, :3] @ [1.0, 0, 0]
+    np.testing.assert_allclose(delta, np.broadcast_to(want, delta.shape),
+                               atol=1e-4)
