@@ -27,14 +27,21 @@ def nearest_lane(
 
     Returns (yaws [M], distances [M], coords [M, 2]).
     Euclidean distance on (x, y) only, argmin first-index tie-break — the
-    reference's np.argmin semantics.
+    reference's np.argmin semantics. With NO valid lane points the yaws/
+    coords are 0 and every distance is inf (documented deviation: the
+    reference would crash on an empty cdist argmin; inf distances let
+    lane_dist_filter drop the boxes when it is on).
     """
     diff = centroids_xy[:, None, :] - lane_points[None, :, :2]  # [M, L, 2]
     dist_sq = jnp.sum(diff * diff, axis=-1)
     if lane_valid is not None:
         dist_sq = jnp.where(lane_valid[None, :], dist_sq, jnp.inf)
     idx = jnp.argmin(dist_sq, axis=-1)
-    yaws = lane_points[idx, 2]
-    distances = jnp.sqrt(jnp.take_along_axis(dist_sq, idx[:, None], axis=1))[:, 0]
-    coords = lane_points[idx, :2]
-    return yaws, distances, coords
+    # min == value at argmin: a reduction instead of an [M]-row gather
+    # (TPU gather cost tracks index rows); one row gather serves yaw+coords
+    distances = jnp.sqrt(jnp.min(dist_sq, axis=-1))
+    pts = lane_points[idx]  # [M, 3]
+    if lane_valid is not None:
+        any_valid = jnp.any(lane_valid)
+        pts = jnp.where(any_valid, pts, 0.0)
+    return pts[:, 2], distances, pts[:, :2]

@@ -22,7 +22,9 @@ def medoid_index(points: jax.Array, valid: jax.Array) -> jax.Array:
     """Index of the medoid of a single point set.
 
     Args:
-      points: [K, 3] coordinates (padding rows arbitrary).
+      points: [K, 3] coordinates (padding rows arbitrary on CPU; on TPU
+        the Pallas kernel additionally requires valid rows COMPACTED to
+        the front — every producer in this package emits compacted rows).
       valid: [K] bool; invalid rows are excluded from sums and argmin.
 
     Returns scalar int32 index of the medoid (first-minimum tie-break).
@@ -37,6 +39,13 @@ def masked_medoid(points: jax.Array, valid: jax.Array) -> jax.Array:
     On TPU the distance sums run in a Pallas kernel with exact fp32
     per-dimension differences (cm3d_tpu.kernels.medoid_pallas); elsewhere a
     chunked XLA scan with a centered |a|^2+|b|^2-2ab MXU expansion.
+
+    TPU PRECONDITION (kernel contract, medoid_pallas.py): valid rows must
+    be COMPACTED to the front of each row set — the kernel only computes
+    tiles covering the first count rows, so a scattered valid mask would
+    leave zero-initialized sums that win the argmin. All in-package
+    producers (the lift compaction stages) satisfy this; the XLA fallback
+    accepts arbitrary masks.
     """
     if jax.default_backend() == "tpu":
         from cm3d_tpu.kernels.medoid_pallas import medoid_distance_sums_pallas
@@ -74,13 +83,17 @@ def _masked_medoid_xla(points: jax.Array, valid: jax.Array) -> jax.Array:
         valid = jnp.pad(valid, ((0, 0), (0, pad_k - k)))
 
     validf = valid.astype(jnp.float32)
+    # Zero the padding FIRST: inf/NaN padding rows would otherwise poison
+    # the mean (inf * 0 = NaN) and, through the cross terms, every row's
+    # distance sum — the masking multiplies cannot remove NaN afterwards.
+    points = jnp.where(valid[..., None], points, 0.0)
 
     # Center each mask's point set before the |a|^2+|b|^2-2ab expansion:
     # global-frame coordinates are ~1e3 while object extents are ~1e1, and
     # the matmul trick is catastrophically cancellation-prone at that ratio.
     # After centering, coordinates are object-sized and fp32 squares are safe.
     n_valid = jnp.maximum(jnp.sum(validf, axis=1, keepdims=True), 1.0)
-    mean = jnp.sum(points * validf[..., None], axis=1, keepdims=True) / n_valid[..., None]
+    mean = jnp.sum(points, axis=1, keepdims=True) / n_valid[..., None]
     pts_f32 = ((points - mean) * validf[..., None]).astype(jnp.float32)
 
     sq = jnp.sum(pts_f32 * pts_f32, axis=-1)  # [M, K]

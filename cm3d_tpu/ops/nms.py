@@ -86,7 +86,10 @@ def circle_nms_keep(
     thresh = radius_sq_by_label[lab]
 
     dist_sq = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
-    # row i suppresses col j: same class, within box i's class radius
+    # row i suppresses col j: same class, within box j's class radius
+    # (== i's radius because of the same-class gate; the reference indexes
+    # threshs_by_label[det_labels[j]], i.e. by the SUPPRESSED box — keep
+    # thresh[None, :] if the class gate is ever relaxed)
     overlap = (lab[:, None] == lab[None, :]) & (dist_sq <= thresh[None, :])
     keep_sorted = _greedy_keep_fixpoint(overlap, val)
     keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
@@ -134,22 +137,33 @@ def polygon_nms_keep(
     boxes_bev: jax.Array,
     scores: jax.Array,
     valid: jax.Array,
-    iou_threshold: float = 0.5,
+    nms_threshold: float = 0.4,
+    score_threshold: float = 0.3,
 ) -> jax.Array:
     """Greedy rotated-box BEV NMS. boxes_bev: [N, 5] (cx, cy, w, l, yaw).
 
     The reference ships (but never calls) a shapely polygon-NMS
     (src/kitti/2d_to_3d.py nms:507-599, polygon_intersection_area:391-434);
-    this is the jittable equivalent built on the exact rotated-IoU clipper.
-    Returns keep [N] bool.
+    this is the jittable equivalent, with the SAME criterion: a candidate
+    is suppressed when a kept higher-scored box's intersection covers more
+    than nms_threshold of the CANDIDATE'S OWN area (poly_compare :487-505
+    — inter/area[candidate], NOT IoU; defaults 0.4/0.3 from nms :524-536),
+    and boxes scoring <= score_threshold are dropped up front. The
+    intersection comes from the exact rotated-IoU clipper via
+    inter = iou * (a_i + a_j) / (1 + iou). Tie-break: stable descending
+    score. Returns keep [N] bool.
     """
     from cm3d_tpu.geometry.boxes import rotated_iou_bev
 
     n = scores.shape[0]
+    valid = valid & (scores > score_threshold)
     neg = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-neg, stable=True)
     b = boxes_bev[order]
     val = valid[order]
+    area = jnp.maximum(b[:, 2] * b[:, 3], 1e-9)  # [N]
     iou = rotated_iou_bev(b, b)  # [N, N]
-    keep_sorted = _greedy_keep_fixpoint(iou > iou_threshold, val)
+    inter = iou * (area[:, None] + area[None, :]) / (1.0 + iou)
+    overlap = inter / area[None, :]  # row i suppresses candidate column j
+    keep_sorted = _greedy_keep_fixpoint(overlap > nms_threshold, val)
     return jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)

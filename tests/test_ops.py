@@ -231,14 +231,27 @@ def test_polygon_nms_rotated_overlap():
         [
             [0.0, 0.0, 2.0, 4.0, 0.0],
             [0.2, 0.0, 2.0, 4.0, 0.1],   # heavy overlap with 0 -> suppressed
-            [0.0, 0.0, 2.0, 4.0, 1.57],  # crossed 90deg: IoU 1/3 < 0.5 -> kept
+            # crossed 90deg: inter = 2x2 = 4 covers 0.5 of the candidate's
+            # own area (> 0.4) -> suppressed under the reference's
+            # inter/area[candidate] criterion even though IoU is only 1/3
+            [0.0, 0.0, 2.0, 4.0, 1.57],
             [20.0, 20.0, 2.0, 4.0, 0.5],
+            [40.0, 40.0, 2.0, 4.0, 0.0],  # isolated but score <= 0.3: dropped
         ],
         np.float32,
     ))
-    scores = jnp.asarray(np.array([0.9, 0.8, 0.7, 0.6], np.float32))
-    keep = np.asarray(polygon_nms_keep(boxes, scores, jnp.ones(4, bool), 0.5))
-    assert list(keep) == [True, False, True, True]
+    scores = jnp.asarray(np.array([0.9, 0.8, 0.7, 0.6, 0.2], np.float32))
+    keep = np.asarray(polygon_nms_keep(boxes, scores, jnp.ones(5, bool)))
+    assert list(keep) == [True, False, False, True, False]
+    # a small box INSIDE a big kept one: IoU tiny but inter/own-area = 1
+    boxes2 = jnp.asarray(np.array(
+        [[0.0, 0.0, 10.0, 10.0, 0.0], [1.0, 1.0, 1.0, 1.0, 0.3]],
+        np.float32,
+    ))
+    keep2 = np.asarray(polygon_nms_keep(
+        boxes2, jnp.asarray([0.9, 0.8]), jnp.ones(2, bool)
+    ))
+    assert list(keep2) == [True, False]
 
 
 def test_nms2d_suppression_chain_exact():
