@@ -176,10 +176,15 @@ def _parse_lane_polyline(lane_buf: bytes) -> Optional[np.ndarray]:
     return np.array(pts, np.float64)
 
 
-def parse_frame(buf: bytes) -> Dict:
+def parse_frame(buf: bytes, want_pose: bool = True) -> Dict:
     """Parse one serialized dataset_pb2.Frame into the frame-lite dict
     consumed by WaymoFrontend (same field contract as the npz exchange
-    format — scripts/export_waymo_frames.py mirrors this logic under TF)."""
+    format — scripts/export_waymo_frames.py mirrors this logic under TF).
+
+    want_pose=False skips decompressing the ~4 MB per-pixel rolling-shutter
+    pose image (range_image_pose comes back empty) — consumers that never
+    unproject points (the mask stage, create_gt_bin) shouldn't pay its zlib
+    + reshape on every frame."""
     context_name = ""
     timestamp = 0
     pose = np.eye(4)
@@ -249,11 +254,22 @@ def parse_frame(buf: bytes) -> Dict:
     # reference passes it into convert_range_image_to_point_cloud
     # (waymo/2d_to_3d.py:473-474) so unprojected points are corrected for
     # ego motion during the scan. Empty when the segment lacks it.
-    ri_pose = (
-        _matrix_float(zlib.decompress(ri_pose_compressed))
-        if ri_pose_compressed is not None
-        else np.zeros((0,), np.float32)
-    )
+    if want_pose and ri_pose_compressed is not None:
+        ri_pose = _matrix_float(zlib.decompress(ri_pose_compressed))
+        if (
+            ri_pose.ndim != 3
+            or ri_pose.shape[:2] != range_image.shape
+            or ri_pose.shape[2] != 6
+        ):
+            # caught by iter_scene's skip-and-log (SURVEY.md §5): a pose
+            # image that parses but can't align with the range image must
+            # not crash the run deep inside build_keyframe's einsum.
+            raise ValueError(
+                f"range_image_pose shape {ri_pose.shape} does not match "
+                f"range image {range_image.shape}"
+            )
+    else:
+        ri_pose = np.zeros((0,), np.float32)
 
     top = next((c for c in laser_calibs if c["name"] == LASER_TOP), None)
     if top is None:

@@ -7,7 +7,10 @@ environment that has tensorflow + waymo_open_dataset; this framework itself
 is TF-free). Fields:
 
   context_name (str), timestamp_micros (int64), pose [4,4] vehicle->global,
-  range_image [H,W] float32 (first return), inclinations [H],
+  range_image [H,W] float32 (first return),
+  range_image_pose [H,W,6] float32 (roll pitch yaw x y z per-pixel
+  vehicle->global, TOP rolling shutter; empty [0] when the segment lacks
+  it — points then stay uncorrected), inclinations [H],
   lidar_extrinsic [4,4], cam_intrinsic [C,9] (f_u f_v c_u c_v k1 k2 p1 p2 k3),
   cam_extrinsic [C,4,4] camera->vehicle (Waymo x-forward axes),
   lane_polylines: object array of [Ni,3] global xyz polylines,
@@ -138,16 +141,20 @@ class WaymoFrontend:
             return len(self._index(seg))
         return len(self.frame_files(scene))
 
-    def load_frame_by_index(self, scene: str, i: int) -> dict:
+    def load_frame_by_index(
+        self, scene: str, i: int, want_pose: bool = True
+    ) -> dict:
         """Frame dict (frame-lite contract) by scene + frame number, from
-        either the npz cache or a raw TFRecord segment."""
+        either the npz cache or a raw TFRecord segment. want_pose=False
+        skips the rolling-shutter pose image decompress for consumers that
+        never unproject points (the mask stage)."""
         seg = self._segment_path(scene)
         if seg is not None:
             from cm3d_tpu.datasets.waymo.frame_proto import parse_frame
             from cm3d_tpu.datasets.waymo.tfrecord import read_record
 
             off, ln = self._index(seg)[i]
-            return parse_frame(read_record(seg, off, ln))
+            return parse_frame(read_record(seg, off, ln), want_pose=want_pose)
         return self.load_frame(self.frame_files(scene)[i])
 
     def frame_files(self, scene: str) -> List[Path]:
@@ -190,6 +197,18 @@ class WaymoFrontend:
         # (waymo/2d_to_3d.py:473-474) — up to ~1 m at highway speed.
         ri_pose = np.asarray(fr.get("range_image_pose",
                                     np.zeros(0, np.float32)))
+        ri_shape = tuple(np.asarray(fr["range_image"]).shape)
+        if ri_pose.size and (
+            ri_pose.ndim != 3
+            or ri_pose.shape[:2] != ri_shape
+            or ri_pose.shape[-1] != 6
+        ):
+            # npz caches bypass parse_frame's validation; keep the
+            # skip-and-log contract instead of a cryptic einsum crash.
+            print(f"{scene} frame {frame_num}: range_image_pose shape "
+                  f"{ri_pose.shape} mismatches range image {ri_shape} — "
+                  f"frame skipped")
+            return None
         pose_kw = {}
         if ri_pose.size:
             from cm3d_tpu.ops.range_image import pixel_pose_matrices
@@ -423,7 +442,7 @@ def create_gt_bin(frames_root: str | Path, out_path: str) -> int:
         from cm3d_tpu.datasets.waymo.tfrecord import TFRecordReader
 
         for payload in TFRecordReader(seg):
-            _add(parse_frame(payload))
+            _add(parse_frame(payload, want_pose=False))
     with open(out_path, "wb") as f:
         f.write(encode_objects(objs))
     return len(objs)

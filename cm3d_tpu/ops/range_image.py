@@ -68,7 +68,20 @@ def range_image_to_points(
     pixel_pose: Optional[jax.Array] = None,  # [H, W, 4, 4] vehicle -> global
     frame_pose_inv: Optional[jax.Array] = None,  # [4, 4] global -> vehicle
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (points [H*W, 3] vehicle-frame, valid [H*W] bool)."""
+    """Returns (points [H*W, 3] vehicle-frame, valid [H*W] bool).
+
+    All dots run at Precision.HIGHEST: the default TPU f32 dot is bf16 MXU
+    passes, and the pose correction routes points through GLOBAL coordinates
+    (1e3-1e4 m in Waymo's global frame) where bf16 rounding would be meters —
+    larger than the <=1 m rolling-shutter correction itself. Contraction dim
+    is 3, so the cost is negligible.
+    """
+    if pixel_pose is not None and frame_pose_inv is None:
+        # Mirrors frame_utils: pixel_pose maps into the GLOBAL frame; without
+        # the frame pose to come back, the output silently stops being
+        # vehicle-frame.
+        raise ValueError("frame_pose_inv must be set when pixel_pose is set")
+    _HI = jax.lax.Precision.HIGHEST
     h, w = range_image.shape
     az = azimuth_grid(w, extrinsic)  # [W]
     cos_incl = jnp.cos(inclinations)[:, None]
@@ -80,15 +93,17 @@ def range_image_to_points(
     y = cos_incl * sin_az * r
     z = sin_incl * r
     pts = jnp.stack([x, y, z], axis=-1)  # [H, W, 3] sensor frame
-    pts = pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    pts = jnp.matmul(pts, extrinsic[:3, :3].T, precision=_HI) + extrinsic[:3, 3]
 
     if pixel_pose is not None:
         # per-pixel vehicle->global, then back into the frame's vehicle frame
         rot = pixel_pose[..., :3, :3]
         t = pixel_pose[..., :3, 3]
-        pts = jnp.einsum("hwij,hwj->hwi", rot, pts) + t
-        if frame_pose_inv is not None:
-            pts = pts @ frame_pose_inv[:3, :3].T + frame_pose_inv[:3, 3]
+        pts = jnp.einsum("hwij,hwj->hwi", rot, pts, precision=_HI) + t
+        pts = (
+            jnp.matmul(pts, frame_pose_inv[:3, :3].T, precision=_HI)
+            + frame_pose_inv[:3, 3]
+        )
 
     valid = (range_image > 0).reshape(-1)
     return pts.reshape(-1, 3), valid
@@ -104,7 +119,10 @@ def points_to_range_image(
     """Inverse transform (test oracle + completeness): scatter points back
     into an [H, W] range image (last write wins on collisions)."""
     inv = jnp.linalg.inv(extrinsic)
-    local = points @ inv[:3, :3].T + inv[:3, 3]
+    local = (
+        jnp.matmul(points, inv[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
+        + inv[:3, 3]
+    )
     r = jnp.linalg.norm(local, axis=-1)
     incl = jnp.arcsin(jnp.clip(local[:, 2] / jnp.maximum(r, 1e-9), -1, 1))
     az = jnp.arctan2(local[:, 1], local[:, 0])

@@ -887,7 +887,7 @@ def _waymo_provider(args):
     scene_names = args.scenes.split(",") if args.scenes else fe.scene_names()
 
     def provider(scene, frame):
-        fr = fe.load_frame_by_index(scene, frame)
+        fr = fe.load_frame_by_index(scene, frame, want_pose=False)
         images = []
         for buf in fr["cam_images_jpeg"]:
             im = Image.open(io.BytesIO(bytes(buf))).convert("RGB")

@@ -23,6 +23,10 @@ def export_segment(path: str, out_root: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     def _obj_arr(items):
+        # local copy of cm3d_tpu.datasets.waymo.frame_proto._object_array
+        # (this script runs in an external TF env where the package isn't
+        # importable): element-wise fill keeps the array 1-D even when all
+        # payloads share a shape (np.array(list, object) would go 2-D).
         out = np.empty(len(items), object)
         for i, it in enumerate(items):
             out[i] = it

@@ -323,3 +323,43 @@ def test_rolling_shutter_pose_roundtrip_and_correction():
     want = np.linalg.inv(pose)[:3, :3] @ [1.0, 0, 0]
     np.testing.assert_allclose(delta, np.broadcast_to(want, delta.shape),
                                atol=1e-4)
+
+
+def test_pose_image_contracts():
+    """want_pose=False skips the pose-image decode entirely; a pose image
+    that parses but can't align with the range image fails parse_frame
+    loudly (feeding iter_scene's skip-and-log); pixel_pose without
+    frame_pose_inv is a hard error (frame_utils raises the same — the
+    output would silently be GLOBAL-frame)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from cm3d_tpu.ops.range_image import (
+        pixel_pose_matrices,
+        range_image_to_points,
+    )
+
+    fr = _fake_frame_lite()
+    h, w = fr["range_image"].shape
+    pose6 = np.zeros((h, w, 6), np.float32)
+    pose6[..., 3] = 5.0
+    fr["range_image_pose"] = pose6
+    buf = frame_proto.encode_frame_lite(fr)
+
+    lean = frame_proto.parse_frame(buf, want_pose=False)
+    assert lean["range_image_pose"].size == 0
+    np.testing.assert_allclose(lean["range_image"], fr["range_image"],
+                               atol=1e-7)
+
+    bad = dict(fr)
+    bad["range_image_pose"] = pose6[: h // 2]
+    with pytest.raises(ValueError, match="range_image_pose"):
+        frame_proto.parse_frame(frame_proto.encode_frame_lite(bad))
+
+    with pytest.raises(ValueError, match="frame_pose_inv"):
+        range_image_to_points(
+            jnp.asarray(fr["range_image"]),
+            jnp.asarray(fr["inclinations"]),
+            jnp.asarray(fr["lidar_extrinsic"], jnp.float32),
+            pixel_pose=pixel_pose_matrices(jnp.asarray(pose6)),
+        )

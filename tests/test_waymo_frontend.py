@@ -153,3 +153,17 @@ def test_iter_scene_skips_corrupt_frames_and_stops_on_truncation(
 
     with pytest.raises(IOError, match="truncated"):
         list(TFRecordReader(raw2 / f"{scene}.tfrecord"))
+
+
+def test_build_keyframe_skips_mismatched_pose_npz(fake_waymo, capsys):
+    """npz caches bypass parse_frame's pose-shape validation; a frame-lite
+    file with a pose image that can't align with the range image is skipped
+    with a log (SURVEY.md §5), not an einsum shape crash."""
+    frames, masks, info = fake_waymo
+    fe = WaymoFrontend(frames, MaskArtifactStore(masks), SMALL)
+    scene = info["scene"]
+    fr = fe.load_frame(fe.frame_files(scene)[0])
+    h, w = fr["range_image"].shape
+    fr["range_image_pose"] = np.zeros((h // 2, w, 6), np.float32)
+    assert fe.build_keyframe(scene, 0, fr) is None
+    assert "range_image_pose" in capsys.readouterr().out
