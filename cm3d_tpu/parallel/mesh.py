@@ -61,12 +61,18 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def batch_spec(x) -> P:
+    """Leading-dim-on-`data` spec for one batch leaf — the single
+    definition of the batch-sharding convention (shard_batch places with
+    it, pipeline.sharded_batch_step constrains with it)."""
+    return P("data", *([None] * (np.ndim(x) - 1)))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a KeyframeBatch (or any pytree with leading batch dims) so the
     leading dim is sharded over the `data` axis and everything else is
     replicated."""
-    def put(x):
-        spec = P("data", *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    return jax.tree.map(put, batch)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(x))),
+        batch,
+    )

@@ -28,11 +28,3 @@ def shard_for_host(
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     return list(items[pi::pc])
-
-
-def local_batch_slice(global_batch: int, process_count: int | None = None) -> int:
-    """Per-host batch size for a host-sharded global batch."""
-    pc = jax.process_count() if process_count is None else process_count
-    if global_batch % pc:
-        raise ValueError(f"global batch {global_batch} not divisible by {pc} hosts")
-    return global_batch // pc

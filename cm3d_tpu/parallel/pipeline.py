@@ -10,8 +10,6 @@ and shards freely over the `data` mesh axis.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -111,15 +109,15 @@ def sharded_batch_step(mesh, step):
     inputs are all [B, ...] pytrees: the nuScenes/Waymo keyframe step and
     the KITTI step). XLA inserts no collectives; the scaling story is
     keyframes over ICI."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
-    def shard_leaf(x):
-        return NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+    from cm3d_tpu.parallel.mesh import batch_spec
 
-    @functools.partial(jax.jit)
+    @jax.jit
     def run(*args):
         args = jax.lax.with_sharding_constraint(
-            args, jax.tree.map(shard_leaf, args)
+            args,
+            jax.tree.map(lambda x: NamedSharding(mesh, batch_spec(x)), args),
         )
         return step(*args)
 

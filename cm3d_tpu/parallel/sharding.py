@@ -33,19 +33,12 @@ def param_spec(path: str, ndim: int) -> P:
 
 
 def shard_model_params(params: Any, mesh: Mesh) -> Any:
-    """Place a flax params tree on the mesh under the rules above."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def place(path_entries, x):
-        path = "/".join(
-            e.key if hasattr(e, "key") else str(e) for e in path_entries
-        )
-        spec = param_spec(path, x.ndim)
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    placed = [place(p, x) for p, x in flat]
-    return jax.tree_util.tree_unflatten(treedef, placed)
+    """Place a flax params tree on the mesh under the rules above —
+    exactly spec_tree's specs, so placement and spec queries can't drift."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, spec_tree(params),
+    )
 
 
 def make_sequence_sharded_encode(mesh: Mesh, model, params,
@@ -86,12 +79,12 @@ def make_sequence_sharded_encode(mesh: Mesh, model, params,
 
 def spec_tree(params: Any) -> Any:
     """The PartitionSpec pytree matching shard_model_params' placement."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    specs = []
-    for path_entries, x in flat:
-        path = "/".join(
-            e.key if hasattr(e, "key") else str(e) for e in path_entries
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = [
+        param_spec(
+            "/".join(e.key if hasattr(e, "key") else str(e) for e in p),
+            x.ndim,
         )
-        specs.append(param_spec(path, x.ndim))
+        for p, x in flat
+    ]
     return jax.tree_util.tree_unflatten(treedef, specs)

@@ -114,11 +114,7 @@ def splat_to_bev(
     # feature x depth-probability outer product -> [N, F]
     contrib = (feats[..., None, :] * depth_probs[..., None]).reshape(n, f)
 
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        if _voxelize._USE_PALLAS_SEGMENT is None
-        else bool(_voxelize._USE_PALLAS_SEGMENT)
-    )
+    use_pallas, interpret = _voxelize.segment_kernel_mode()
     if use_pallas:
         # the differentiable sum-only wrapper: training flows params
         # through this reduction (unlike pillarize), so it must carry the
@@ -131,8 +127,7 @@ def splat_to_bev(
         )
         vals = contrib[perm].T  # one row gather, channels-major for the kernel
         sums = segment_sum_pallas(
-            cell_s[None], vals[None], n_cells,
-            (_voxelize._USE_PALLAS_SEGMENT == "interpret"),
+            cell_s[None], vals[None], n_cells, interpret,
         )
         bev = sums[0].T  # [n_cells, F]
     else:

@@ -21,6 +21,16 @@ class CenterPointConfig:
     head_channels: int = 64
     out_stride: int = 2  # heatmap stride relative to the pillar grid
 
+    def __post_init__(self):
+        # Only trunk block 0 strides, so the network can realize at most
+        # stride 2 — but build_targets and decode_detections trust this
+        # value as-is (a mismatch misprojects every decoded box).
+        if self.out_stride not in (1, 2):
+            raise ValueError(
+                "out_stride must be 1 or 2 (the trunk downsamples at most "
+                f"once); got {self.out_stride}"
+            )
+
 
 class ConvBlock(nn.Module):
     ch: int

@@ -157,14 +157,29 @@ def make_train_step_impl(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
+            # BatchNorm running stats mutate from each device's LOCAL
+            # shard; without this they silently diverge across replicas
+            # (the GSPMD-jit path reduces them globally — keep parity).
+            new_stats = jax.lax.pmean(new_stats, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if ema_decay:
+            if state.ema_params is None:
+                raise ValueError(
+                    "ema_decay > 0 requires a state built with "
+                    "init_state(ema=True) / init_fusion_state(ema=True)"
+                )
             ema = jax.tree.map(
                 lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
                 state.ema_params, params,
             )
         else:
+            if state.ema_params is not None:
+                raise ValueError(
+                    "state carries ema_params but ema_decay is 0 — the EMA "
+                    "would silently freeze at its init values (the deploy "
+                    "checkpoint saves the EMA when present)"
+                )
             ema = state.ema_params
         return TrainState(params, new_stats, opt_state, state.step + 1,
                           ema), metrics

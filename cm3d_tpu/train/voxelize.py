@@ -21,6 +21,19 @@ import jax.numpy as jnp
 _USE_PALLAS_SEGMENT = None
 
 
+def segment_kernel_mode() -> tuple:
+    """Resolve the _USE_PALLAS_SEGMENT tri-state for every segment-reduce
+    call site (pillarize here, splat_to_bev in bevfusion) -> (use_pallas,
+    interpret). One decision point: a new override value or backend gate
+    changes both paths together."""
+    use = (
+        jax.default_backend() == "tpu"
+        if _USE_PALLAS_SEGMENT is None
+        else bool(_USE_PALLAS_SEGMENT)
+    )
+    return use, _USE_PALLAS_SEGMENT == "interpret"
+
+
 @dataclasses.dataclass(frozen=True)
 class PillarConfig:
     x_min: float = -51.2
@@ -71,10 +84,7 @@ def pillarize(points: jax.Array, valid: jax.Array, cfg: PillarConfig):
     zz = jnp.where(in_range, z, 0.0)
     ii = jnp.where(in_range, intensity, 0.0)
 
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        if _USE_PALLAS_SEGMENT is None else _USE_PALLAS_SEGMENT
-    )
+    use_pallas, interpret = segment_kernel_mode()
     if use_pallas:
         from cm3d_tpu.kernels.segment_pallas import segment_sum_max_pallas
 
@@ -87,7 +97,7 @@ def pillarize(points: jax.Array, valid: jax.Array, cfg: PillarConfig):
         vals = jnp.stack([dx_s, dy_s, zz_s, ii_s, ones_s], axis=0)  # [5, N]
         sums, maxs = segment_sum_max_pallas(
             cell_s[None], vals[None], zm_s[None], n_cells,
-            interpret=(_USE_PALLAS_SEGMENT == "interpret"),
+            interpret=interpret,
         )
         sums, maxs = sums[0], maxs[0]  # [5, n_cells], [n_cells]
         count = sums[4]

@@ -2,9 +2,8 @@
 
 import numpy as np
 import jax
-import pytest
 
-from cm3d_tpu.parallel.multihost import local_batch_slice, shard_for_host
+from cm3d_tpu.parallel.multihost import shard_for_host
 
 
 def test_shard_for_host_partitions_exactly():
@@ -14,12 +13,6 @@ def test_shard_for_host_partitions_exactly():
     assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
     # deterministic
     assert shard_for_host(scenes, 1, 3) == shard_for_host(scenes, 1, 3)
-
-
-def test_local_batch_slice():
-    assert local_batch_slice(16, 4) == 4
-    with pytest.raises(ValueError):
-        local_batch_slice(10, 4)
 
 
 def test_lift_step_produces_no_nans_under_debug_nans():

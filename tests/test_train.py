@@ -286,9 +286,13 @@ def test_ema_schedule_clip_and_augmented_step():
 
 def test_augment_decorrelates_across_devices():
     """Under a collective step (axis_name set), each device must draw a
-    DIFFERENT augmentation for the same (seed, step) — observable through
-    batch_stats, which are per-device (not pmean'd): identical per-device
-    batches yield divergent BatchNorm stats iff the transforms differ."""
+    DIFFERENT augmentation for the same (seed, step), and the mutated
+    BatchNorm stats must pmean back in sync (per-device stats would
+    otherwise silently diverge across replicas). With identical per-device
+    batches: replica-synced stats that still differ from the no-axis
+    reference run prove the transforms differed — the axis_name=None key
+    path draws exactly what every device would draw if the axis_index fold
+    were dropped."""
     from cm3d_tpu.train import AugmentConfig
 
     n_dev = jax.local_device_count()
@@ -305,10 +309,40 @@ def test_augment_decorrelates_across_devices():
     state2, _ = step(rep(state), rep(batch))
     leaves = jax.tree_util.tree_leaves(state2.batch_stats)
     assert leaves, "model has no batch_stats to observe"
+    for l in leaves:  # replicas agree exactly: stats are pmean'd
+        arr = np.asarray(l)
+        np.testing.assert_array_equal(arr, np.broadcast_to(arr[:1], arr.shape))
+
+    ref_step = jax.jit(make_train_step(model, tx, PILLAR,
+                                       augment=AugmentConfig(), aug_seed=7))
+    ref_state, _ = ref_step(state, batch)
+    ref_leaves = jax.tree_util.tree_leaves(ref_state.batch_stats)
     spread = max(
-        float(np.abs(np.asarray(l) - np.asarray(l)[:1]).max()) for l in leaves
+        float(np.abs(np.asarray(l)[0] - np.asarray(r)).max())
+        for l, r in zip(leaves, ref_leaves)
     )
     assert spread > 0, "per-device augmentations were identical"
+
+
+def test_train_step_state_validation():
+    """ema_decay/ema_params mismatches and unrealizable out_stride fail
+    loudly at trace/config time instead of cryptic pytree or shape
+    errors (or silently frozen EMA / doubled decode coordinates)."""
+    from cm3d_tpu.train.centerpoint import CenterPointConfig
+
+    with pytest.raises(ValueError, match="out_stride"):
+        CenterPointConfig(out_stride=4)
+
+    batch = _make_batch(b=1, n=512, m=2)
+    state, model, tx = init_state(jax.random.PRNGKey(0), PILLAR, MODEL)
+    with pytest.raises(ValueError, match="ema_decay > 0 requires"):
+        jax.jit(make_train_step(model, tx, PILLAR, ema_decay=0.9))(
+            state, batch
+        )
+    state_e, model, tx = init_state(jax.random.PRNGKey(0), PILLAR, MODEL,
+                                    ema=True)
+    with pytest.raises(ValueError, match="ema_params but ema_decay"):
+        jax.jit(make_train_step(model, tx, PILLAR))(state_e, batch)
 
 
 def test_make_optimizer_validation():
