@@ -40,6 +40,30 @@ _L_T = 512   # output tile (lanes of the one-hot matmul)
 _S_T = 2048  # source chunk (sublanes of the one-hot matmul)
 _RB = 8      # rows per program
 
+# Mosaic's default vmem_limit_bytes is 16 MB regardless of hardware (v5e
+# has 128 MB physical); large-D folded compactions can need one row block
+# bigger than the default, so the kernels raise the cap and fail LOUDLY
+# when even that can't fit (see _vmem_params).
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _vmem_params(interpret: bool, prog_bytes: int, name: str):
+    """Compiler params raising the VMEM cap; a clear error when one
+    program's double-buffered blocks exceed even the raised cap (Mosaic's
+    own failure is an opaque allocation error)."""
+    if prog_bytes > VMEM_LIMIT:
+        raise ValueError(
+            f"{name}: one grid program needs ~{prog_bytes >> 20} MB VMEM "
+            f"(> {VMEM_LIMIT >> 20} MB cap) — reduce the mask capacity, "
+            "value dimension, or tile sizes"
+        )
+    if interpret:
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",),
+        vmem_limit_bytes=VMEM_LIMIT,
+    )
+
 
 def split3_bf16(vf):
     """Exact 3-way bf16 split of an f32 value block (8+8+8 >= 24 mantissa
@@ -120,7 +144,15 @@ def _compact_vmappable(limit: int, interpret: bool, s_tile: int, l_tile: int):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, sel, values):
-        assert all(in_batched), "compact_rows_pallas: batch both operands"
+        # broadcast unbatched operands (a broadcast_to/constant sel carries
+        # no value dependency on the mapped axis, so vmap reports it
+        # unbatched) before folding the batch into the row grid
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x, (axis_size,) + x.shape)
+
+        sel = bc(sel, in_batched[0])
+        values = bc(values, in_batched[1])
         b, r, s = sel.shape
         d = values.shape[2]
         out = f(sel.reshape(b * r, s), values.reshape(b * r, d, s))
@@ -165,6 +197,10 @@ def _compact_rows_impl(sel, values, limit, interpret, s_tile=_S_T,
     # off), so arbitrary geometries work — the lift derives NU/K from the
     # point-cloud size, which need not hit the production multiples.
     s_t = min(s_tile, s)
+    # the kernel's dynamic lane-dim slice offsets (ci * s_t) are only
+    # Mosaic-legal when 128-aligned; round the chunk up — the padding
+    # below absorbs the difference (static offsets like l0 may stay odd)
+    s_t = -(-s_t // 128) * 128
     if s % s_t:
         pad = s_t - s % s_t
         sel = jnp.pad(sel, ((0, 0), (0, pad)))
@@ -215,6 +251,9 @@ def _compact_rows_impl(sel, values, limit, interpret, s_tile=_S_T,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, d, limit), jnp.float32),
         interpret=interpret,
+        compiler_params=_vmem_params(
+            interpret, 2 * rb * row_bytes, "compact_rows_pallas"
+        ),
     )(lo.reshape(-1), hi.reshape(-1), dest[:, None, :],
       values.astype(jnp.float32))
     return out[:, :, :out_limit]

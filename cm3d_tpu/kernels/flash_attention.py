@@ -29,6 +29,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _expansion_mats(n, kh, kw, dtype):
+    """0/1 expansion matrices shared by both entry points: eh[r, k] =
+    [row(k) == r], ew[c, k] = [col(k) == c]. They follow the compute
+    dtype: bf16 runs the MXU at full rate (f32 is 1/8) and the 0/1
+    expansion itself is exact in any dtype — this argument is load-bearing
+    for both kernels, so it lives once."""
+    bdt = dtype if dtype == jnp.bfloat16 else jnp.float32
+    karange = jnp.arange(n)
+    eh = (karange[None, :] // kw == jnp.arange(kh)[:, None]).astype(bdt)
+    ew = (karange[None, :] % kw == jnp.arange(kw)[:, None]).astype(bdt)
+    return eh, ew
+
+
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, o_ref):
     q = q_ref[0]  # [Bq, dp] (pre-scaled)
     k = k_ref[0]  # [N, dp]
@@ -145,10 +158,7 @@ def flash_attention_qkv(
     bq = next((c for c in (128,) if n % c == 0 and n > c), n)
     bk = next((c for c in (256, 128) if n % c == 0 and n > c), n)
 
-    bdt = qkv.dtype if qkv.dtype == jnp.bfloat16 else jnp.float32
-    karange = jnp.arange(n)
-    eh = (karange[None, :] // kw == jnp.arange(kh)[:, None]).astype(bdt)
-    ew = (karange[None, :] % kw == jnp.arange(kw)[:, None]).astype(bdt)
+    eh, ew = _expansion_mats(n, kh, kw, qkv.dtype)
 
     n_kb = n // bk
     out = pl.pallas_call(
@@ -179,7 +189,7 @@ def flash_attention_qkv(
             pltpu.VMEM((h, bq), jnp.float32),
         ],
         interpret=interpret,
-    )(qkv, qkv, qkv, bias_h.astype(bdt), bias_w.astype(bdt), eh, ew)
+    )(qkv, qkv, qkv, bias_h.astype(eh.dtype), bias_w.astype(eh.dtype), eh, ew)
     return out
 
 
@@ -212,14 +222,7 @@ def flash_attention_relpos(
             bq = cand
             break
 
-    # 0/1 expansion matrices: eh[r, k] = [row(k) == r], ew[c, k] = [col(k) == c]
-    # follow the compute dtype: bf16 runs the MXU at full rate (f32 is
-    # 1/8) and the 0/1 expansion itself is exact in any dtype; the bias
-    # values were already computed in the model's compute dtype upstream
-    bdt = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
-    karange = jnp.arange(n)
-    eh = (karange[None, :] // kw == jnp.arange(kh)[:, None]).astype(bdt)
-    ew = (karange[None, :] % kw == jnp.arange(kw)[:, None]).astype(bdt)
+    eh, ew = _expansion_mats(n, kh, kw, q.dtype)
 
     out = pl.pallas_call(
         _kernel,
@@ -244,5 +247,5 @@ def flash_attention_relpos(
         out_specs=pl.BlockSpec((1, bq, dp), lambda hh, qi: (hh, qi, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qp, kp, vp, rel_h.astype(bdt), rel_w.astype(bdt), eh, ew)
+    )(qp, kp, vp, rel_h.astype(eh.dtype), rel_w.astype(eh.dtype), eh, ew)
     return out[:, :, :d]

@@ -24,6 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE = 256  # row tile; [TILE, K] fp32 working set stays well under VMEM
 
 
+def _bc(x, batched, axis_size):
+    """Broadcast an operand vmap saw as unbatched (no value dependency on
+    the mapped axis — e.g. a broadcast_to validity mask) so the rules can
+    fold the batch into the row grid."""
+    return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+
 def _medoid_sums_kernel(count_ref, row_ref, valid_ref, out_ref):
     """One program = one mask.
 
@@ -75,7 +82,8 @@ def _medoid_vmappable(interpret: bool):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, points, valid):
-        assert all(in_batched)
+        points = _bc(points, in_batched[0], axis_size)
+        valid = _bc(valid, in_batched[1], axis_size)
         b, r, k, _ = points.shape
         out = f(points.reshape(b * r, k, 3), valid.reshape(b * r, k))
         return out.reshape(b, r, k), True
@@ -114,7 +122,8 @@ def _medoid_rows_vmappable(interpret: bool):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, rows, valid):
-        assert all(in_batched)
+        rows = _bc(rows, in_batched[0], axis_size)
+        valid = _bc(valid, in_batched[1], axis_size)
         b, r, _, k = rows.shape
         out = f(rows.reshape(b * r, 3, k), valid.reshape(b * r, k))
         return out.reshape(b, r, k), True

@@ -25,22 +25,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cm3d_tpu.kernels.compact_pallas import check_interpret_backend, split3_bf16
+from cm3d_tpu.kernels.compact_pallas import (
+    _vmem_params,
+    check_interpret_backend,
+    split3_bf16,
+)
 
 _L_T = 512
 _S_T = 2048
 _RB = 8
 
 
-def _segment_kernel(lo_ref, hi_ref, cell_ref, vals_ref, mx_ref,
-                    sum_ref, max_ref, *, d, l_t, s_t, rb):
+def _segment_kernel(lo_ref, hi_ref, cell_ref, vals_ref, *rest,
+                    d, l_t, s_t, rb, has_max):
     """One program = `rb` rows.
 
     lo_ref/hi_ref: scalar-prefetch [R * n_ltiles] int32 chunk ranges.
     cell_ref: [rb, 1, N] int32 NON-DECREASING (sink id sorts last).
-    vals_ref: [rb, D, N] f32 (zeroed at invalid rows). mx_ref: [rb, 1, N].
-    sum_ref: [rb, D, L] f32. max_ref: [rb, 1, L] f32 (-inf at empty cells).
+    vals_ref: [rb, D, N] f32 (zeroed at invalid rows).
+    has_max adds mx_ref [rb, 1, N] and max_ref [rb, 1, L] (-inf at empty
+    cells) around sum_ref [rb, D, L]; the sum-only variant (the
+    differentiable training path) skips the whole max stream — one fewer
+    [R, N] f32 HBM stream plus the per-tile masked-max VPU pass.
     """
+    if has_max:
+        mx_ref, sum_ref, max_ref = rest
+    else:
+        (sum_ref,) = rest
     r0 = pl.program_id(0) * rb
     n_ltiles = sum_ref.shape[2] // l_t
     for j in range(rb):
@@ -59,9 +70,10 @@ def _segment_kernel(lo_ref, hi_ref, cell_ref, vals_ref, mx_ref,
                     v3, ohb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                zc = mx_ref[j, 0, pl.ds(ci * s_t, s_t)].reshape(s_t, 1)
-                masked = jnp.where(oh, zc, -jnp.inf)  # [s_t, l_t]
-                acc_m = jnp.maximum(acc_m, jnp.max(masked, axis=0))
+                if has_max:
+                    zc = mx_ref[j, 0, pl.ds(ci * s_t, s_t)].reshape(s_t, 1)
+                    masked = jnp.where(oh, zc, -jnp.inf)  # [s_t, l_t]
+                    acc_m = jnp.maximum(acc_m, jnp.max(masked, axis=0))
                 return acc_s, acc_m
 
             acc_s, acc_m = jax.lax.fori_loop(
@@ -74,7 +86,15 @@ def _segment_kernel(lo_ref, hi_ref, cell_ref, vals_ref, mx_ref,
             sum_ref[j, :, pl.ds(l0, l_t)] = (
                 acc_s[:d] + acc_s[d : 2 * d] + acc_s[2 * d :]
             )
-            max_ref[j, 0, pl.ds(l0, l_t)] = acc_m
+            if has_max:
+                max_ref[j, 0, pl.ds(l0, l_t)] = acc_m
+
+
+def _bc(x, batched, axis_size):
+    # broadcast operands vmap saw as unbatched (no value dependency on the
+    # mapped axis — e.g. a broadcast validity/constant stream) before
+    # folding the batch into the row grid
+    return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
 
 @functools.lru_cache(maxsize=None)
@@ -85,17 +105,9 @@ def _segment_vmappable(n_cells: int, interpret: bool):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, cell, values, maxvals):
-        # broadcast unbatched operands (e.g. a constant -inf maxvals when
-        # only sums are wanted: full_like output carries no value
-        # dependency, so vmap sees it unbatched) before folding the batch
-        # into the row grid
-        def bc(x, batched):
-            return x if batched else jnp.broadcast_to(
-                x, (axis_size,) + x.shape)
-
-        cell = bc(cell, in_batched[0])
-        values = bc(values, in_batched[1])
-        maxvals = bc(maxvals, in_batched[2])
+        cell = _bc(cell, in_batched[0], axis_size)
+        values = _bc(values, in_batched[1], axis_size)
+        maxvals = _bc(maxvals, in_batched[2], axis_size)
         b, r, n = cell.shape
         d = values.shape[2]
         s, m = f(
@@ -104,6 +116,24 @@ def _segment_vmappable(n_cells: int, interpret: bool):
             maxvals.reshape(b * r, n),
         )
         return (s.reshape(b, r, d, n_cells), m.reshape(b, r, n_cells)), (True, True)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _segment_sum_vmappable(n_cells: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(cell, values):
+        return _segment_impl(cell, values, None, n_cells, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, cell, values):
+        cell = _bc(cell, in_batched[0], axis_size)
+        values = _bc(values, in_batched[1], axis_size)
+        b, r, n = cell.shape
+        d = values.shape[2]
+        s = f(cell.reshape(b * r, n), values.reshape(b * r, d, n))
+        return s.reshape(b, r, d, n_cells), True
 
     return f
 
@@ -136,11 +166,14 @@ def segment_sum_pallas(cell: jax.Array, values: jax.Array, n_cells: int,
     params), but the camera splat (train/bevfusion.py) trains THROUGH the
     reduction, so this wrapper supplies the exact VJP: the transpose of a
     segment-sum over fixed cells is the per-element gather of the cell's
-    cotangent (one row gather, same cost class as the forward sort)."""
-    maxvals = jnp.full_like(cell, -jnp.inf, dtype=jnp.float32)
-    sums, _ = segment_sum_max_pallas(cell, values, maxvals, n_cells,
-                                     interpret=interpret)
-    return sums
+    cotangent (one row gather, same cost class as the forward sort).
+
+    Runs the sum-only kernel variant: no -inf max stream is materialized,
+    streamed, or reduced (it was pure waste in the training inner loop)."""
+    check_interpret_backend(interpret)
+    return _segment_sum_vmappable(int(n_cells), bool(interpret))(
+        cell, values
+    )
 
 
 def _segment_sum_fwd(cell, values, n_cells, interpret):
@@ -166,16 +199,23 @@ segment_sum_pallas.defvjp(_segment_sum_fwd, _segment_sum_bwd)
 
 
 def _segment_impl(cell, values, maxvals, n_cells, interpret):
+    """maxvals=None runs the sum-only kernel variant and returns just sums
+    (the differentiable training path); otherwise returns (sums, maxs)."""
+    has_max = maxvals is not None
     r, n = cell.shape
     d = values.shape[1]
     s_t = min(_S_T, n)
+    # dynamic lane-dim slice offsets (ci * s_t) are only Mosaic-legal when
+    # 128-aligned; round the chunk up — the padding below absorbs it
+    s_t = -(-s_t // 128) * 128
     if n % s_t:
         pad = s_t - n % s_t
         big = jnp.full((r, pad), jnp.int32(2**30))
         cell = jnp.concatenate([cell, big], axis=1)
         values = jnp.pad(values, ((0, 0), (0, 0), (0, pad)))
-        maxvals = jnp.pad(maxvals, ((0, 0), (0, pad)),
-                          constant_values=-jnp.inf)
+        if has_max:
+            maxvals = jnp.pad(maxvals, ((0, 0), (0, pad)),
+                              constant_values=-jnp.inf)
         n += pad
     out_cells = n_cells
     l_t = min(_L_T, n_cells)
@@ -192,32 +232,46 @@ def _segment_impl(cell, values, maxvals, n_cells, interpret):
     ).astype(jnp.int32)
     hi = jnp.minimum(hi, n_chunks)
 
-    row_bytes = (d + 2) * n * 4 + (d + 1) * limit * 4
+    row_bytes = (
+        (d + 1 + has_max) * n * 4 + (d + has_max) * limit * 4
+    )
     rb = max(1, min(_RB, (4 << 20) // max(row_bytes, 1)))
     while rb > 1 and r % rb:
         rb -= 1
 
+    in_specs = [
+        pl.BlockSpec((rb, 1, n), lambda i, lo, hi: (i, 0, 0)),
+        pl.BlockSpec((rb, d, n), lambda i, lo, hi: (i, 0, 0)),
+    ]
+    out_specs = [pl.BlockSpec((rb, d, limit), lambda i, lo, hi: (i, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((r, d, limit), jnp.float32)]
+    operands = [lo.reshape(-1), hi.reshape(-1), cell[:, None, :],
+                values.astype(jnp.float32)]
+    if has_max:
+        in_specs.append(pl.BlockSpec((rb, 1, n), lambda i, lo, hi: (i, 0, 0)))
+        out_specs.append(
+            pl.BlockSpec((rb, 1, limit), lambda i, lo, hi: (i, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((r, 1, limit), jnp.float32))
+        operands.append(maxvals[:, None, :].astype(jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(r // rb,),
-        in_specs=[
-            pl.BlockSpec((rb, 1, n), lambda i, lo, hi: (i, 0, 0)),
-            pl.BlockSpec((rb, d, n), lambda i, lo, hi: (i, 0, 0)),
-            pl.BlockSpec((rb, 1, n), lambda i, lo, hi: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((rb, d, limit), lambda i, lo, hi: (i, 0, 0)),
-            pl.BlockSpec((rb, 1, limit), lambda i, lo, hi: (i, 0, 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    sums, maxs = pl.pallas_call(
-        functools.partial(_segment_kernel, d=d, l_t=l_t, s_t=s_t, rb=rb),
+    res = pl.pallas_call(
+        functools.partial(_segment_kernel, d=d, l_t=l_t, s_t=s_t, rb=rb,
+                          has_max=has_max),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((r, d, limit), jnp.float32),
-            jax.ShapeDtypeStruct((r, 1, limit), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(lo.reshape(-1), hi.reshape(-1), cell[:, None, :],
-      values.astype(jnp.float32), maxvals[:, None, :].astype(jnp.float32))
-    return sums[:, :, :out_cells], maxs[:, 0, :out_cells]
+        compiler_params=_vmem_params(
+            interpret, 2 * rb * row_bytes, "segment_sum_max_pallas"
+        ),
+    )(*operands)
+    if has_max:
+        sums, maxs = res
+        return sums[:, :, :out_cells], maxs[:, 0, :out_cells]
+    return res[0][:, :, :out_cells]

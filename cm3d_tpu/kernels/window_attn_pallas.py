@@ -86,18 +86,11 @@ def expand_bias_interleaved(bias_hnn: jax.Array, win: int, g: int) -> jax.Array:
     return expand_blockdiag(tiled, win) + jnp.asarray(_offdiag_np(win, g))
 
 
-def _wattn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                  bproj_ref, btil_ref, *rest, win, G, heads, C, dtype,
-                  eps, has_mask, bounds):
-    if has_mask:
-        mtil_ref, out_ref, qkv_s, out_s = rest
-    else:
-        (out_ref, qkv_s, out_s) = rest
-        mtil_ref = None
-    GW = G * win
-    T = win * GW
-    hd = C // heads
-
+def _ln_qkv_prologue(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, qkv_s,
+                     *, win, GW, T, C, dtype, eps, bounds):
+    """LayerNorm + bounds re-zeroing + qkv projection into scratch, shared
+    by both kernel variants (the pre-roll bounds reconstruction is the
+    subtlest logic in the file and must exist exactly once)."""
     xf = x_ref[0, 0, :, 0].reshape(T, C).astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mu
@@ -122,6 +115,30 @@ def _wattn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         + bqkv_ref[:]
     ).astype(dtype)
 
+
+def _proj_epilogue(out_s, wproj_ref, bproj_ref, out_ref, *, win, GW, C):
+    proj = jnp.dot(
+        out_s[:], wproj_ref[:], preferred_element_type=jnp.float32
+    ) + bproj_ref[:]
+    out_ref[0, 0, :, 0] = proj.reshape(win, GW, C).astype(out_ref.dtype)
+
+
+def _wattn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                  bproj_ref, btil_ref, *rest, win, G, heads, C, dtype,
+                  eps, has_mask, bounds):
+    if has_mask:
+        mtil_ref, out_ref, qkv_s, out_s = rest
+    else:
+        (out_ref, qkv_s, out_s) = rest
+        mtil_ref = None
+    GW = G * win
+    T = win * GW
+    hd = C // heads
+
+    _ln_qkv_prologue(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, qkv_s,
+                     win=win, GW=GW, T=T, C=C, dtype=dtype, eps=eps,
+                     bounds=bounds)
+
     scale = hd ** -0.5
 
     # Unrolled head loop: Mosaic requires DYNAMIC lane-dim slice offsets
@@ -144,10 +161,8 @@ def _wattn_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             p.astype(dtype), v, preferred_element_type=jnp.float32
         ).astype(dtype)
 
-    proj = jnp.dot(
-        out_s[:], wproj_ref[:], preferred_element_type=jnp.float32
-    ) + bproj_ref[:]
-    out_ref[0, 0, :, 0] = proj.reshape(win, GW, C).astype(out_ref.dtype)
+    _proj_epilogue(out_s, wproj_ref, bproj_ref, out_ref,
+                   win=win, GW=GW, C=C)
 
 
 def _impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, btil, mtil,
@@ -320,26 +335,9 @@ def _wattn_relpos_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     hd = C // heads
     two = 2 * win - 1
 
-    xf = x_ref[0, 0, :, 0].reshape(T, C).astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    ln = xc * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
-    if bounds is not None:
-        h_real, w_real, wp_ref, shift = bounds
-        hp = win * pl.num_programs(1)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-        grow = pl.program_id(1) * win + idx // GW
-        gcol = pl.program_id(2) * GW + idx % GW
-        valid = ((grow + shift) % hp) < h_real
-        valid &= gcol < wp_ref
-        valid &= ((gcol + shift) % wp_ref) < w_real
-        ln = jnp.where(valid, ln, 0.0)
-    qkv_s[:] = (
-        jnp.dot(ln.astype(dtype), wqkv_ref[:],
-                preferred_element_type=jnp.float32)
-        + bqkv_ref[:]
-    ).astype(dtype)
+    _ln_qkv_prologue(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, qkv_s,
+                     win=win, GW=GW, T=T, C=C, dtype=dtype, eps=eps,
+                     bounds=bounds)
 
     scale = hd ** -0.5
     if G > 1:
@@ -404,10 +402,8 @@ def _wattn_relpos_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
             p.astype(dtype), v, preferred_element_type=jnp.float32
         ).astype(dtype)
 
-    proj = jnp.dot(
-        out_s[:], wproj_ref[:], preferred_element_type=jnp.float32
-    ) + bproj_ref[:]
-    out_ref[0, 0, :, 0] = proj.reshape(win, GW, C).astype(out_ref.dtype)
+    _proj_epilogue(out_s, wproj_ref, bproj_ref, out_ref,
+                   win=win, GW=GW, C=C)
 
 
 def _impl_relpos(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,

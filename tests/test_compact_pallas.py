@@ -112,3 +112,54 @@ def test_lift_pallas_branch_matches_topk_on_cpu():
         for got, want in zip(jax.tree.leaves(outs[key]),
                              jax.tree.leaves(ref)):
             np.testing.assert_array_equal(got, want)
+
+
+def test_compact_rows_small_unaligned_s():
+    """S below the chunk size and not a 128-multiple: the chunk rounds up
+    to 128 alignment (Mosaic only guarantees dynamic lane offsets at
+    128-multiples) and padding absorbs the rest — bit-exact."""
+    r, s, d, limit = 4, 1500, 3, 500
+    sel = RNG.random((r, s)) < 0.4
+    values = RNG.standard_normal((r, d, s)).astype(np.float32)
+    out = np.asarray(
+        compact_rows_pallas(jnp.asarray(sel), jnp.asarray(values), limit,
+                            interpret=True)
+    )
+    np.testing.assert_array_equal(out, _reference(sel, values, limit))
+    # an explicitly unaligned s_tile override must also be legal
+    out2 = np.asarray(
+        compact_rows_pallas(jnp.asarray(sel), jnp.asarray(values), limit,
+                            interpret=True, s_tile=1500)
+    )
+    np.testing.assert_array_equal(out2, _reference(sel, values, limit))
+
+
+def test_compact_rows_vmap_broadcasts_unbatched_operand():
+    """A closed-over (unbatched) sel must broadcast in the custom_vmap
+    rule, not assert — the same latent bug class fixed for the segment
+    kernel's constant maxvals (commit 8f5bb07)."""
+    b, r, s, d, limit = 3, 2, 1024, 2, 256
+    sel = RNG.random((r, s)) < 0.3
+    values = RNG.standard_normal((b, r, d, s)).astype(np.float32)
+    sel_j = jnp.asarray(sel)
+    out = np.asarray(
+        jax.vmap(
+            lambda v: compact_rows_pallas(sel_j, v, limit, interpret=True)
+        )(jnp.asarray(values))
+    )
+    for i in range(b):
+        np.testing.assert_array_equal(
+            out[i], _reference(sel, values[i], limit)
+        )
+
+
+def test_vmem_params_loud_overflow():
+    """A per-program block set that can't fit even the raised VMEM cap is
+    a clear ValueError, not an opaque Mosaic allocation failure."""
+    import pytest
+
+    from cm3d_tpu.kernels.compact_pallas import VMEM_LIMIT, _vmem_params
+
+    with pytest.raises(ValueError, match="VMEM"):
+        _vmem_params(False, VMEM_LIMIT + 1, "compact_rows_pallas")
+    assert _vmem_params(True, 1024, "x") is None  # interpret: no params

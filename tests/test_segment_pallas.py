@@ -89,3 +89,47 @@ def test_pillarize_pallas_under_vmap():
     finally:
         vox._USE_PALLAS_SEGMENT = None
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_only_matches_sum_max_and_unbatched_cell():
+    """The differentiable sum-only wrapper (no max stream) returns exactly
+    the sum+max kernel's sums; a closed-over (unbatched) cell operand
+    broadcasts under vmap instead of asserting."""
+    import jax
+
+    from cm3d_tpu.kernels.segment_pallas import (
+        segment_sum_max_pallas,
+        segment_sum_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    r, n, d, n_cells = 3, 2048, 4, 600
+    cell = np.sort(rng.integers(0, n_cells + 5, (r, n)), axis=1).astype(np.int32)
+    values = rng.standard_normal((r, d, n)).astype(np.float32)
+    maxvals = np.full((r, n), -np.inf, np.float32)
+
+    sums_only = np.asarray(
+        segment_sum_pallas(jnp.asarray(cell), jnp.asarray(values), n_cells,
+                           True)
+    )
+    sums_ref, _ = segment_sum_max_pallas(
+        jnp.asarray(cell), jnp.asarray(values), jnp.asarray(maxvals),
+        n_cells, interpret=True,
+    )
+    np.testing.assert_array_equal(sums_only, np.asarray(sums_ref))
+
+    cell_j = jnp.asarray(cell[0])
+    batched = np.asarray(
+        jax.vmap(
+            lambda v: segment_sum_pallas(cell_j[None], v[None], n_cells,
+                                         True)[0]
+        )(jnp.asarray(values))
+    )
+    for i in range(r):
+        want = np.asarray(
+            segment_sum_pallas(
+                jnp.asarray(cell[:1]), jnp.asarray(values[i : i + 1]),
+                n_cells, True,
+            )
+        )[0]
+        np.testing.assert_array_equal(batched[i], want)
