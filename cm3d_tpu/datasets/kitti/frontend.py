@@ -30,10 +30,11 @@ from cm3d_tpu.datasets.artifacts import MaskArtifactStore
 from cm3d_tpu.datasets.kitti.calib import Calibration, Object3d
 from cm3d_tpu.datasets.nuscenes.frontend import get_detection_name
 from cm3d_tpu.datasets.types import CameraParams, Keyframe
-from cm3d_tpu.ops.bitmask import pack_masks_np
 from cm3d_tpu.vocab import NUSC_TO_KITTI
 
-KITTI_IMAGE_RATIO = 0.8366  # reference kitti/2d_to_3d.py:1103 (hardcoded)
+# The reference's hardcoded projection ratio (kitti/2d_to_3d.py:1103) lives
+# in config.KITTI_LIFT.image_ratio = 0.8366; build_keyframe reads the
+# config so thumbnail rescaling (pipelines/e2e.py) stays in effect.
 
 
 def _mat_to_quat_wxyz(m: np.ndarray) -> np.ndarray:
@@ -116,14 +117,19 @@ class KittiFrontend:
         uint32): the fused masks->lift path (mask-stage device bit-planes
         pass straight through). None reads the artifact store (the
         reference's two-stage on-disk contract)."""
+        from cm3d_tpu.ops.bitmask import num_words
+
         cfg = self.cfg
         if packed is None:
-            fm = self.store.read_frame(self.scene_name, idx)
-            if fm is None:
+            # same packed fast path as NuScenesFrontend (RLE decoded
+            # straight into bit-planes by the C codec, no dense
+            # intermediate or per-mask transpose loop here)
+            packed = self.store.read_frame_packed(
+                self.scene_name, idx, num_words(cfg.max_masks), self.mask_wh
+            )
+            if packed is None:
                 return None
-            labels_raw, scores_raw = fm.labels, fm.detection_scores
-        else:
-            labels_raw, scores_raw, _, packed_bits = packed
+        labels_raw, scores_raw, _, packed_bits = packed
         calib = self.dataset.get_calibration(idx)
         pts = self.dataset.get_lidar(idx)
 
@@ -139,14 +145,15 @@ class KittiFrontend:
         rot = a.T
         cam_t = (-a.T @ b).astype(np.float32)
         cam_q = _mat_to_quat_wxyz(rot)
-        k_scaled = (k * KITTI_IMAGE_RATIO).astype(np.float32)
+        # cfg.image_ratio (reference default 0.8366) — NOT the module
+        # constant: the fused e2e CLI rescales it for non-1024 thumbnails
+        # (e2e._scale_ratio_for_thumbnail), and a hardcoded ratio here
+        # would silently misproject onto the rescaled mask canvas.
+        k_scaled = (k * cfg.image_ratio).astype(np.float32)
         k_scaled[2, 2] = 1.0
 
-        w, h = self.mask_wh
         m_pad = cfg.max_masks
         m_real = min(len(labels_raw), m_pad)
-        if packed is None:
-            masks = np.zeros((m_pad, w, h), bool)
         mask_cam = np.zeros(m_pad, np.int32)
         mask_label = np.zeros(m_pad, np.int32)
         mask_score = np.zeros(m_pad, np.float32)
@@ -155,18 +162,11 @@ class KittiFrontend:
             name = get_detection_name(labels_raw[i])
             if name not in CLASS_TO_ID:
                 continue
-            if packed is None:
-                mk = fm.masks[i]
-                if mk.shape == (h, w):
-                    mk = mk.T
-                masks[i, : mk.shape[0], : mk.shape[1]] = (
-                    mk.astype(bool)[:w, :h]
-                )
             mask_label[i] = CLASS_TO_ID[name]
             mask_score[i] = scores_raw[i]
             mask_valid[i] = True
 
-        mask_bits = packed_bits if packed is not None else pack_masks_np(masks)
+        mask_bits = packed_bits
         l_pad = cfg.max_lane_points  # KITTI has no map: all lanes invalid
         kf = Keyframe(
             points=points,

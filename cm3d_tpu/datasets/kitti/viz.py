@@ -112,16 +112,20 @@ def draw_boxes_on_bev(
 
     im = Image.fromarray(top_image).convert("RGB")
     draw = ImageDraw.Draw(im)
-    yn = top_image.shape[1]
+    w_img, h_img = top_image.shape[1], top_image.shape[0]
     for obj in objects:
         corners = compute_box_3d(obj)[:4]  # bottom face, rect frame
         velo = calib.project_rect_to_velo(corners)
         qx = ((velo[:, 0] - TOP_X_MIN) // TOP_X_DIVISION).astype(int)
         qy = ((velo[:, 1] - TOP_Y_MIN) // TOP_Y_DIVISION).astype(int)
-        px = [(-y) % top_image.shape[1] for y in qy]
-        py = [(-x) % top_image.shape[0] for x in qx]
-        pts = list(zip(px, py))
-        draw.polygon(pts, outline=color)
+        # the (-q) % size flip only mirrors IN-crop cells; a corner past
+        # the crop would modulo-wrap to the opposite image edge, so skip
+        # boxes that leave the raster instead of drawing them wrapped
+        if ((qy < 0) | (qy >= w_img) | (qx < 0) | (qx >= h_img)).any():
+            continue
+        px = (-qy) % w_img
+        py = (-qx) % h_img
+        draw.polygon(list(zip(px.tolist(), py.tolist())), outline=color)
     return np.asarray(im)
 
 

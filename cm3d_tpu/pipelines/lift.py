@@ -54,9 +54,9 @@ def run_lift(
 
     from cm3d_tpu.datasets.nuscenes import NuScenesFrontend, SubmissionWriter
 
-    from cm3d_tpu.utils.observability import LiftCounters
+    from cm3d_tpu.utils.observability import LiftCounters, StageTimer
 
-    timer = {"io": 0.0, "device": 0.0, "write": 0.0, "total": 0.0}
+    timer = StageTimer()
     counters = LiftCounters()
     t_total = time.perf_counter()
 
@@ -102,13 +102,13 @@ def run_lift(
             jax.tree.map(lambda x: x[:n_real], lift_np),
             boxes_np.keep[:n_real],
         )
-        timer["device"] += time.perf_counter() - t0
+        timer.add("device", time.perf_counter() - t0)
         t0 = time.perf_counter()
         for i, (_, meta) in enumerate(pending[:n_real]):
             writer.add_device_outputs(
                 meta.sample_token, jax.tree.map(lambda x: x[i], boxes_np)
             )
-        timer["write"] += time.perf_counter() - t0
+        timer.add("write", time.perf_counter() - t0)
         pending = []
 
     # Host keyframe building overlaps device execution: a worker pool
@@ -145,28 +145,30 @@ def run_lift(
         ):
             if built is None:
                 continue
-            timer["io"] += time.perf_counter() - t0
+            timer.add("io", time.perf_counter() - t0)
             pending.append(built)
             n_frames += 1
             if len(pending) >= batch_size:
                 flush()
             t0 = time.perf_counter()
-    timer["io"] += time.perf_counter() - t0
+    timer.add("io", time.perf_counter() - t0)
     flush()
     profile_ctx.__exit__(None, None, None)
 
     t0 = time.perf_counter()
     submission = writer.write(out_path)
-    timer["write"] += time.perf_counter() - t0
-    timer["total"] = time.perf_counter() - t_total
+    timer.add("write", time.perf_counter() - t0)
+    timer.add("total", time.perf_counter() - t_total)
 
     if verbose:
         n_boxes = sum(len(v) for v in submission["results"].values())
         print(f"wrote {len(submission['results'])} samples, {n_boxes} boxes.")
-        for op, v in timer.items():
+        total = timer.stages.get("total", 0.0)
+        for op, v in timer.stages.items():
             print(f"{op} :\t\t {v:.3f}")
-        if timer["total"] > 0:
-            print(f"keyframes/sec: {n_frames / timer['total']:.2f}")
+        if total > 0:
+            print(f"keyframes/sec: {n_frames / total:.2f}")
+        print(timer.report())
         print(counters.report())
     return submission
 

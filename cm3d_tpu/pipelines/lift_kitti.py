@@ -69,6 +69,7 @@ def run_lift_kitti(
     batch_size: int = 8,
     verbose: bool = True,
     data_parallel: int = 0,
+    split: str = "training",
 ) -> int:
     import jax
 
@@ -77,7 +78,8 @@ def run_lift_kitti(
     enable_compilation_cache()
     if lift_cfg is None:
         lift_cfg = KITTI_LIFT
-    frontend = KittiFrontend(root, MaskArtifactStore(mask_dir), lift_cfg)
+    frontend = KittiFrontend(root, MaskArtifactStore(mask_dir), lift_cfg,
+                             split=split)
     from cm3d_tpu.parallel.pipeline import dp_step
 
     step = dp_step(make_kitti_step_fn(lift_cfg), batch_size, data_parallel)
@@ -151,7 +153,8 @@ def main(argv=None):
         raise SystemExit("no frames to process")
     run_lift_kitti(args.root, args.mask_dir, indices, args.out_dir,
                    batch_size=args.batch_size,
-                   data_parallel=args.data_parallel)
+                   data_parallel=args.data_parallel,
+                   split=args.split)
 
 
 if __name__ == "__main__":

@@ -8,10 +8,12 @@ from cm3d_tpu.datasets.artifacts import FrameMasks, MaskArtifactStore
 from cm3d_tpu.datasets.kitti import Calibration, Object3d, read_label, write_label
 from cm3d_tpu.datasets.kitti.calib import compute_box_3d
 from cm3d_tpu.datasets.kitti.frontend import (
-    KITTI_IMAGE_RATIO,
     KittiFrontend,
     velo_yaw_to_kitti_ry,
 )
+from cm3d_tpu.config import KITTI_LIFT
+
+KITTI_IMAGE_RATIO = KITTI_LIFT.image_ratio  # reference 0.8366
 
 RNG = np.random.default_rng(47)
 
@@ -157,7 +159,8 @@ def test_kitti_lift_end_to_end(kitti_root, tmp_path):
                                              np.stack(masks)))
 
     cfg = LiftStageConfig(
-        num_sweeps=1, max_points=8192, max_masks=16, max_points_per_mask=512,
+        num_sweeps=1, image_ratio=KITTI_IMAGE_RATIO,
+        max_points=8192, max_masks=16, max_points_per_mask=512,
         max_points_per_camera=4096, max_points_in_masks=2048,
         max_lane_points=64,
     )
@@ -230,3 +233,60 @@ def test_gen_depth_pc_cli(kitti_root, tmp_path):
     np.testing.assert_allclose(pc[:, 3], 0.5)
     # 20 m depth in front of the camera: inside the cbox x-range
     assert (pc[:, 0] > 0).all() and (pc[:, 0] < 70.4).all()
+
+
+def test_build_keyframe_respects_cfg_image_ratio(kitti_root):
+    """cfg.image_ratio reaches the intrinsics (the fused e2e CLI rescales
+    it for non-1024 thumbnails; a hardcoded module ratio silently
+    misprojected onto the rescaled mask canvas)."""
+    store = MaskArtifactStore(str(kitti_root / "masks"))
+    mask_w, mask_h = 1024, 320
+    (kitti_root / "training" / "velodyne").mkdir(exist_ok=True)
+    np.zeros((10, 4), np.float32).tofile(
+        kitti_root / "training" / "velodyne" / "000000.bin"
+    )
+    m = np.zeros((mask_w, mask_h), np.uint8)
+    m[100:200, 100:200] = 1
+    store.write_frame(
+        "kitti", 0,
+        FrameMasks(labels=["car"], detection_scores=[0.9], cam_nums=[0],
+                   masks=np.stack([m.T])),
+    )
+
+    def intr(ratio):
+        cfg = LiftStageConfig(
+            num_sweeps=1, image_ratio=ratio, max_masks=32,
+            max_points=4096, max_points_per_mask=256,
+            max_points_per_camera=2048, max_points_in_masks=2048,
+            max_lane_points=64,
+        )
+        fe = KittiFrontend(kitti_root, store, cfg)
+        kf, _ = fe.build_keyframe(0)
+        return np.asarray(kf.cameras.intrinsics[0])
+
+    k_full = intr(KITTI_IMAGE_RATIO)
+    k_half = intr(KITTI_IMAGE_RATIO / 2)
+    np.testing.assert_allclose(k_half[:2], k_full[:2] / 2, rtol=1e-6)
+    assert k_half[2, 2] == 1.0
+
+
+def test_lift_kitti_cli_split_wired(kitti_root, tmp_path, monkeypatch):
+    """--split testing must reach KittiFrontend (it silently read the
+    training split)."""
+    from cm3d_tpu.pipelines import lift_kitti
+
+    seen = {}
+    real_init = lift_kitti.KittiFrontend.__init__
+
+    def spy(self, root, store, cfg=None, split="training", **kw):
+        seen["split"] = split
+        real_init(self, root, store, cfg, split=split, **kw)
+
+    monkeypatch.setattr(lift_kitti.KittiFrontend, "__init__", spy)
+    (kitti_root / "testing" / "velodyne").mkdir(parents=True, exist_ok=True)
+    store = MaskArtifactStore(str(tmp_path / "m2"))
+    lift_kitti.run_lift_kitti(
+        str(kitti_root), str(tmp_path / "m2"), [], str(tmp_path / "o"),
+        split="testing",
+    )
+    assert seen["split"] == "testing"
