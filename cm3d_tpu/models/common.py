@@ -102,9 +102,13 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
     """
     max_rel_dist = 2 * max(q_size, k_size) - 1
     if rel_pos.shape[0] != max_rel_dist:
-        # linear interpolation to the needed length
+        # linear interpolation to the needed length. SAM resizes with
+        # F.interpolate(mode="linear") — align_corners=False, i.e.
+        # half-pixel source positions (i + 0.5) * src/dst - 0.5, NOT an
+        # endpoint linspace.
         orig = rel_pos.shape[0]
-        pos = jnp.linspace(0, orig - 1, max_rel_dist)
+        pos = (jnp.arange(max_rel_dist) + 0.5) * (orig / max_rel_dist) - 0.5
+        pos = jnp.clip(pos, 0, orig - 1)
         lo = jnp.floor(pos).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, orig - 1)
         frac = (pos - lo)[:, None]

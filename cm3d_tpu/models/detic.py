@@ -55,6 +55,10 @@ class DeticConfig:
     score_thresh: float = 0.1  # reference :35
     nms_thresh: float = 0.5
     max_detections: int = 128
+    # (proposal, class) pairs entering the final class-wise NMS. detectron2
+    # NMSes ALL above-threshold pairs then truncates; this bounds the NMS
+    # working set — exact whenever <= nms_topk pairs clear score_thresh.
+    nms_topk: int = 1024
     mult_proposal_score: bool = True
     dtype: str = "float32"  # compute dtype for FPN/heads (params stay f32)
 
@@ -127,12 +131,13 @@ class CenterNetHead(nn.Module):
         hms, regs = {}, {}
         convs_bbox = [
             (nn.Conv(cfg.fpn_dim, (3, 3), padding=1, dtype=dt, name=f"bbox_conv{i}"),
-             nn.GroupNorm(cfg.head_gn_groups, name=f"bbox_gn{i}"))
+             # torch nn.GroupNorm default eps=1e-5 (flax defaults to 1e-6)
+             nn.GroupNorm(cfg.head_gn_groups, epsilon=1e-5, name=f"bbox_gn{i}"))
             for i in range(cfg.num_head_convs)
         ]
         convs_share = [
             (nn.Conv(cfg.fpn_dim, (3, 3), padding=1, dtype=dt, name=f"share_conv{i}"),
-             nn.GroupNorm(cfg.head_gn_groups, name=f"share_gn{i}"))
+             nn.GroupNorm(cfg.head_gn_groups, epsilon=1e-5, name=f"share_gn{i}"))
             for i in range(cfg.num_head_convs)
         ]
         hm_out = nn.Conv(1, (3, 3), padding=1, name="agn_hm")
@@ -174,18 +179,23 @@ def decode_proposals(
         boxes = jnp.stack(
             [xs - r[:, 0], ys - r[:, 1], xs + r[:, 2], ys + r[:, 3]], axis=1
         )
-        keep = nms_2d_classwise(
-            boxes,
-            score,
-            jnp.zeros(k, jnp.int32),
-            score > 0,
-            cfg.proposal_nms_thresh,
-        )
         all_boxes.append(boxes)
-        all_scores.append(jnp.where(keep, score, 0.0))
+        all_scores.append(score)
     boxes = jnp.concatenate(all_boxes, axis=0)
     scores = jnp.concatenate(all_scores, axis=0)
-    top_scores, top_idx = jax.lax.top_k(scores, cfg.post_nms_topk)
+    # CenterNet2 cats ALL levels per image, then runs one class-agnostic
+    # ml_nms over the combined set before the post-NMS top-k — per-level
+    # NMS would let cross-level duplicates survive into the cascade.
+    keep = nms_2d_classwise(
+        boxes,
+        scores,
+        jnp.zeros(scores.shape[0], jnp.int32),
+        scores > 0,
+        cfg.proposal_nms_thresh,
+    )
+    top_scores, top_idx = jax.lax.top_k(
+        jnp.where(keep, scores, 0.0), cfg.post_nms_topk
+    )
     return boxes[top_idx], top_scores
 
 
@@ -242,6 +252,41 @@ class DeticDetections(NamedTuple):
     valid: jax.Array  # [D] bool
 
 
+def select_detections(
+    boxes: jax.Array,    # [R, 4] refined cascade boxes
+    scores: jax.Array,   # [R, K] combined per-class scores
+    cfg: DeticConfig,
+) -> DeticDetections:
+    """detectron2 fast_rcnn_inference order: threshold -> class-wise NMS
+    over ALL surviving (proposal, class) pairs -> truncate to
+    max_detections. Truncating BEFORE NMS (the tempting static-shape
+    shortcut) returns strictly fewer distinct objects in crowded scenes:
+    pairs ranked past the cap get dropped even when NMS would have
+    suppressed the higher-ranked overlapping boxes above them.
+    cfg.nms_topk bounds the NMS working set — exact whenever <= nms_topk
+    pairs clear score_thresh."""
+    r, k = scores.shape
+    flat = scores.reshape(-1)
+    classes = jnp.tile(jnp.arange(k, dtype=jnp.int32), r)
+    box_rep = jnp.repeat(boxes, k, axis=0)
+    valid = flat > cfg.score_thresh
+    n_cand = min(cfg.nms_topk, r * k)
+    cand_s, cand_i = jax.lax.top_k(jnp.where(valid, flat, -1.0), n_cand)
+    cand_boxes = box_rep[cand_i]
+    cand_classes = classes[cand_i]
+    cand_valid = cand_s > cfg.score_thresh
+    keep = nms_2d_classwise(
+        cand_boxes, cand_s, cand_classes, cand_valid, cfg.nms_thresh
+    )
+    top_s, top_i = jax.lax.top_k(
+        jnp.where(keep & cand_valid, cand_s, -1.0), cfg.max_detections
+    )
+    return DeticDetections(
+        cand_boxes[top_i], top_s, cand_classes[top_i],
+        top_s > cfg.score_thresh,
+    )
+
+
 class Detic(nn.Module):
     cfg: DeticConfig = DETIC_SWINB
 
@@ -254,9 +299,19 @@ class Detic(nn.Module):
             for i in range(self.cfg.num_cascade_stages)
         ]
 
-    def __call__(self, image: jax.Array, classifier: jax.Array) -> DeticDetections:
+    def __call__(
+        self,
+        image: jax.Array,
+        classifier: jax.Array,
+        true_hw: jax.Array | None = None,
+    ) -> DeticDetections:
         """image: [H, W, 3] normalized; classifier: [embed_dim, K] CLIP
-        text embeddings (normalized columns). Returns padded detections."""
+        text embeddings (normalized columns). Returns padded detections.
+
+        true_hw: optional [2] (h, w) of the REAL image content before the
+        /32 padding — detectron2 clips boxes to the recorded image_size,
+        not the padded canvas, so without it boxes can extend up to 31 px
+        into dead padding (and so would the SAM prompts cut from them)."""
         cfg = self.cfg
         feats = self.backbone(image[None])
         levels = self.fpn(feats)
@@ -267,7 +322,12 @@ class Detic(nn.Module):
         feats_single = {lvl: levels[lvl][0] for lvl in levels}
         min_l, max_l = min(strides), max(strides)
 
-        h_img, w_img = image.shape[0], image.shape[1]
+        if true_hw is None:
+            h_img = jnp.asarray(image.shape[0], jnp.float32)
+            w_img = jnp.asarray(image.shape[1], jnp.float32)
+        else:
+            h_img = true_hw[0].astype(jnp.float32)
+            w_img = true_hw[1].astype(jnp.float32)
         stage_scores = []
         for i, stage in enumerate(self.cascade):
             pooled = multilevel_roi_align(
@@ -288,34 +348,28 @@ class Detic(nn.Module):
 
         scores = jnp.mean(jnp.stack(stage_scores), axis=0)  # [R, K]
         if cfg.mult_proposal_score:
-            scores = scores * jnp.sqrt(jnp.maximum(prop_scores, 0.0))[:, None]
-
-        # flatten (proposal, class) pairs, threshold, NMS, top-k
-        r, k = scores.shape
-        flat = scores.reshape(-1)
-        classes = jnp.tile(jnp.arange(k, dtype=jnp.int32), r)
-        box_rep = jnp.repeat(boxes, k, axis=0)
-        valid = flat > cfg.score_thresh
-        n_out = cfg.max_detections
-        top_s, top_i = jax.lax.top_k(jnp.where(valid, flat, -1.0), n_out)
-        out_boxes = box_rep[top_i]
-        out_classes = classes[top_i]
-        out_valid = top_s > cfg.score_thresh
-        keep = nms_2d_classwise(
-            out_boxes, top_s, out_classes, out_valid, cfg.nms_thresh
-        )
-        return DeticDetections(out_boxes, top_s, out_classes, keep & out_valid)
+            # geometric mean, Detic/CenterNet2 DeticCascadeROIHeads:
+            # ((s * ps) ** 0.5) — NOT s * sqrt(ps), which deflates every
+            # score by sqrt(s) and changes what clears score_thresh
+            scores = jnp.sqrt(
+                scores * jnp.maximum(prop_scores, 0.0)[:, None]
+            )
+        return select_detections(boxes, scores, cfg)
 
 
-DETIC_PIXEL_MEAN = np.array([103.530, 116.280, 123.675], np.float32)  # BGR
-DETIC_PIXEL_STD = np.array([57.375, 57.120, 58.395], np.float32)
+# Detic's configs set INPUT.FORMAT: RGB with ImageNet-order statistics
+# (Base-C2_L_R5021k_640b64_4x.yaml). The reference script feeds BGR only
+# because DefaultPredictor assumes BGR input and flips BACK to RGB when the
+# config says RGB — so the network itself always sees RGB. Feed RGB here.
+DETIC_PIXEL_MEAN = np.array([123.675, 116.280, 103.530], np.float32)  # RGB
+DETIC_PIXEL_STD = np.array([58.395, 57.120, 57.375], np.float32)
 
 
-def preprocess_bgr(img_bgr_uint8: np.ndarray, size_divisibility: int = 32) -> np.ndarray:
-    """Normalize a BGR uint8 image and pad to the divisibility boundary
+def preprocess_rgb(img_rgb_uint8: np.ndarray, size_divisibility: int = 32) -> np.ndarray:
+    """Normalize an RGB uint8 image and pad to the divisibility boundary
     (detectron2 DefaultPredictor applies ResizeShortestEdge upstream; the
     reference instead feeds 1024-thumbnail images directly)."""
-    x = (img_bgr_uint8.astype(np.float32) - DETIC_PIXEL_MEAN) / DETIC_PIXEL_STD
+    x = (img_rgb_uint8.astype(np.float32) - DETIC_PIXEL_MEAN) / DETIC_PIXEL_STD
     h, w = x.shape[:2]
     ph = -(-h // size_divisibility) * size_divisibility
     pw = -(-w // size_divisibility) * size_divisibility

@@ -471,26 +471,26 @@ class TwoWayBlock(nn.Module):
             queries = queries + DecoderAttention(
                 self.dim, self.heads, dtype=dt, name="self_attn"
             )(q, q, queries)
-        queries = nn.LayerNorm(name="norm1")(queries).astype(dt)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries).astype(dt)
 
         q = queries + query_pe
         k = keys + key_pe
         queries = queries + DecoderAttention(
             self.dim, self.heads, 2, dtype=dt, name="cross_attn_token_to_image"
         )(q, k, keys)
-        queries = nn.LayerNorm(name="norm2")(queries).astype(dt)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries).astype(dt)
 
         queries = queries + MLPBlock(
             self.mlp_dim, self.dim, act="relu", dtype=dt, name="mlp"
         )(queries)
-        queries = nn.LayerNorm(name="norm3")(queries).astype(dt)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm3")(queries).astype(dt)
 
         q = queries + query_pe
         k = keys + key_pe
         keys = keys + DecoderAttention(
             self.dim, self.heads, 2, dtype=dt, name="cross_attn_image_to_token"
         )(k, q, queries)
-        keys = nn.LayerNorm(name="norm4")(keys).astype(dt)
+        keys = nn.LayerNorm(epsilon=1e-5, name="norm4")(keys).astype(dt)
         return queries, keys
 
 
@@ -523,7 +523,7 @@ class TwoWayTransformer(nn.Module):
             self.cfg.out_dim, self.cfg.decoder_heads, 2, dtype=dt,
             name="final_attn"
         )(q, k, keys)
-        queries = nn.LayerNorm(name="norm_final")(queries).astype(dt)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm_final")(queries).astype(dt)
         return queries, keys
 
 

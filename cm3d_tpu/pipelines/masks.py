@@ -519,12 +519,15 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
         pw = -(-w // 32) * 32
 
         def one(img, hw_c):
+            # RGB straight through: the reference's BGR flip is undone by
+            # DefaultPredictor (INPUT.FORMAT=RGB) before the network — see
+            # models/detic.py DETIC_PIXEL_MEAN
             x = _norm_and_mask(
-                img[..., ::-1], hw_c,
+                img, hw_c,
                 jnp.asarray(DETIC_PIXEL_MEAN), jnp.asarray(DETIC_PIXEL_STD),
             )
             x = jnp.pad(x, ((0, ph - h), (0, pw - w), (0, 0)))
-            return detic_model.apply({"params": p}, x, clf)
+            return detic_model.apply({"params": p}, x, clf, hw_c)
 
         det = jax.vmap(one)(x_u8, hw)
         return det.boxes, det.scores, det.classes, det.valid

@@ -41,7 +41,7 @@ def zeros_like_tree(tree):
 
 
 def main():
-    from cm3d_tpu.models.detic import DETIC_SWINB, Detic, preprocess_bgr
+    from cm3d_tpu.models.detic import DETIC_SWINB, Detic, preprocess_rgb
     from cm3d_tpu.models.sam import SAM_VIT_H, Sam
     from cm3d_tpu.models.swin import SWIN_B
 
@@ -49,7 +49,7 @@ def main():
     rng = np.random.default_rng(0)
     results = {}
 
-    img = preprocess_bgr(rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8))
+    img = preprocess_rgb(rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8))
     imgs = jnp.asarray(np.stack([img] * C))
     img = jnp.asarray(img)
 

@@ -31,7 +31,7 @@ def timeit(name, fn, *args):
 
 def main():
     from cm3d_tpu.models.detic import (
-        DETIC_SWINB, Detic, decode_proposals, preprocess_bgr,
+        DETIC_SWINB, Detic, decode_proposals, preprocess_rgb,
     )
     from cm3d_tpu.models.swin import SWIN_B, SwinTransformer
     from cm3d_tpu.ops.nms import nms_2d_classwise
@@ -46,7 +46,7 @@ def main():
     model = Detic(cfg)
     clf = jnp.asarray(rng.standard_normal((cfg.embed_dim, 18)).astype(np.float32))
     img = jnp.asarray(
-        preprocess_bgr(rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8))
+        preprocess_rgb(rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8))
     )
     shapes = jax.eval_shape(
         lambda r: model.init(r, jnp.zeros_like(img), clf), jax.random.PRNGKey(0)

@@ -35,7 +35,7 @@ def profile_fn(tag, fn, *args, iters=3):
 
 
 def main():
-    from cm3d_tpu.models.detic import DETIC_SWINB, Detic, preprocess_bgr
+    from cm3d_tpu.models.detic import DETIC_SWINB, Detic, preprocess_rgb
     from cm3d_tpu.models.sam import SAM_VIT_H, Sam
     from cm3d_tpu.models.swin import SWIN_B
 
@@ -59,7 +59,7 @@ def main():
     detic = Detic(cfg)
     clf = jnp.asarray(rng.standard_normal((cfg.embed_dim, 18)).astype(np.float32))
     img = jnp.asarray(
-        preprocess_bgr(rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8))
+        preprocess_rgb(rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8))
     )
     dshp = jax.eval_shape(
         lambda r: detic.init(r, jnp.zeros_like(img), clf), jax.random.PRNGKey(0)

@@ -86,3 +86,80 @@ def test_detic_vocabulary_swap_changes_classes():
     clf2 /= np.linalg.norm(clf2, axis=0, keepdims=True)
     det2 = model.apply({"params": params}, img, jnp.asarray(clf2))
     assert int(np.asarray(det2.classes).max()) <= 8
+
+
+def test_select_detections_nms_before_truncation():
+    """detectron2 order: NMS over ALL above-threshold pairs, THEN truncate.
+    Build max_detections=2 with 3 distinct objects, where a 4th duplicate
+    box (high score, overlapping object A) would consume a slot if
+    truncation ran first."""
+    from cm3d_tpu.models.detic import DeticConfig, select_detections
+
+    cfg = DeticConfig(max_detections=2, nms_topk=16, score_thresh=0.1,
+                      nms_thresh=0.5)
+    # object A at two near-identical boxes (dup should be NMS'd away),
+    # objects B, C distinct
+    boxes = jnp.asarray(np.array([
+        [0, 0, 10, 10],      # A
+        [1, 0, 11, 10],      # A duplicate (IoU ~0.8)
+        [50, 50, 60, 60],    # B
+        [100, 100, 110, 110],  # C
+    ], np.float32))
+    scores = jnp.asarray(np.array(
+        [[0.9], [0.8], [0.7], [0.6]], np.float32))  # K=1
+    det = select_detections(boxes, scores, cfg)
+    got = {tuple(np.asarray(det.boxes[i])[:2]) for i in range(2)
+           if bool(det.valid[i])}
+    # truncate-first would return {A, A-duplicate}; NMS-first returns {A, B}
+    assert got == {(0.0, 0.0), (50.0, 50.0)}
+    np.testing.assert_allclose(np.asarray(det.scores[:2]), [0.9, 0.7])
+
+
+def test_mult_proposal_score_is_geometric_mean():
+    """Detic's MULT_PROPOSAL_SCORE combines as sqrt(cls * proposal) —
+    s*sqrt(ps) would deflate moderate scores below score_thresh."""
+    s, ps = 0.1, 0.4
+    combined = float(jnp.sqrt(jnp.asarray(s) * jnp.maximum(ps, 0.0)))
+    assert abs(combined - 0.2) < 1e-6
+    # the Detic forward applies exactly this (pin the code path exists)
+    import inspect
+
+    from cm3d_tpu.models import detic as detic_mod
+
+    src = inspect.getsource(detic_mod.Detic.__call__)
+    assert "jnp.sqrt(" in src and "prop_scores" in src
+
+
+def test_detic_pixel_stats_are_rgb():
+    """Detic configs set INPUT.FORMAT: RGB with ImageNet-order stats; the
+    reference's BGR flip is undone inside DefaultPredictor. Feeding the
+    flipped order to a converted checkpoint silently swaps R/B weights."""
+    from cm3d_tpu.models.detic import DETIC_PIXEL_MEAN, DETIC_PIXEL_STD
+
+    np.testing.assert_allclose(DETIC_PIXEL_MEAN, [123.675, 116.280, 103.530])
+    np.testing.assert_allclose(DETIC_PIXEL_STD, [58.395, 57.120, 57.375])
+
+
+def test_get_rel_pos_interpolation_matches_torch():
+    """Table-length interpolation uses F.interpolate(mode='linear')
+    semantics (align_corners=False, half-pixel) — fires on the rect_encode
+    non-native grids."""
+    import torch
+    import torch.nn.functional as F
+
+    from cm3d_tpu.models.common import get_rel_pos
+
+    rng = np.random.default_rng(11)
+    rel = rng.standard_normal((127, 8)).astype(np.float32)
+    q = k = 36  # needs 2*36-1 = 71 rows from the 127-row table
+    got = np.asarray(get_rel_pos(q, k, jnp.asarray(rel)))
+
+    resized = F.interpolate(
+        torch.from_numpy(rel).reshape(1, 127, -1).permute(0, 2, 1),
+        size=71, mode="linear",
+    ).permute(0, 2, 1)[0].numpy()
+    qc = np.arange(q)[:, None] * max(k / q, 1.0)
+    kc = np.arange(k)[None, :] * max(q / k, 1.0)
+    idx = (qc - kc + (k - 1) * max(q / k, 1.0)).astype(np.int64)
+    want = resized[idx]
+    np.testing.assert_allclose(got, want, atol=1e-5)
