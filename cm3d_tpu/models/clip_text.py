@@ -52,7 +52,7 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, causal_mask: jax.Array) -> jax.Array:
-        y = nn.LayerNorm(name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         b, n, d = y.shape
         head_dim = self.width // self.heads
         # fused in_proj like torch MultiheadAttention
@@ -69,7 +69,7 @@ class ResidualAttentionBlock(nn.Module):
         o = jnp.transpose(attn @ v, (0, 2, 1, 3)).reshape(b, n, d)
         x = x + nn.Dense(self.width, name="out_proj")(o)
 
-        y = nn.LayerNorm(name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         y = nn.Dense(self.width * 4, name="mlp_fc")(y)
         # CLIP uses QuickGELU: x * sigmoid(1.702 x)
         y = y * jax.nn.sigmoid(1.702 * y)
@@ -102,7 +102,7 @@ class ClipTextEncoder(nn.Module):
             x = ResidualAttentionBlock(cfg.width, cfg.heads, name=f"block{i}")(
                 x, mask
             )
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         proj = self.param(
             "text_projection",
             nn.initializers.normal(cfg.width ** -0.5),

@@ -273,11 +273,11 @@ class BertLayer(nn.Module):
         c, dt = self.cfg, self.dtype
         a = BertSelfAttention(c, dt, name="self")(x, attn_mask)
         a = nn.Dense(c.hidden, dtype=dt, name="attn_out")(a)
-        x = nn.LayerNorm(name="attn_ln")(x + a)
+        x = nn.LayerNorm(epsilon=1e-12, name="attn_ln")(x + a)
         h = nn.Dense(c.intermediate, dtype=dt, name="inter")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(c.hidden, dtype=dt, name="out")(h)
-        return nn.LayerNorm(name="out_ln")(x + h)
+        return nn.LayerNorm(epsilon=1e-12, name="out_ln")(x + h)
 
 
 class BertEncoder(nn.Module):
@@ -295,7 +295,7 @@ class BertEncoder(nn.Module):
         typ = nn.Embed(c.type_vocab, c.hidden, name="token_type")(
             jnp.zeros_like(ids)
         )
-        x = nn.LayerNorm(name="embed_ln")(word + pos + typ).astype(dt)
+        x = nn.LayerNorm(epsilon=1e-12, name="embed_ln")(word + pos + typ).astype(dt)
         for i in range(c.layers):
             x = BertLayer(c, dt, name=f"layer{i}")(x, attn_mask)
         return x
@@ -519,8 +519,8 @@ class FusionLayer(nn.Module):
     @nn.compact
     def __call__(self, vis, txt, txt_mask):
         c, dt = self.cfg, self.dtype
-        vn = nn.LayerNorm(name="layer_norm_v")(vis)
-        tn = nn.LayerNorm(name="layer_norm_l")(txt)
+        vn = nn.LayerNorm(epsilon=1e-5, name="layer_norm_v")(vis)
+        tn = nn.LayerNorm(epsilon=1e-5, name="layer_norm_l")(txt)
         dv, dl = BiAttention(
             c.d_model, c.fusion_dim, c.fusion_heads, dt, name="attn"
         )(vn, tn, txt_mask)
@@ -545,11 +545,11 @@ class TextSelfAttnLayer(nn.Module):
         a = MHA(c.d_model, c.text_heads, dt, name="self_attn")(
             q, q, txt, attn_mask
         )
-        txt = nn.LayerNorm(name="norm1")(txt + a)
+        txt = nn.LayerNorm(epsilon=1e-5, name="norm1")(txt + a)
         h = nn.Dense(c.text_ffn, dtype=dt, name="linear1")(txt)
         h = nn.relu(h)
         h = nn.Dense(c.d_model, dtype=dt, name="linear2")(h)
-        return nn.LayerNorm(name="norm2")(txt + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(txt + h)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -564,11 +564,11 @@ class DeformableEncoderLayer(nn.Module):
         a = MSDeformAttn(
             c.d_model, c.nheads, c.n_levels, c.n_points, dt, name="self_attn"
         )(vis + pos, ref_points, vis, shapes)
-        vis = nn.LayerNorm(name="norm1")(vis + a)
+        vis = nn.LayerNorm(epsilon=1e-5, name="norm1")(vis + a)
         h = nn.Dense(c.dim_feedforward, dtype=dt, name="linear1")(vis)
         h = nn.relu(h)
         h = nn.Dense(c.d_model, dtype=dt, name="linear2")(h)
-        return nn.LayerNorm(name="norm2")(vis + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(vis + h)
 
 
 class DecoderLayer(nn.Module):
@@ -584,21 +584,21 @@ class DecoderLayer(nn.Module):
         c, dt = self.cfg, self.dtype
         q = tgt + query_pos
         a = MHA(c.d_model, c.nheads, dt, name="self_attn")(q, q, tgt)
-        tgt = nn.LayerNorm(name="norm2")(tgt + a)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + a)
         a = MHA(c.d_model, c.nheads, dt, name="ca_text")(
             tgt + query_pos, txt, txt,
             jnp.broadcast_to(txt_mask[:, None, :],
                              (txt.shape[0], tgt.shape[1], txt.shape[1])),
         )
-        tgt = nn.LayerNorm(name="catext_norm")(tgt + a)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="catext_norm")(tgt + a)
         a = MSDeformAttn(
             c.d_model, c.nheads, c.n_levels, c.n_points, dt, name="cross_attn"
         )(tgt + query_pos, ref_boxes, memory, shapes)
-        tgt = nn.LayerNorm(name="norm1")(tgt + a)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + a)
         h = nn.Dense(c.dim_feedforward, dtype=dt, name="linear1")(tgt)
         h = nn.relu(h)
         h = nn.Dense(c.d_model, dtype=dt, name="linear2")(h)
-        return nn.LayerNorm(name="norm3")(tgt + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + h)
 
 
 class MLP(nn.Module):
@@ -711,7 +711,7 @@ class GroundingDino(nn.Module):
             )
 
         # ---- language-guided query selection (two-stage)
-        mem = nn.LayerNorm(name="enc_output_norm")(
+        mem = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(
             nn.Dense(c.d_model, dtype=dt, name="enc_output")(vis)
         )
         cls = contrastive_logits(mem, txt, text_token_mask, c.max_text_len)
@@ -758,7 +758,7 @@ class GroundingDino(nn.Module):
             delta = MLP(c.d_model, 4, 3, dt, name=f"bbox_embed{i}")(tgt)
             ref_boxes = jax.nn.sigmoid(delta + inverse_sigmoid(ref_boxes))
 
-        tgt = nn.LayerNorm(name="decoder_norm")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")(tgt)
         logits = contrastive_logits(tgt, txt, text_token_mask, c.max_text_len)
         return logits, ref_boxes
 

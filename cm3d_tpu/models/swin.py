@@ -171,7 +171,7 @@ class SwinBlock(nn.Module):
         if self.fused_mode != "off":
             x = self._fused_attn(x, window, shift)
         else:
-            x = nn.LayerNorm(name="norm1")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
             pad_b = (window - h % window) % window
             pad_r = (window - w % window) % window
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
@@ -195,7 +195,7 @@ class SwinBlock(nn.Module):
             x = x[:, :h, :w]
         x = shortcut + x
 
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
@@ -256,6 +256,7 @@ class SwinBlock(nn.Module):
         out = fused_window_attn(
             x, g_ln, b_ln, wqkv, bqkv, wproj, bproj, btil, mtil,
             win=window, G=grp, heads=self.heads, dtype=self.dtype,
+            eps=1e-5,  # torch Swin LayerNorm default
             bounds=bounds,
             interpret=self.fused_mode == "interpret",
         )
@@ -280,7 +281,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -299,7 +300,7 @@ class SwinTransformer(nn.Module):
             dtype=dt,
             name="patch_embed",
         )(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         outs: Dict[str, jax.Array] = {}
         fused = cfg.fused_mode()
@@ -318,7 +319,7 @@ class SwinTransformer(nn.Module):
                     name=f"stage{i}_block{j}",
                 )(x)
             if i in cfg.out_indices:
-                outs[f"swin{i}"] = nn.LayerNorm(name=f"out_norm{i}")(x)
+                outs[f"swin{i}"] = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{i}")(x)
             if i < len(cfg.depths) - 1:
                 x = PatchMerging(dim, dt, name=f"merge{i}")(x)
         return outs
