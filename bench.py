@@ -30,7 +30,18 @@ def main() -> None:
 
     stage = None
     if "--stage" in sys.argv:
-        stage = sys.argv[sys.argv.index("--stage") + 1]
+        i = sys.argv.index("--stage") + 1
+        if i >= len(sys.argv):
+            raise SystemExit(
+                "--stage needs a value: lift | masks | e2e | train | "
+                "fusion_train"
+            )
+        stage = sys.argv[i]
+    if stage not in (None, "lift", "masks", "e2e", "train", "fusion_train"):
+        # NEVER fall through to the lift headline on a typo: a driver that
+        # asked for a specific stage would record a lift number as that
+        # stage's result.
+        raise SystemExit(f"unknown --stage {stage!r}")
 
     if stage == "masks":
         _emit(benchmarks.bench_mask_stage())

@@ -181,14 +181,24 @@ def _realistic_load(models, boxes_per_cam: int = 25, seed: int = 0):
     # the plane CONTENT for realistic blobs while keeping the device decode
     # in the timeline (real SAM masks are contiguous regions).
     raw_dec = models.sam_decode_planes
-    blob = np.zeros((128, IMG_W, IMG_H), np.uint8)
-    for i in range(128):
-        x, y = rng.integers(0, IMG_W - 150), rng.integers(0, IMG_H - 100)
-        blob[i, x : x + 120, y : y + 90] = 1
-    blob_planes = {
-        "xy": pack_masks_np(blob),
-        "yx": np.ascontiguousarray(np.swapaxes(pack_masks_np(blob), 0, 1)),
-    }
+    blob_planes: dict = {}  # nw -> {layout: planes}; derived from the
+    # caller's word width so a capacity change can't mismatch the swap
+
+    def _blobs(nw: int) -> dict:
+        if nw not in blob_planes:
+            m = nw * 32
+            blob = np.zeros((m, IMG_W, IMG_H), np.uint8)
+            for i in range(m):
+                x = rng.integers(0, IMG_W - 150)
+                y = rng.integers(0, IMG_H - 100)
+                blob[i, x : x + 120, y : y + 90] = 1
+            packed = pack_masks_np(blob)
+            blob_planes[nw] = {
+                "xy": packed,
+                "yx": np.ascontiguousarray(np.swapaxes(packed, 0, 1)),
+            }
+        return blob_planes[nw]
+
     blob_dev: dict = {}  # uploaded once, on first use
 
     def dec_blob(emb, boxes, n_boxes, cam_hw, mask_wh, nw, layout="xy"):
@@ -202,13 +212,14 @@ def _realistic_load(models, boxes_per_cam: int = 25, seed: int = 0):
             # the decode, and downstream consumers wait on its result).
             import jax
 
-            if layout not in blob_dev:
-                blob_dev[layout] = jax.device_put(blob_planes[layout])
-            return _tie_content(blob_dev[layout], real)
+            key = (layout, nw)
+            if key not in blob_dev:
+                blob_dev[key] = jax.device_put(_blobs(nw)[layout])
+            return _tie_content(blob_dev[key], real)
         # host-consumed layouts (RLE writes): swap at host-transfer time,
         # after an explicit wait on the real decode (same data movement as
         # the real path's planes download)
-        return _Lazy(real, blob_planes[layout])
+        return _Lazy(real, _blobs(nw)[layout])
 
     return dataclasses.replace(
         models, detic=detic_realistic, sam_decode_planes=dec_blob
@@ -253,6 +264,15 @@ def bench_mask_stage(
     def provider(scene, frame):
         time.sleep(io_sleep)  # stand-in for 6 JPEG reads + thumbnail
         return frames[frame % 2]
+
+    # warm the PIPELINED decode too: run_mask_stage decodes layout='yx' — a
+    # separate lru_cache/jit program from generate_frame_masks' 'xy' — so
+    # without this the first timed frame pays the production-scale decode
+    # compile (minutes on a cold axon process)
+    warm_dir = tempfile.mkdtemp(prefix="maskbench_warm_")
+    run_mask_stage(models, provider, ["warm"], lambda s: 1, warm_dir, cfg,
+                   verbose=False)
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
     run_mask_stage(models, provider, ["bench"], lambda s: n_frames, out, cfg,
@@ -367,6 +387,28 @@ def bench_e2e(
     }
 
 
+def _synthetic_train_arrays(batch_size: int, pillar_cfg, num_classes: int,
+                            n_pts: int = 32768, n_box: int = 64, seed: int = 0):
+    """Shared synthetic LiDAR training workload for bench_train and
+    bench_fusion_train — one definition so the LiDAR-only and fusion step
+    numbers stay comparable."""
+    rng = np.random.default_rng(seed)
+    pts = np.empty((batch_size, n_pts, 4), np.float32)
+    pts[..., 0] = rng.uniform(pillar_cfg.x_min, pillar_cfg.x_max,
+                              (batch_size, n_pts))
+    pts[..., 1] = rng.uniform(pillar_cfg.y_min, pillar_cfg.y_max,
+                              (batch_size, n_pts))
+    pts[..., 2] = rng.uniform(-2.0, 1.0, (batch_size, n_pts))
+    pts[..., 3] = rng.uniform(0.0, 1.0, (batch_size, n_pts))
+    boxes = np.zeros((batch_size, n_box, 8), np.float32)
+    boxes[..., 0] = rng.uniform(-45, 45, (batch_size, n_box))
+    boxes[..., 1] = rng.uniform(-45, 45, (batch_size, n_box))
+    boxes[..., 3:6] = rng.uniform(0.5, 4.5, (batch_size, n_box, 3))
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (batch_size, n_box))
+    boxes[..., 7] = rng.integers(0, num_classes, (batch_size, n_box))
+    return pts, boxes, n_pts, n_box
+
+
 def bench_train(batch_size: int = 8, n_iters: int = 20) -> dict:
     """Pretraining step throughput at production pillar scale (128x128
     grid, full trunk): voxelize -> CenterPoint forward -> focal+L1 ->
@@ -383,22 +425,9 @@ def bench_train(batch_size: int = 8, n_iters: int = 20) -> dict:
     state, model, tx = init_state(jax.random.PRNGKey(0), pillar_cfg, model_cfg)
     step = jax.jit(make_train_step(model, tx, pillar_cfg))
 
-    rng = np.random.default_rng(0)
-    n_pts, n_box = 32768, 64
-    pts = np.empty((batch_size, n_pts, 4), np.float32)
-    pts[..., 0] = rng.uniform(pillar_cfg.x_min, pillar_cfg.x_max,
-                              (batch_size, n_pts))
-    pts[..., 1] = rng.uniform(pillar_cfg.y_min, pillar_cfg.y_max,
-                              (batch_size, n_pts))
-    pts[..., 2] = rng.uniform(-2.0, 1.0, (batch_size, n_pts))
-    pts[..., 3] = rng.uniform(0.0, 1.0, (batch_size, n_pts))
-    boxes = np.zeros((batch_size, n_box, 8), np.float32)
-    boxes[..., 0] = rng.uniform(-45, 45, (batch_size, n_box))
-    boxes[..., 1] = rng.uniform(-45, 45, (batch_size, n_box))
-    boxes[..., 3:6] = rng.uniform(0.5, 4.5, (batch_size, n_box, 3))
-    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (batch_size, n_box))
-    boxes[..., 7] = rng.integers(0, model_cfg.num_classes,
-                                 (batch_size, n_box))
+    pts, boxes, n_pts, n_box = _synthetic_train_arrays(
+        batch_size, pillar_cfg, model_cfg.num_classes
+    )
     batch = TrainBatch(
         points=jnp.asarray(pts),
         point_valid=jnp.ones((batch_size, n_pts), bool),
@@ -455,22 +484,10 @@ def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
     step = jax.jit(make_fusion_train_step(model, tx, pillar_cfg))
 
     rng = np.random.default_rng(0)
-    n_pts, n_box = 32768, 64
     ih, iw = image_hw
-    pts = np.empty((batch_size, n_pts, 4), np.float32)
-    pts[..., 0] = rng.uniform(pillar_cfg.x_min, pillar_cfg.x_max,
-                              (batch_size, n_pts))
-    pts[..., 1] = rng.uniform(pillar_cfg.y_min, pillar_cfg.y_max,
-                              (batch_size, n_pts))
-    pts[..., 2] = rng.uniform(-2.0, 1.0, (batch_size, n_pts))
-    pts[..., 3] = rng.uniform(0.0, 1.0, (batch_size, n_pts))
-    boxes = np.zeros((batch_size, n_box, 8), np.float32)
-    boxes[..., 0] = rng.uniform(-45, 45, (batch_size, n_box))
-    boxes[..., 1] = rng.uniform(-45, 45, (batch_size, n_box))
-    boxes[..., 3:6] = rng.uniform(0.5, 4.5, (batch_size, n_box, 3))
-    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (batch_size, n_box))
-    boxes[..., 7] = rng.integers(0, cfg.centerpoint.num_classes,
-                                 (batch_size, n_box))
+    pts, boxes, n_pts, n_box = _synthetic_train_arrays(
+        batch_size, pillar_cfg, cfg.centerpoint.num_classes
+    )
     k = np.array([[260.0, 0, iw / 2], [0, 260.0, ih / 2], [0, 0, 1]],
                  np.float32)
     batch = FusionBatch(
