@@ -47,7 +47,10 @@ def main() -> None:
         _emit(benchmarks.bench_mask_stage())
         return
     if stage == "e2e":
-        _emit(benchmarks.bench_e2e(rect_encode="--rect_encode" in sys.argv))
+        _emit(benchmarks.bench_e2e(
+            rect_encode="--rect_encode" in sys.argv,
+            quant_int8="--quant_int8" in sys.argv,
+        ))
         return
     if stage == "train":
         _emit(benchmarks.bench_train())

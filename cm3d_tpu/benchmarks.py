@@ -78,10 +78,12 @@ def bench_lift(batch_size: int = 8, n_iters: int = 10) -> dict:
 
 
 def build_production_fake_models(dtype: str = "bfloat16",
-                                 rect_encode: bool = False):
+                                 rect_encode: bool = False,
+                                 quant_int8: bool = False):
     """Production-size Detic-SwinB + SAM-ViT-H with random weights behind
     the standard batched wrappers (same FLOPs as converted checkpoints).
-    rect_encode=True benches the fast SAM encode mode (README decision)."""
+    rect_encode=True benches the fast SAM encode mode (README decision);
+    quant_int8=True benches the int8 w8a8 encoder path."""
     import dataclasses as dc
 
     import jax
@@ -97,7 +99,8 @@ def build_production_fake_models(dtype: str = "bfloat16",
     detic_cfg = dc.replace(
         DETIC_SWINB, dtype=dtype, swin=dc.replace(SWIN_B, dtype=dtype)
     )
-    sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype, rect_encode=rect_encode)
+    sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype, rect_encode=rect_encode,
+                         quant_int8=quant_int8)
     detic_model, sam_model = Detic(detic_cfg), Sam(sam_cfg)
     clf = jnp.asarray(
         rng.standard_normal((detic_cfg.embed_dim, len(VOCAB))).astype(
@@ -115,7 +118,15 @@ def build_production_fake_models(dtype: str = "bfloat16",
         ),
         jax.random.PRNGKey(0),
     )["params"]
-    sparams = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), sshapes)
+    # int8 leaves (quant_int8 kernels) get a nonzero integer fill so the
+    # benched matmuls aren't all-zero
+    sparams = jax.tree.map(
+        lambda s: jnp.full(
+            s.shape, 1 if jnp.issubdtype(s.dtype, jnp.integer) else 0.01,
+            s.dtype,
+        ),
+        sshapes,
+    )
     return _batched_model_fns(
         detic_model, dparams, clf, sam_model, sparams, VOCAB
     )
@@ -292,7 +303,7 @@ def bench_mask_stage(
 
 def bench_e2e(
     dtype: str = "bfloat16", n_frames: int = 12, batch_size: int = 4,
-    models=None, rect_encode: bool = False,
+    models=None, rect_encode: bool = False, quant_int8: bool = False,
 ) -> dict:
     """Fused end-to-end throughput: images -> Detic -> SAM -> bit-planes ->
     lift step -> boxes, through pipelines.e2e.run_fused (the production
@@ -313,7 +324,9 @@ def bench_e2e(
     rng = np.random.default_rng(0)
     if models is None:
         models = _realistic_load(
-            build_production_fake_models(dtype, rect_encode=rect_encode)
+            build_production_fake_models(
+                dtype, rect_encode=rect_encode, quant_int8=quant_int8
+            )
         )
 
     syn = SyntheticConfig()
@@ -384,6 +397,7 @@ def bench_e2e(
         "ms_per_keyframe": round(dt / done * 1000, 1),
         "boxes_kept": boxes_seen[0],
         "rect_encode": rect_encode,
+        "quant_int8": quant_int8,
     }
 
 

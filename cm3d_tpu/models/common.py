@@ -26,17 +26,54 @@ class LayerNorm2d(nn.Module):
         return x * weight + bias
 
 
+class QuantDense(nn.Module):
+    """nn.Dense drop-in with int8 weights + dynamic per-token int8
+    activations (w8a8 — ops/quant.py).
+
+    Param tree: kernel_q int8 [in, out], kernel_scale f32 [out], bias f32
+    [out] — produced from a float nn.Dense subtree by
+    ops.quant.quantize_dense_params at LOAD time, so checkpoints and
+    converters stay float and the hot path never touches float weights.
+    The contraction runs s8 x s8 -> s32 on the MXU (2x the bf16 peak on
+    v5e+); quant/dequant are VPU elementwise work XLA fuses away.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from cm3d_tpu.ops.quant import dynamic_int8_matmul
+
+        din = x.shape[-1]
+        w_q = self.param(
+            "kernel_q", nn.initializers.zeros, (din, self.features), jnp.int8
+        )
+        w_scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return dynamic_int8_matmul(x, w_q, w_scale, bias, out_dtype=self.dtype)
+
+
 class MLPBlock(nn.Module):
     mlp_dim: int
     out_dim: int
     act: str = "gelu"
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
+    quant: bool = False  # int8 w8a8 Dense layers (see QuantDense)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        dense = QuantDense if self.quant else nn.Dense
+        x = dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
         x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.relu(x)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
+        return dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
 
 
 class LNParams(nn.Module):

@@ -77,6 +77,23 @@ class SamConfig:
     fused_window_attn: bool | str = False
     # max tokens per fused tile (see SwinConfig.fused_group_tokens)
     fused_group_tokens: int = 392
+    # int8 w8a8 quantized Dense layers (qkv/proj/MLP) in the ENCODER blocks
+    # (ops/quant.py): per-channel int8 weights (load-time transform
+    # `quantize_sam_params` — checkpoints stay float) + dynamic per-token
+    # int8 activations, s8xs8->s32 on the MXU at 2x the bf16 peak. Covers
+    # ~92% of encode FLOPs (the attention einsums, patch conv, and neck
+    # stay in the compute dtype; the decoder is untouched). Opt-in: a
+    # documented numerical deviation from the torch model — accuracy pinned
+    # at test scale (tests/test_quant.py) and A/B'd at production scale
+    # (scripts/ab_sam_int8.py).
+    quant_int8: bool = False
+
+    def __post_init__(self):
+        if self.quant_int8 and self.fused_window_attn:
+            raise ValueError(
+                "quant_int8 and fused_window_attn are mutually exclusive: "
+                "the fused kernel consumes float qkv/proj params"
+            )
 
     def fused_mode(self) -> str:
         v = self.fused_window_attn
@@ -121,12 +138,16 @@ class ViTAttention(nn.Module):
     input_hw: Tuple[int, int]  # token grid this block sees
     dtype: jnp.dtype = jnp.float32
     flash: bool = False  # Pallas flash path for large (global) grids
+    quant: bool = False  # int8 w8a8 qkv/proj (common.QuantDense)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from cm3d_tpu.models.common import QuantDense
+
+        dense = QuantDense if self.quant else nn.Dense
         b, h, w, _ = x.shape
         head_dim = self.dim // self.heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(
+        qkv = dense(self.dim * 3, dtype=self.dtype, name="qkv")(
             x.reshape(b, h * w, self.dim)
         )
         qkv = qkv.reshape(b, h * w, 3, self.heads, head_dim)
@@ -187,7 +208,7 @@ class ViTAttention(nn.Module):
             x = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(
                 b, h, w, self.dim
             )
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(x)
+        return dense(self.dim, dtype=self.dtype, name="proj")(x)
 
 
 class _ViTAttnParams(nn.Module):
@@ -223,6 +244,7 @@ class ViTBlock(nn.Module):
     flash: bool = False
     fused_mode: str = "off"  # windowed blocks: "on" | "off" | "interpret"
     fused_group_tokens: int = 392
+    quant: bool = False  # int8 w8a8 Dense layers (qkv/proj/MLP)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -241,12 +263,14 @@ class ViTBlock(nn.Module):
             attn_hw = self.grid_hw
         x = ViTAttention(
             self.dim, self.heads, attn_hw, self.dtype,
-            flash=self.flash and self.window_size == 0, name="attn",
+            flash=self.flash and self.window_size == 0,
+            quant=self.quant, name="attn",
         )(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, hw)
         x = shortcut + x
-        x = x + MLPBlock(self.dim * 4, self.dim, dtype=self.dtype, name="mlp")(
+        x = x + MLPBlock(self.dim * 4, self.dim, dtype=self.dtype,
+                         quant=self.quant, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         )
         return x
@@ -320,6 +344,7 @@ class ImageEncoderViT(nn.Module):
                 flash=cfg.flash_global_attn,
                 fused_mode=fused,
                 fused_group_tokens=cfg.fused_group_tokens,
+                quant=cfg.quant_int8,
                 name=f"block{i}",
             )(x)
         # neck
@@ -633,6 +658,37 @@ class Sam(nn.Module):
     def __call__(self, image: jax.Array, boxes: jax.Array):
         emb = self.encode_image(image[None])[0]
         return self.decode_boxes(emb, boxes)
+
+
+def quantize_sam_params(params):
+    """Float SAM param tree -> the tree `SamConfig.quant_int8=True` expects.
+
+    One-time load transform (checkpoints/converters stay float): every
+    encoder-block Dense (attn qkv/proj, mlp lin1/lin2) becomes a QuantDense
+    subtree {kernel_q int8, kernel_scale f32, bias} via
+    ops.quant.quantize_dense_params. Patch embed, rel-pos tables, neck,
+    prompt encoder, and the mask decoder are untouched. A side benefit on
+    multi-chip meshes: the replicated encoder weights shrink 4x vs f32.
+    """
+    from cm3d_tpu.ops.quant import quantize_dense_params
+
+    enc = dict(params["image_encoder"])
+    for name in list(enc.keys()):
+        if not name.startswith("block"):
+            continue
+        blk = dict(enc[name])
+        attn = dict(blk["attn"])
+        for k in ("qkv", "proj"):
+            attn[k] = quantize_dense_params(dict(attn[k]))
+        blk["attn"] = attn
+        mlp = dict(blk["mlp"])
+        for k in ("lin1", "lin2"):
+            mlp[k] = quantize_dense_params(dict(mlp[k]))
+        blk["mlp"] = mlp
+        enc[name] = blk
+    out = dict(params)
+    out["image_encoder"] = enc
+    return out
 
 
 SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)

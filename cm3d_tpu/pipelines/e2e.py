@@ -571,6 +571,9 @@ def main(argv=None):
     p.add_argument("--bpe_path", default="")
     p.add_argument("--rect_encode", action="store_true",
                    help="SAM rectangle encode (faster; small deviation)")
+    p.add_argument("--quant_int8", action="store_true",
+                   help="int8 w8a8 SAM encoder Dense layers (2x MXU peak; "
+                   "documented deviation) — same flag as the masks CLI")
     p.add_argument("--sam_size", default="vit_h",
                    choices=["vit_h", "vit_l", "vit_b"],
                    help="SAM encoder scale matching --sam_ckpt (same flag "
@@ -632,12 +635,14 @@ def main(argv=None):
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
                                    rect_encode=args.rect_encode, mesh=mesh,
-                                   encode_chunk=args.encode_chunk)
+                                   encode_chunk=args.encode_chunk,
+                                   quant_int8=args.quant_int8)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
             encode_chunk=args.encode_chunk, sam_size=args.sam_size,
+            quant_int8=args.quant_int8,
         )
     if args.detector == "gdino":
         models = attach_gdino(

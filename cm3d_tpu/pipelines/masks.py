@@ -690,6 +690,7 @@ def build_real_models(
     mesh=None,
     encode_chunk: int = 1,
     sam_size: str = "vit_h",
+    quant_int8: bool = False,
 ) -> MaskModels:
     """Full-size models from released torch checkpoints, jitted batched.
 
@@ -730,7 +731,12 @@ def build_real_models(
         swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype),
     )
     sam_cfg = dataclasses.replace(sam_base, dtype=dtype,
-                                  rect_encode=rect_encode)
+                                  rect_encode=rect_encode,
+                                  quant_int8=quant_int8)
+    if quant_int8:
+        from cm3d_tpu.models.sam import quantize_sam_params
+
+        sam_params = quantize_sam_params(sam_params)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
         vocabulary, mesh=mesh, encode_chunk=encode_chunk,
@@ -933,6 +939,9 @@ def main(argv=None):
                    help="SAM encodes without square padding: ~35%% faster "
                    "encode, small documented deviation from SamPredictor "
                    "(see scripts/measure_rect_encode.py numbers)")
+    p.add_argument("--quant_int8", action="store_true",
+                   help="int8 w8a8 SAM encoder Dense layers (2x MXU peak; "
+                   "documented deviation — see scripts/ab_sam_int8.py)")
     p.add_argument("--use_zoedepth", action="store_true",
                    help="store per-mask masked metric depth instead of RLE "
                    "masks (reference gen_2d_masks_detic.py:408-451)")
@@ -979,12 +988,14 @@ def main(argv=None):
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
                                    rect_encode=args.rect_encode, mesh=mesh,
-                                   encode_chunk=args.encode_chunk)
+                                   encode_chunk=args.encode_chunk,
+                                   quant_int8=args.quant_int8)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
             encode_chunk=args.encode_chunk, sam_size=args.sam_size,
+            quant_int8=args.quant_int8,
         )
 
     if args.use_zoedepth:
@@ -1008,7 +1019,8 @@ def main(argv=None):
 
 def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
                       rect_encode: bool = False, mesh=None,
-                      encode_chunk: int = 1) -> MaskModels:
+                      encode_chunk: int = 1,
+                      quant_int8: bool = False) -> MaskModels:
     """Tiny random-weight models (hermetic smoke tests / CI) behind the same
     batched wrappers as the real checkpoints."""
     import jax
@@ -1032,6 +1044,13 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
     sam_params = sam_model.init(
         jax.random.PRNGKey(seed + 1), sq0, jnp.zeros((1, 4), jnp.float32)
     )["params"]
+    if quant_int8:
+        from cm3d_tpu.models.sam import quantize_sam_params
+
+        sam_model = Sam(dataclasses.replace(
+            SAM_TEST, rect_encode=rect_encode, quant_int8=True
+        ))
+        sam_params = quantize_sam_params(sam_params)
 
     return _batched_model_fns(
         detic_model, detic_params, clf, sam_model, sam_params, vocabulary,

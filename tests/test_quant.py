@@ -1,0 +1,202 @@
+"""int8 w8a8 quantization: ops/quant.py + the SamConfig.quant_int8 path.
+
+The quantized encode is an opt-in documented deviation from the torch
+reference model (which runs fp16 CUDA, gen_2d_masks_detic.py:384-398);
+these tests pin the transform/module contract and the accuracy envelope at
+test scale. Production-scale timing + deviation numbers come from
+scripts/ab_sam_int8.py on the real chip.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cm3d_tpu.ops.quant import (
+    dynamic_int8_matmul,
+    quantize_dense_params,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_exact_on_grid():
+    """Weights already on an int8 grid round-trip exactly."""
+    rng = np.random.default_rng(0)
+    scale = rng.uniform(0.01, 1.0, (8,)).astype(np.float32)
+    q = rng.integers(-127, 128, (16, 8)).astype(np.int8)
+    q[0] = 127  # pin each column's amax so the scale is recovered exactly
+    w = q.astype(np.float32) * scale
+    q2, s2 = quantize_weight(jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(s2), scale, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(q2), q)
+
+
+def test_quantize_weight_zero_column():
+    """All-zero output channels quantize without division blowups."""
+    w = np.zeros((4, 3), np.float32)
+    w[:, 0] = [1.0, -2.0, 0.5, 0.0]
+    q, s = quantize_weight(jnp.asarray(w))
+    assert np.all(np.isfinite(np.asarray(s)))
+    np.testing.assert_array_equal(np.asarray(q)[:, 1:], 0)
+
+
+def test_dynamic_int8_matmul_error_bound():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((32, 64)).astype(np.float32)
+    w = rng.standard_normal((64, 48)).astype(np.float32)
+    b = rng.standard_normal((48,)).astype(np.float32)
+    q, s = quantize_weight(jnp.asarray(w))
+    y = np.asarray(
+        dynamic_int8_matmul(jnp.asarray(x), q, s, jnp.asarray(b), jnp.float32)
+    )
+    ref = x @ w + b
+    rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel  # w8a8 on gaussian data: ~0.5-1% typical
+
+
+def test_dynamic_int8_matmul_handles_nd_and_bf16():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 3, 5, 16)).astype(np.float32)
+    w = rng.standard_normal((16, 8)).astype(np.float32)
+    q, s = quantize_weight(jnp.asarray(w))
+    y = dynamic_int8_matmul(jnp.asarray(x, jnp.bfloat16), q, s)
+    assert y.shape == (2, 3, 5, 8)
+    assert y.dtype == jnp.bfloat16
+    rel = np.linalg.norm(np.asarray(y, np.float32) - x @ w) / np.linalg.norm(
+        x @ w
+    )
+    assert rel < 0.05, rel
+
+
+def test_quant_dense_matches_float_dense():
+    """QuantDense(quantize_dense_params(tree)) ~= nn.Dense(tree)."""
+    import flax.linen as nn
+
+    from cm3d_tpu.models.common import QuantDense
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32))
+    dense = nn.Dense(24)
+    params = dense.init(jax.random.PRNGKey(0), x)["params"]
+    ref = dense.apply({"params": params}, x)
+    qd = QuantDense(24)
+    out = qd.apply({"params": quantize_dense_params(dict(params))}, x)
+    rel = np.linalg.norm(np.asarray(out - ref)) / np.linalg.norm(
+        np.asarray(ref)
+    )
+    assert rel < 0.02, rel
+
+
+@pytest.fixture(scope="module")
+def sam_pair():
+    """(float model+params, quant model+params, image, boxes) at test scale."""
+    from cm3d_tpu.models.sam import SAM_TEST, Sam, quantize_sam_params
+
+    cfg = SAM_TEST
+    model = Sam(cfg)
+    img = jax.random.normal(
+        jax.random.PRNGKey(1), (cfg.img_size, cfg.img_size, 3), jnp.float32
+    )
+    boxes = jnp.array([[4.0, 4.0, 40.0, 40.0], [10.0, 16.0, 50.0, 60.0]])
+    params = model.init(jax.random.PRNGKey(0), img, boxes)["params"]
+    qmodel = Sam(dataclasses.replace(cfg, quant_int8=True))
+    qparams = quantize_sam_params(params)
+    return model, params, qmodel, qparams, img, boxes
+
+
+def test_quantize_sam_params_matches_module_tree(sam_pair):
+    """The load transform produces exactly the tree the quant module
+    declares (same structure, shapes, dtypes) and leaves the decoder,
+    prompt encoder, patch embed, and neck float."""
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    qinit = qmodel.init(jax.random.PRNGKey(0), img, boxes)["params"]
+    assert jax.tree_util.tree_structure(qinit) == jax.tree_util.tree_structure(
+        qparams
+    )
+    assert jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), qinit) == \
+        jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), qparams)
+    # untouched subtrees are the same leaves
+    for key in ("mask_decoder", "prompt_encoder"):
+        same = jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda a, b: bool(jnp.all(a == b)), params[key], qparams[key]
+            )
+        )
+        assert same, key
+
+
+def test_sam_quant_encode_close(sam_pair):
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    ref = np.asarray(
+        model.apply({"params": params}, img[None], method=model.encode_image),
+        np.float32,
+    )
+    q = np.asarray(
+        qmodel.apply(
+            {"params": qparams}, img[None], method=qmodel.encode_image
+        ),
+        np.float32,
+    )
+    rel = np.linalg.norm(q - ref) / np.linalg.norm(ref)
+    corr = np.corrcoef(ref.ravel(), q.ravel())[0, 1]
+    assert rel < 0.1, rel
+    assert corr > 0.995, corr
+
+
+def test_sam_quant_decode_mask_agreement(sam_pair):
+    """Thresholded masks through the (unquantized) decoder stay IoU-close
+    to the float encode's masks."""
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    m_ref, _ = model.apply({"params": params}, img, boxes)
+    m_q, _ = qmodel.apply({"params": qparams}, img, boxes)
+    mr = np.asarray(m_ref) > 0
+    mq = np.asarray(m_q) > 0
+    union = (mr | mq).sum()
+    if union:
+        iou = (mr & mq).sum() / union
+        assert iou > 0.9, iou
+
+
+def test_sam_quant_encode_under_vmap(sam_pair):
+    """The camera-parallel group-scan vmaps the encode; the int8
+    dot_general must batch identically to the unbatched call."""
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    imgs = jnp.stack([img, img * 0.5])
+
+    def enc(one):
+        return qmodel.apply(
+            {"params": qparams}, one[None], method=qmodel.encode_image
+        )[0]
+
+    batched = jax.vmap(enc)(imgs)
+    single = jnp.stack([enc(imgs[0]), enc(imgs[1])])
+    np.testing.assert_allclose(
+        np.asarray(batched, np.float32),
+        np.asarray(single, np.float32),
+        atol=2e-5,
+        rtol=1e-4,
+    )
+
+
+def test_quant_int8_rejects_fused_window_attn():
+    from cm3d_tpu.models.sam import SAM_TEST
+
+    with pytest.raises(ValueError):
+        dataclasses.replace(
+            SAM_TEST, quant_int8=True, fused_window_attn="interpret"
+        )
+
+
+def test_fake_models_quant_pipeline_smoke():
+    """build_fake_models(quant_int8=True) drives encode+decode end-to-end
+    through the batched pipeline wrappers."""
+    from cm3d_tpu.pipelines.masks import build_fake_models
+
+    models = build_fake_models(quant_int8=True)
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(2)]
+    frame = models.prepare(imgs)
+    emb = models.sam_encode(frame)
+    assert np.all(np.isfinite(np.asarray(emb, np.float32)))
