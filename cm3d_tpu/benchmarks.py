@@ -97,7 +97,8 @@ def build_production_fake_models(dtype: str = "bfloat16",
 
     rng = np.random.default_rng(0)
     detic_cfg = dc.replace(
-        DETIC_SWINB, dtype=dtype, swin=dc.replace(SWIN_B, dtype=dtype)
+        DETIC_SWINB, dtype=dtype,
+        swin=dc.replace(SWIN_B, dtype=dtype, quant_int8=quant_int8),
     )
     sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype, rect_encode=rect_encode,
                          quant_int8=quant_int8)
@@ -108,25 +109,23 @@ def build_production_fake_models(dtype: str = "bfloat16",
         )
     )
     img0 = jnp.zeros((IMG_H, IMG_W, 3), jnp.float32)
+    def _fill(s):
+        # int8 leaves (quant_int8 kernels) get a nonzero integer fill so
+        # the benched matmuls aren't all-zero
+        v = 1 if jnp.issubdtype(s.dtype, jnp.integer) else 0.01
+        return jnp.full(s.shape, v, s.dtype)
+
     dshapes = jax.eval_shape(
         lambda r: detic_model.init(r, img0, clf), jax.random.PRNGKey(0)
     )["params"]
-    dparams = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), dshapes)
+    dparams = jax.tree.map(_fill, dshapes)
     sshapes = jax.eval_shape(
         lambda r: sam_model.init(
             r, jnp.zeros((1024, 1024, 3)), jnp.zeros((1, 4))
         ),
         jax.random.PRNGKey(0),
     )["params"]
-    # int8 leaves (quant_int8 kernels) get a nonzero integer fill so the
-    # benched matmuls aren't all-zero
-    sparams = jax.tree.map(
-        lambda s: jnp.full(
-            s.shape, 1 if jnp.issubdtype(s.dtype, jnp.integer) else 0.01,
-            s.dtype,
-        ),
-        sshapes,
-    )
+    sparams = jax.tree.map(_fill, sshapes)
     return _batched_model_fns(
         detic_model, dparams, clf, sam_model, sparams, VOCAB
     )

@@ -357,6 +357,19 @@ class Detic(nn.Module):
         return select_detections(boxes, scores, cfg)
 
 
+def quantize_detic_params(params):
+    """Float Detic param tree -> the tree DeticConfig with
+    swin.quant_int8=True expects: the Swin backbone's MLPs go int8
+    (models/swin.quantize_swin_params); FPN, proposal head, and the
+    cascade ROI heads stay float (they are a small share of device time
+    and the score/delta heads are NMS-threshold-sensitive)."""
+    from cm3d_tpu.models.swin import quantize_swin_params
+
+    out = dict(params)
+    out["backbone"] = quantize_swin_params(dict(out["backbone"]))
+    return out
+
+
 # Detic's configs set INPUT.FORMAT: RGB with ImageNet-order statistics
 # (Base-C2_L_R5021k_640b64_4x.yaml). The reference script feeds BGR only
 # because DefaultPredictor assumes BGR input and flips BACK to RGB when the

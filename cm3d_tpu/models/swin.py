@@ -44,6 +44,15 @@ class SwinConfig:
     # 64.0, 128 -> 63.7, 256 -> 65.7, 384 -> 84.5, 512 -> 81.3
     # (unfused: 91.4 ms).
     fused_group_tokens: int = 128
+    # int8 w8a8 MLPs (fc1/fc2 — ops/quant.py, common.QuantDense): the
+    # MLPs are ~2/3 of each block's Dense FLOPs and sit OUTSIDE the fused
+    # window-attention kernel, so this composes with fused_attn. qkv/proj
+    # stay float in BOTH modes — the fused kernel consumes raw float
+    # params, and fused_mode() resolves per-backend at runtime, so the
+    # param tree must not depend on it. Load transform:
+    # quantize_swin_params (checkpoints stay float). Opt-in deviation;
+    # on-chip A/B: scripts/ab_detic_int8.py / bench --quant_int8.
+    quant_int8: bool = False
 
     def stage_dim(self, i: int) -> int:
         return self.embed_dim * (2 ** i)
@@ -156,6 +165,7 @@ class SwinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_mode: str = "off"  # "on" | "off" | "interpret"
     fused_group_tokens: int = 256
+    quant: bool = False  # int8 w8a8 MLP (fc1/fc2 only; see SwinConfig)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -195,10 +205,13 @@ class SwinBlock(nn.Module):
             x = x[:, :h, :w]
         x = shortcut + x
 
+        from cm3d_tpu.models.common import QuantDense
+
+        dense = QuantDense if self.quant else nn.Dense
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
+        y = dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        y = dense(self.dim, dtype=self.dtype, name="fc2")(y)
         return x + y
 
     def _fused_attn(self, x, window, shift):
@@ -266,6 +279,25 @@ class SwinBlock(nn.Module):
         return out[:, :h, :w]
 
 
+def quantize_swin_params(params):
+    """Float Swin param tree -> the tree SwinConfig.quant_int8=True
+    expects: every stage block's fc1/fc2 becomes a QuantDense subtree
+    (ops.quant.quantize_dense_params). Attention (qkv/proj), norms, patch
+    embed, and merges are untouched — see the SwinConfig.quant_int8
+    docstring for why the MLP is the quantization boundary here."""
+    from cm3d_tpu.ops.quant import quantize_dense_params
+
+    out = dict(params)
+    for name in list(out.keys()):
+        if "_block" not in name or not name.startswith("stage"):
+            continue
+        blk = dict(out[name])
+        for k in ("fc1", "fc2"):
+            blk[k] = quantize_dense_params(dict(blk[k]))
+        out[name] = blk
+    return out
+
+
 class PatchMerging(nn.Module):
     dim: int  # input dim
     dtype: jnp.dtype = jnp.float32
@@ -316,6 +348,7 @@ class SwinTransformer(nn.Module):
                     dtype=dt,
                     fused_mode=fused,
                     fused_group_tokens=cfg.fused_group_tokens,
+                    quant=cfg.quant_int8,
                     name=f"stage{i}_block{j}",
                 )(x)
             if i in cfg.out_indices:

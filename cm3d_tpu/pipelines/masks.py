@@ -728,15 +728,18 @@ def build_real_models(
 
     detic_cfg = dataclasses.replace(
         DETIC_SWINB, dtype=dtype,
-        swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype),
+        swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype,
+                                 quant_int8=quant_int8),
     )
     sam_cfg = dataclasses.replace(sam_base, dtype=dtype,
                                   rect_encode=rect_encode,
                                   quant_int8=quant_int8)
     if quant_int8:
+        from cm3d_tpu.models.detic import quantize_detic_params
         from cm3d_tpu.models.sam import quantize_sam_params
 
         sam_params = quantize_sam_params(sam_params)
+        detic_params = quantize_detic_params(detic_params)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
         vocabulary, mesh=mesh, encode_chunk=encode_chunk,
@@ -1045,12 +1048,18 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
         jax.random.PRNGKey(seed + 1), sq0, jnp.zeros((1, 4), jnp.float32)
     )["params"]
     if quant_int8:
+        from cm3d_tpu.models.detic import quantize_detic_params
         from cm3d_tpu.models.sam import quantize_sam_params
 
         sam_model = Sam(dataclasses.replace(
             SAM_TEST, rect_encode=rect_encode, quant_int8=True
         ))
         sam_params = quantize_sam_params(sam_params)
+        detic_model = Detic(dataclasses.replace(
+            DETIC_TEST,
+            swin=dataclasses.replace(DETIC_TEST.swin, quant_int8=True),
+        ))
+        detic_params = quantize_detic_params(detic_params)
 
     return _batched_model_fns(
         detic_model, detic_params, clf, sam_model, sam_params, vocabulary,

@@ -1,0 +1,111 @@
+"""On-chip A/B: Detic batch-6 forward in bf16 (fused window attention on)
+vs bf16 + int8 w8a8 Swin MLPs (SwinConfig.quant_int8).
+
+The Swin MLPs (fc1/fc2) are ~2/3 of each backbone block's Dense FLOPs and
+sit outside the fused window-attention kernel, so the int8 path composes
+with it. This measures the net batch-6 win and the detection deviation
+(box/score deltas on the same input) at production geometry with random
+production-scale weights — the decision input for whether --quant_int8
+is worth recommending for the Detic half of the mask stage.
+
+Run: python -c "exec(open('scripts/ab_detic_int8.py').read())"
+"""
+
+import dataclasses as dc
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cm3d_tpu.models.detic import DETIC_SWINB, Detic, quantize_detic_params
+from cm3d_tpu.models.swin import SWIN_B
+
+WARMUP, ITERS = 2, 6
+BATCH = 6
+H, W = 576, 1024
+
+
+def sync(x):
+    return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+
+
+def timeit(name, fn, *args):
+    try:
+        for _ in range(WARMUP):
+            sync(fn(*args)[1])
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = fn(*args)
+        sync(out[1])
+        dt = (time.perf_counter() - t0) / ITERS * 1000
+        print(f"{name:40s} {dt:7.2f} ms/batch-{BATCH}", flush=True)
+        return dt, out
+    except Exception as e:  # noqa: BLE001
+        print(f"{name:40s} FAILED: {type(e).__name__}: {str(e)[:240]}",
+              flush=True)
+        return None, None
+
+
+def main():
+    rng = np.random.default_rng(2)
+    cfg = dc.replace(
+        DETIC_SWINB, dtype="bfloat16",
+        swin=dc.replace(SWIN_B, dtype="bfloat16"),
+    )
+    model = Detic(cfg)
+    n_vocab = 18
+    clf = jnp.asarray(
+        rng.standard_normal((cfg.embed_dim, n_vocab)).astype(np.float32)
+    )
+    img0 = jnp.zeros((H, W, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, img0, clf), jax.random.PRNGKey(0)
+    )["params"]
+    params = jax.tree.map(
+        lambda p: jnp.asarray(rng.standard_normal(p.shape) * 0.02, p.dtype),
+        shapes,
+    )
+    qcfg = dc.replace(
+        cfg, swin=dc.replace(cfg.swin, dtype="bfloat16", quant_int8=True)
+    )
+    qmodel = Detic(qcfg)
+    qparams = jax.device_put(quantize_detic_params(params))
+    params = jax.device_put(params)
+
+    xs = jnp.asarray(rng.standard_normal((BATCH, H, W, 3)).astype(np.float32))
+    hw = jnp.full((BATCH, 2), (H, W), jnp.int32)
+
+    def make_fwd(m):
+        @jax.jit
+        def run(p, x, hw_b):
+            def one(img, hw_c):
+                det = m.apply({"params": p}, img, clf, hw_c)
+                return det.boxes, det.scores, det.valid
+
+            return jax.vmap(one)(x, hw_b)
+
+        return run
+
+    t_bf16, o_bf16 = timeit("detic batch-6, bf16", make_fwd(model),
+                            params, xs, hw)
+    t_int8, o_int8 = timeit("detic batch-6, int8 MLPs", make_fwd(qmodel),
+                            qparams, xs, hw)
+    if o_bf16 is None or o_int8 is None:
+        return
+    if t_bf16 and t_int8:
+        print(f"speedup x{t_bf16 / t_int8:.3f}", flush=True)
+    b_a, s_a, v_a = (np.asarray(o, np.float32) for o in o_bf16)
+    b_b, s_b, v_b = (np.asarray(o, np.float32) for o in o_int8)
+    both = (v_a > 0) & (v_b > 0)
+    print(f"valid dets bf16 {int((v_a > 0).sum())} int8 "
+          f"{int((v_b > 0).sum())}", flush=True)
+    if both.any():
+        db = np.abs(b_a - b_b)[both]
+        ds = np.abs(s_a - s_b)[both]
+        print(f"box |diff| max {db.max():.3f}px mean {db.mean():.4f}px; "
+              f"score |diff| max {ds.max():.5f}", flush=True)
+
+
+main()

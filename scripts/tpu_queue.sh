@@ -45,6 +45,9 @@ step ab_sam_sizes 2400 python -c "exec(open('scripts/ab_sam_sizes.py').read())"
 # 5c. SAM int8 w8a8 encode A/B (--quant_int8 speed offer: timing + deviation)
 step ab_sam_int8 2400 python -c "exec(open('scripts/ab_sam_int8.py').read())"
 
+# 5d. Detic int8 Swin-MLP A/B (the other half of --quant_int8)
+step ab_detic_int8 2400 python -c "exec(open('scripts/ab_detic_int8.py').read())"
+
 # 6. fused e2e bench (slowest: full-scale 2D compiles) — run last
 step bench_e2e 3600 python bench.py --stage e2e
 

@@ -189,6 +189,84 @@ def test_quant_int8_rejects_fused_window_attn():
         )
 
 
+def test_swin_quant_close_and_tree_matches():
+    """Swin with int8 MLPs: the transform matches the quant module's tree
+    (in BOTH fused modes — the tree must not depend on fused_attn, which
+    resolves per-backend) and features stay close to float."""
+    from cm3d_tpu.models.swin import (
+        SWIN_TEST,
+        SwinTransformer,
+        quantize_swin_params,
+    )
+
+    cfg = dataclasses.replace(SWIN_TEST, fused_attn=False)
+    model = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 48, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+
+    qparams = quantize_swin_params(params)
+    for fused in (False, "interpret"):
+        qmodel = SwinTransformer(
+            dataclasses.replace(cfg, quant_int8=True, fused_attn=fused)
+        )
+        qinit = qmodel.init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree_util.tree_map(
+            lambda a: (a.shape, str(a.dtype)), qinit
+        ) == jax.tree_util.tree_map(
+            lambda a: (a.shape, str(a.dtype)), qparams
+        ), fused
+    qmodel = SwinTransformer(dataclasses.replace(cfg, quant_int8=True))
+    out = qmodel.apply({"params": qparams}, x)
+    for k in ref:
+        r = np.asarray(ref[k], np.float32)
+        q = np.asarray(out[k], np.float32)
+        rel = np.linalg.norm(q - r) / max(1e-12, np.linalg.norm(r))
+        assert rel < 0.1, (k, rel)
+
+
+def test_detic_quant_detections_close():
+    """Detic with int8 Swin MLPs keeps its detections near the float run
+    (same valid set, small box/score drift) at test scale."""
+    from cm3d_tpu.models.detic import (
+        DETIC_TEST,
+        Detic,
+        quantize_detic_params,
+    )
+
+    rng = np.random.default_rng(5)
+    model = Detic(DETIC_TEST)
+    clf = jnp.asarray(
+        rng.standard_normal(
+            (DETIC_TEST.embed_dim, 6)
+        ).astype(np.float32)
+    )
+    img = jnp.asarray(rng.standard_normal((64, 96, 3)).astype(np.float32))
+    hw = jnp.asarray([64, 96], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img, clf)["params"]
+    ref = model.apply({"params": params}, img, clf, hw)
+
+    qmodel = Detic(
+        dataclasses.replace(
+            DETIC_TEST,
+            swin=dataclasses.replace(DETIC_TEST.swin, quant_int8=True),
+        )
+    )
+    out = qmodel.apply(
+        {"params": quantize_detic_params(params)}, img, clf, hw
+    )
+    s_ref = np.asarray(ref.scores, np.float32)
+    s_q = np.asarray(out.scores, np.float32)
+    v_ref = np.asarray(ref.valid)
+    v_q = np.asarray(out.valid)
+    # same number of surviving detections, scores drift < 5% of the spread
+    assert (v_ref > 0).sum() == (v_q > 0).sum()
+    both = (v_ref > 0) & (v_q > 0)
+    if both.any():
+        spread = max(1e-6, s_ref[both].max() - s_ref[both].min(), 0.05)
+        assert np.abs(s_ref[both] - s_q[both]).max() < 0.05 + 0.1 * spread
+
+
 def test_fake_models_quant_pipeline_smoke():
     """build_fake_models(quant_int8=True) drives encode+decode end-to-end
     through the batched pipeline wrappers."""
