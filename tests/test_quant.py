@@ -278,3 +278,57 @@ def test_fake_models_quant_pipeline_smoke():
     frame = models.prepare(imgs)
     emb = models.sam_encode(frame)
     assert np.all(np.isfinite(np.asarray(emb, np.float32)))
+
+
+def test_quant_camera_parallel_matches_single_device():
+    """quant_int8 composes with the camera-parallel mask stage: the
+    group-scan over a data=2 mesh is bit-identical to the single-device
+    scan (the int8 dot is exact integer math; dequant order is
+    schedule-independent)."""
+    from cm3d_tpu.parallel import make_mesh
+    from cm3d_tpu.pipelines.masks import (
+        build_fake_models,
+        generate_frame_masks,
+    )
+
+    rng = np.random.default_rng(11)
+    images = [
+        (rng.random((48, 64, 3)) * 255).astype(np.uint8) for _ in range(6)
+    ]
+    fm_ref = generate_frame_masks(
+        build_fake_models(seed=0, quant_int8=True), images
+    )
+    mesh = make_mesh(n_data=2, n_model=1)
+    fm = generate_frame_masks(
+        build_fake_models(seed=0, quant_int8=True, mesh=mesh), images
+    )
+    assert fm.labels == fm_ref.labels
+    np.testing.assert_allclose(
+        fm.detection_scores, fm_ref.detection_scores, rtol=1e-5, atol=1e-6
+    )
+    assert (fm.masks == fm_ref.masks).all()
+
+
+def test_quant_sequence_sharded_encode_matches(sam_pair):
+    """quant_int8 composes with GSPMD sequence parallelism: token rows
+    shard over the mesh while the per-token activation scales reduce over
+    the (unsharded) feature axis."""
+    import jax as _jax
+
+    from cm3d_tpu.parallel import make_mesh
+    from cm3d_tpu.parallel.sharding import make_sequence_sharded_encode
+
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    ref = qmodel.apply(
+        {"params": qparams}, img[None], method=qmodel.encode_image
+    )[0]
+    mesh = make_mesh(n_model=2, devices=_jax.devices()[:2])
+    encode = make_sequence_sharded_encode(mesh, qmodel, qparams)
+    out = encode(img)
+    assert len(out.sharding.device_set) == 2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        rtol=2e-4,
+        atol=2e-4,
+    )
