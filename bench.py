@@ -43,13 +43,24 @@ def main() -> None:
         # stage's result.
         raise SystemExit(f"unknown --stage {stage!r}")
 
+    rect_encode = "--rect_encode" in sys.argv
+    quant_int8 = "--quant_int8" in sys.argv
+    if (rect_encode or quant_int8) and stage not in ("masks", "e2e"):
+        # same silent-mismeasurement class as the strict --stage check:
+        # a run asking for the fast-mode models must not record float
+        # numbers as if they were the fast mode's.
+        raise SystemExit(
+            "--rect_encode/--quant_int8 only apply to --stage masks|e2e"
+        )
+
     if stage == "masks":
-        _emit(benchmarks.bench_mask_stage())
+        _emit(benchmarks.bench_mask_stage(
+            rect_encode=rect_encode, quant_int8=quant_int8,
+        ))
         return
     if stage == "e2e":
         _emit(benchmarks.bench_e2e(
-            rect_encode="--rect_encode" in sys.argv,
-            quant_int8="--quant_int8" in sys.argv,
+            rect_encode=rect_encode, quant_int8=quant_int8,
         ))
         return
     if stage == "train":

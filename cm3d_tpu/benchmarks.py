@@ -238,7 +238,8 @@ def _realistic_load(models, boxes_per_cam: int = 25, seed: int = 0):
 
 def bench_mask_stage(
     dtype: str = "bfloat16", n_frames: int = 8, models=None,
-    io_sleep: float = 0.15,
+    io_sleep: float = 0.15, rect_encode: bool = False,
+    quant_int8: bool = False,
 ) -> dict:
     """Pipelined 2D-stage throughput: run_mask_stage (IO prefetch + device
     pipeline + host RLE writes) at production geometry."""
@@ -250,7 +251,9 @@ def bench_mask_stage(
 
     rng = np.random.default_rng(0)
     if models is None:
-        models = _realistic_load(build_production_fake_models(dtype))
+        models = _realistic_load(build_production_fake_models(
+            dtype, rect_encode=rect_encode, quant_int8=quant_int8
+        ))
     frames = [
         [rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8)
          for _ in range(C)]
@@ -297,6 +300,8 @@ def bench_mask_stage(
         "per_frame_ms": round(per_frame_ms, 1),
         "pipelined_ms": round(pipelined_ms, 1),
         "warmup_masks": n_warm,
+        "rect_encode": rect_encode,
+        "quant_int8": quant_int8,
     }
 
 

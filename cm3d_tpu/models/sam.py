@@ -251,8 +251,14 @@ class ViTBlock(nn.Module):
         shortcut = x
         if self.window_size > 0 and self.fused_mode != "off":
             x = shortcut + self._fused_windowed(x)
+            # quant= threaded even though SamConfig currently rejects
+            # quant_int8+fused_window_attn: if that exclusion is ever
+            # relaxed to the Swin-style composition (quant MLPs + fused
+            # attention), this branch must not silently build a float MLP
+            # tree that mismatches quantize_sam_params' output.
             return x + MLPBlock(
-                self.dim * 4, self.dim, dtype=self.dtype, name="mlp"
+                self.dim * 4, self.dim, dtype=self.dtype, quant=self.quant,
+                name="mlp"
             )(nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
         x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         if self.window_size > 0:

@@ -572,8 +572,9 @@ def main(argv=None):
     p.add_argument("--rect_encode", action="store_true",
                    help="SAM rectangle encode (faster; small deviation)")
     p.add_argument("--quant_int8", action="store_true",
-                   help="int8 w8a8 SAM encoder Dense layers (2x MXU peak; "
-                   "documented deviation) — same flag as the masks CLI")
+                   help="int8 w8a8 Dense layers in the SAM encoder AND "
+                   "Detic's Swin MLPs (2x MXU peak; documented deviation "
+                   "for both models) — same flag as the masks CLI")
     p.add_argument("--sam_size", default="vit_h",
                    choices=["vit_h", "vit_l", "vit_b"],
                    help="SAM encoder scale matching --sam_ckpt (same flag "

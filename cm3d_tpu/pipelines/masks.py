@@ -943,8 +943,10 @@ def main(argv=None):
                    "encode, small documented deviation from SamPredictor "
                    "(see scripts/measure_rect_encode.py numbers)")
     p.add_argument("--quant_int8", action="store_true",
-                   help="int8 w8a8 SAM encoder Dense layers (2x MXU peak; "
-                   "documented deviation — see scripts/ab_sam_int8.py)")
+                   help="int8 w8a8 Dense layers in the SAM encoder AND "
+                   "Detic's Swin MLPs (2x MXU peak; documented deviation "
+                   "for both models — see scripts/ab_sam_int8.py and "
+                   "scripts/ab_detic_int8.py)")
     p.add_argument("--use_zoedepth", action="store_true",
                    help="store per-mask masked metric depth instead of RLE "
                    "masks (reference gen_2d_masks_detic.py:408-451)")
