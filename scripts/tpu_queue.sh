@@ -55,3 +55,8 @@ step bench_e2e 3600 python bench.py --stage e2e
 step bench_e2e_rect 3600 python bench.py --stage e2e --rect_encode
 
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG"
+
+# Persist the results where the next session / round-end commit can see
+# them (/tmp does not survive the judge): full log + the bench JSON lines.
+cp "$LOG" /root/repo/TPU_QUEUE_r03.log 2>/dev/null || true
+grep -h '^{' "$LOG" > /root/repo/TPU_QUEUE_r03_bench_lines.jsonl 2>/dev/null || true
