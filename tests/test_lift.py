@@ -2,12 +2,18 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 from scipy.spatial.transform import Rotation as R
 
 from cm3d_tpu.ops import LiftParams, lift_keyframe
 from cm3d_tpu.ops.bitmask import pack_masks_np
 from cm3d_tpu.ops.lift import build_boxes
-from oracle import lift_mask_oracle, push_centroid_oracle
+from oracle import (
+    lift_mask_oracle,
+    push_centroid_oracle,
+    quat_wxyz_to_mat,
+    view_points_np,
+)
 
 RNG = np.random.default_rng(7)
 
@@ -309,3 +315,132 @@ def test_invalid_masks_do_not_consume_union_capacity():
     # with BOTH masks valid the big one genuinely overflows the budget
     both = run(np.array([True, True]))
     assert bool(both.cam_truncated[0])
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 59, 83, 97])
+def test_lift_fuzz_random_geometry_matches_oracle(seed):
+    """Property fuzz: randomized ego pose (global-scale translation, full
+    3D rotation), camera yaw/pitch, intrinsics, border-clipped elliptical
+    masks, and a point mixture (frustum clusters + surrounding sphere +
+    behind-camera) must match the numpy f64 oracle mask-for-mask on
+    selected counts, medoid index, and centroid.
+
+    Points whose ORACLE projection lands within a hair of a pixel-floor or
+    window/min_dist boundary are dropped before the comparison: those
+    straddles are measure-zero parity-irrelevant f32-vs-f64 artifacts, and
+    removing them is what makes the exact-count assertion meaningful
+    across arbitrary seeds."""
+    rng = np.random.default_rng(seed)
+
+    # random ego pose at real global magnitudes (reference scenes sit at
+    # ~1e3 m) and a random full 3D rotation
+    ego_t = rng.uniform(200.0, 1500.0, 3)
+    ego_t[2] = rng.uniform(0.0, 3.0)
+    ego_q = np.roll(R.random(rng=rng).as_quat(), 1)
+    cam_t = np.array([rng.uniform(0.5, 2.0), rng.uniform(-1, 1),
+                      rng.uniform(1.0, 2.0)])
+    cam_rot = (
+        R.from_euler("zyx", [rng.uniform(-np.pi, np.pi),
+                             rng.uniform(-0.15, 0.15),
+                             rng.uniform(-0.15, 0.15)]).as_matrix()
+        @ np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], float)
+    )
+    cam_q = np.roll(R.from_matrix(cam_rot).as_quat(), 1)
+    f = rng.uniform(80.0, 250.0)
+    intr = np.array([
+        [f, 0, W / 2 + rng.uniform(-20, 20)],
+        [0, f * rng.uniform(0.9, 1.1), H / 2 + rng.uniform(-15, 15)],
+        [0, 0, 1.0],
+    ])
+
+    # point mixture in the GLOBAL frame: camera-frustum clusters + a
+    # uniform shell around the ego (includes behind-camera) + depths
+    # brushing the min_dist frontier
+    ego_rot = quat_wxyz_to_mat(ego_q)
+    cam_rot_m = quat_wxyz_to_mat(cam_q)
+
+    def cam_to_global(pc):
+        pe = pc @ cam_rot_m.T + cam_t
+        return pe @ ego_rot.T + ego_t
+
+    n_frustum, n_shell, n_near = 2500, 1500, 300
+    depth = rng.uniform(2.0, 70.0, n_frustum)
+    px = rng.uniform(-8, W + 8, n_frustum)  # some project out of window
+    py = rng.uniform(-6, H + 6, n_frustum)
+    frustum_cam = np.stack([
+        (px - intr[0, 2]) / intr[0, 0] * depth,
+        (py - intr[1, 2]) / intr[1, 1] * depth,
+        depth,
+    ], 1)
+    shell_local = rng.uniform(-60, 60, (n_shell, 3))
+    near = frustum_cam[:n_near].copy()
+    near[:, 2] = 2.3 + rng.uniform(-0.3, 0.3, n_near)  # min_dist frontier
+    pts_global = np.concatenate([
+        cam_to_global(frustum_cam),
+        shell_local @ ego_rot.T + ego_t,
+        cam_to_global(near),
+    ])
+    pts_global = np.concatenate(
+        [pts_global, rng.random((len(pts_global), 1))], 1
+    ).astype(np.float32)
+
+    # drop oracle-boundary straddlers (see docstring)
+    pts64 = pts_global[:, :3].astype(np.float64)
+    p = (pts64 - ego_t) @ quat_wxyz_to_mat(ego_q)
+    p = (p - cam_t) @ cam_rot_m
+    proj, depths_o = view_points_np(p.T, intr)
+    eps_px, eps_d = 0.02, 0.02
+    frac_x = np.abs(proj[0] - np.round(proj[0]))
+    frac_y = np.abs(proj[1] - np.round(proj[1]))
+    safe = (
+        (frac_x > eps_px) & (frac_y > eps_px)
+        & (np.abs(depths_o - 2.3) > eps_d)
+        & (np.abs(depths_o) > eps_d)  # normalization blowup guard
+    )
+    points = pts_global[safe]
+    n = len(points)
+
+    # elliptical masks, some clipped by the image border
+    m = 8
+    masks = np.zeros((m, W, H), bool)
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H), indexing="ij")
+    for i in range(m):
+        cx = rng.integers(0, W)
+        cy = rng.integers(0, H)
+        rx = rng.integers(6, 60)
+        ry = rng.integers(6, 40)
+        masks[i] = ((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2 <= 1.0
+
+    out = lift_keyframe(
+        jnp.asarray(points),
+        jnp.ones(n, bool),
+        jnp.asarray(ego_t[None].astype(np.float32)),
+        jnp.asarray(ego_q[None].astype(np.float32)),
+        jnp.asarray(cam_t[None].astype(np.float32)),
+        jnp.asarray(cam_q[None].astype(np.float32)),
+        jnp.asarray(intr[None].astype(np.float32)),
+        jnp.asarray(pack_masks_np(masks)),
+        jnp.zeros(m, jnp.int32),
+        jnp.ones(m, bool),
+        LiftParams(min_dist=2.3, erode=False),
+    )
+
+    n_nonempty = 0
+    for i in range(m):
+        sel_ref, med_ref, centroid_ref = lift_mask_oracle(
+            points, masks[i], ego_t, ego_q, cam_t, cam_q, intr
+        )
+        assert int(out.point_counts[i]) == len(sel_ref), (
+            f"seed {seed} mask {i}: count {int(out.point_counts[i])} "
+            f"vs oracle {len(sel_ref)}"
+        )
+        if len(sel_ref) == 0:
+            assert not bool(out.has_points[i])
+            continue
+        n_nonempty += 1
+        assert bool(out.has_points[i])
+        np.testing.assert_allclose(
+            np.asarray(out.centroids[i]), centroid_ref,
+            rtol=1e-4, atol=3e-3, err_msg=f"seed {seed} mask {i}",
+        )
+    assert n_nonempty >= 2, f"seed {seed}: degenerate scene"
