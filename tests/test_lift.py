@@ -444,3 +444,101 @@ def test_lift_fuzz_random_geometry_matches_oracle(seed):
             rtol=1e-4, atol=3e-3, err_msg=f"seed {seed} mask {i}",
         )
     assert n_nonempty >= 2, f"seed {seed}: degenerate scene"
+
+
+@pytest.mark.parametrize("seed", [101, 211, 307, 401])
+def test_build_boxes_fuzz_matches_oracle(seed):
+    """Property fuzz for pass 2: random centroids/labels/scores/lanes must
+    match the oracle on pushback centers (vehicles), untouched non-vehicle
+    centers, lane-yaw assignment restricted to VALID lanes, and the exact
+    circle-NMS keep set (incl. deliberately clustered centroids so
+    suppression actually fires). A margin precondition documents why the
+    exact keep-set assertion cannot flake: no same-label pair may sit
+    within 1e-3 of its suppression boundary (f32-vs-f64 straddle zone)."""
+    from scipy.spatial.distance import cdist
+
+    from oracle import circle_nms_oracle
+
+    rng = np.random.default_rng(seed)
+    m = 24
+    # centroids away from the ego (alpha = arctan(|y|/|x|) is unstable at
+    # the origin) with half of them CLUSTERED in pairs to exercise NMS
+    base = rng.uniform(-40, 40, size=(m, 3))
+    base[:, 2] = rng.uniform(-1.5, 1.5, m)
+    base[np.linalg.norm(base[:, :2], axis=1) < 5.0, :2] += 10.0
+    for i in range(0, m // 2, 2):
+        base[i + 1, :2] = base[i, :2] + rng.uniform(-1.0, 1.0, 2)
+    centroids = base.astype(np.float32)
+    has_points = rng.random(m) > 0.15
+    labels = rng.integers(0, 10, m).astype(np.int32)
+    scores = rng.random(m).astype(np.float32)
+    lanes = np.concatenate(
+        [rng.uniform(-50, 50, (96, 2)), rng.uniform(-np.pi, np.pi, (96, 1))],
+        axis=1,
+    ).astype(np.float32)
+    lane_valid = rng.random(96) > 0.25
+    ego_t = rng.uniform(-5, 5, 3).astype(np.float32)
+    priors = rng.uniform(
+        [0.4, 0.7, 0.7], [2.8, 12.0, 4.0], (10, 3)
+    ).astype(np.float32)
+    is_vehicle = rng.random(10) > 0.4
+    radii = rng.uniform(0.2, 8.0, 10).astype(np.float32)
+
+    out = build_boxes(
+        jnp.asarray(centroids),
+        jnp.asarray(has_points),
+        jnp.asarray(labels),
+        jnp.asarray(scores),
+        jnp.asarray(lanes),
+        jnp.asarray(lane_valid),
+        jnp.asarray(ego_t),
+        jnp.asarray(priors),
+        jnp.asarray(is_vehicle),
+        jnp.asarray(radii),
+    )
+
+    # oracle lane yaw: nearest VALID lane
+    dm = cdist(centroids[:, :2].astype(np.float64),
+               lanes[lane_valid, :2].astype(np.float64))
+    lane_yaw = lanes[lane_valid, 2][dm.argmin(1)]
+
+    centers_ref = np.zeros((m, 3))
+    for i in range(m):
+        if is_vehicle[labels[i]] and has_points[i]:
+            centers_ref[i] = push_centroid_oracle(
+                centroids[i], priors[labels[i]], lane_yaw[i], ego_t
+            )
+            assert abs(float(out.yaws[i]) - lane_yaw[i]) < 1e-5, i
+        else:
+            centers_ref[i] = centroids[i]
+            assert float(out.yaws[i]) == 0.0, i
+        if has_points[i]:
+            np.testing.assert_allclose(
+                np.asarray(out.centers[i]), centers_ref[i],
+                rtol=1e-3, atol=2e-3, err_msg=f"seed {seed} box {i}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(out.sizes[i]), priors[labels[i]], atol=1e-6
+        )
+
+    # oracle circle NMS over the valid candidates at the oracle centers
+    vidx = np.where(has_points)[0]
+    dets = np.concatenate(
+        [centers_ref[vidx, :2], scores[vidx, None].astype(np.float64)], 1
+    )
+    keep_local = circle_nms_oracle(dets, labels[vidx], radii.astype(np.float64))
+    keep_ref = np.zeros(m, bool)
+    keep_ref[vidx[np.asarray(keep_local, int)]] = True
+
+    # margin precondition (see docstring): no same-label valid pair within
+    # 1e-3 of its suppression radius
+    d2 = cdist(centers_ref[vidx, :2], centers_ref[vidx, :2]) ** 2
+    same = labels[vidx][:, None] == labels[vidx][None, :]
+    thr = radii[labels[vidx]][None, :].astype(np.float64)
+    off_diag = ~np.eye(len(vidx), dtype=bool)
+    margin = np.abs(d2 - thr)[same & off_diag]
+    assert margin.min() > 1e-3, f"seed {seed}: degenerate NMS boundary"
+
+    np.testing.assert_array_equal(
+        np.asarray(out.keep), keep_ref, err_msg=f"seed {seed} keep set"
+    )
