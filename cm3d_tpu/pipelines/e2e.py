@@ -648,7 +648,7 @@ def main(argv=None):
     if args.detector == "gdino":
         models = attach_gdino(
             models, args.gdino_ckpt, args.gdino_vocab,
-            test=args.fake_weights,
+            test=args.fake_weights, quant_int8=args.quant_int8,
         )
     if args.dataset == "waymo":
         run_e2e_waymo(

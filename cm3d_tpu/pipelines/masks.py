@@ -782,6 +782,7 @@ def attach_zoedepth(
 def attach_gdino(
     models: MaskModels, ckpt_path: str = "", vocab_path: str = "",
     test: bool = False, box_threshold: float = 0.15, seed: int = 0,
+    quant_int8: bool = False,
 ) -> MaskModels:
     """Swap the detector for GroundingDINO (the reference's commented-out
     alternative, kitti/gen_2d_masks_detic.py:115-117,633,697-704): boxes
@@ -789,7 +790,8 @@ def attach_gdino(
     into the same SAM prompt path. test=True builds the tiny random-weight
     GDINO_TEST model with a synthetic WordPiece vocab over the class list
     (hermetic CI); the real path needs the checkpoint + bert-base-uncased
-    vocab.txt."""
+    vocab.txt. quant_int8 mirrors the Detic boundary: the Swin backbone's
+    MLPs go int8 w8a8 (BERT / fusion / decoder stay float)."""
     import dataclasses as _dc
 
     import jax
@@ -831,6 +833,13 @@ def attach_gdino(
             ckpt_path,
             lambda p: convert_gdino_params(load_torch_state_dict(p), cfg),
         )
+    if quant_int8:
+        from cm3d_tpu.models.swin import quantize_swin_params
+
+        cfg = _dc.replace(cfg, swin=_dc.replace(cfg.swin, quant_int8=True))
+        model = GroundingDino(cfg)
+        params = dict(params)
+        params["backbone"] = quantize_swin_params(dict(params["backbone"]))
     detect = make_gdino_detector(
         model, params, tok, vocabulary, box_threshold=box_threshold
     )
@@ -1010,7 +1019,7 @@ def main(argv=None):
     if args.detector == "gdino":
         models = attach_gdino(
             models, args.gdino_ckpt, args.gdino_vocab,
-            test=args.fake_weights,
+            test=args.fake_weights, quant_int8=args.quant_int8,
         )
 
     run_nms = (args.dataset != "kitti") if args.run_nms < 0 else bool(args.run_nms)
