@@ -12,18 +12,27 @@ Run: python -c "exec(open('scripts/ab_detic_int8.py').read())"
 """
 
 import dataclasses as dc
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cm3d_tpu.models.detic import DETIC_SWINB, Detic, quantize_detic_params
-from cm3d_tpu.models.swin import SWIN_B
+from cm3d_tpu.models.detic import (
+    DETIC_SWINB,
+    DETIC_TEST,
+    Detic,
+    quantize_detic_params,
+)
 
-WARMUP, ITERS = 2, 6
-BATCH = 6
-H, W = 576, 1024
+# CM3D_AB_SMOKE=1: tiny-config CPU smoke (validates the script itself so an
+# unattended queue run can't waste the tunnel window on a script bug)
+SMOKE = bool(os.environ.get("CM3D_AB_SMOKE"))
+WARMUP, ITERS = (1, 1) if SMOKE else (2, 6)
+BATCH = 2 if SMOKE else 6
+H, W = (96, 128) if SMOKE else (576, 1024)
+BASE = DETIC_TEST if SMOKE else DETIC_SWINB
 
 
 def sync(x):
@@ -51,8 +60,8 @@ def timeit(name, fn, *args):
 def main():
     rng = np.random.default_rng(2)
     cfg = dc.replace(
-        DETIC_SWINB, dtype="bfloat16",
-        swin=dc.replace(SWIN_B, dtype="bfloat16"),
+        BASE, dtype="bfloat16",
+        swin=dc.replace(BASE.swin, dtype="bfloat16"),
     )
     model = Detic(cfg)
     n_vocab = 18
@@ -75,7 +84,7 @@ def main():
     params = jax.device_put(params)
 
     xs = jnp.asarray(rng.standard_normal((BATCH, H, W, 3)).astype(np.float32))
-    hw = jnp.full((BATCH, 2), (H, W), jnp.int32)
+    hw = jnp.tile(jnp.asarray([H, W], jnp.int32), (BATCH, 1))
 
     def make_fwd(m):
         @jax.jit
@@ -98,14 +107,25 @@ def main():
         print(f"speedup x{t_bf16 / t_int8:.3f}", flush=True)
     b_a, s_a, v_a = (np.asarray(o, np.float32) for o in o_bf16)
     b_b, s_b, v_b = (np.asarray(o, np.float32) for o in o_int8)
-    both = (v_a > 0) & (v_b > 0)
     print(f"valid dets bf16 {int((v_a > 0).sum())} int8 "
           f"{int((v_b > 0).sum())}", flush=True)
-    if both.any():
-        db = np.abs(b_a - b_b)[both]
-        ds = np.abs(s_a - s_b)[both]
-        print(f"box |diff| max {db.max():.3f}px mean {db.mean():.4f}px; "
-              f"score |diff| max {ds.max():.5f}", flush=True)
+    # slot order reshuffles under score perturbation — match by nearest box
+    near, dscore = [], []
+    for img in range(BATCH):
+        ai = np.where(v_a[img] > 0)[0]
+        bi = np.where(v_b[img] > 0)[0]
+        if len(ai) == 0 or len(bi) == 0:
+            continue
+        d = np.abs(b_a[img, ai][:, None] - b_b[img, bi][None]).max(-1)
+        j = d.argmin(1)
+        near.append(d[np.arange(len(ai)), j])
+        dscore.append(np.abs(s_a[img, ai] - s_b[img, bi[j]]))
+    if near:
+        near = np.concatenate(near)
+        dscore = np.concatenate(dscore)
+        print(f"nearest-box |diff| median {np.median(near):.3f}px "
+              f"p90 {np.percentile(near, 90):.3f}px max {near.max():.3f}px; "
+              f"score |diff| max {dscore.max():.5f}", flush=True)
 
 
 main()

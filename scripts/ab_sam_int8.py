@@ -14,16 +14,22 @@ Run: python -c "exec(open('scripts/ab_sam_int8.py').read())"
 """
 
 import dataclasses as dc
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cm3d_tpu.models.sam import SAM_VIT_H, Sam, quantize_sam_params
+from cm3d_tpu.models.sam import SAM_TEST, SAM_VIT_H, Sam, quantize_sam_params
 
-WARMUP, ITERS = 2, 6
-N_CAMS = 6
+# CM3D_AB_SMOKE=1: tiny-config CPU smoke (validates the script itself so an
+# unattended queue run can't waste the tunnel window on a script bug)
+SMOKE = bool(os.environ.get("CM3D_AB_SMOKE"))
+WARMUP, ITERS = (1, 1) if SMOKE else (2, 6)
+N_CAMS = 2 if SMOKE else 6
+BASE = SAM_TEST if SMOKE else SAM_VIT_H
+IMG = BASE.img_size
 
 
 def sync(x):
@@ -51,7 +57,7 @@ def timeit(name, fn, *args):
 
 def main():
     rng = np.random.default_rng(1)
-    f32cfg = dc.replace(SAM_VIT_H, dtype="bfloat16")
+    f32cfg = dc.replace(BASE, dtype="bfloat16")
     model = Sam(f32cfg)
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
@@ -61,17 +67,17 @@ def main():
         lambda p: jnp.asarray(rng.standard_normal(p.shape) * 0.02, p.dtype),
         shapes,
     )
-    qmodel = Sam(dc.replace(SAM_VIT_H, dtype="bfloat16", quant_int8=True))
+    qmodel = Sam(dc.replace(BASE, dtype="bfloat16", quant_int8=True))
     qparams = jax.device_put(quantize_sam_params(params))
     params = jax.device_put(params)
 
     xs = jnp.asarray(
-        rng.standard_normal((N_CAMS, 1024, 1024, 3)).astype(np.float32)
+        rng.standard_normal((N_CAMS, IMG, IMG, 3)).astype(np.float32)
     )
     boxes = jnp.asarray(
         np.stack([
-            rng.uniform(0, 500, (16, 2)),
-            rng.uniform(520, 1020, (16, 2)),
+            rng.uniform(0, IMG * 0.49, (16, 2)),
+            rng.uniform(IMG * 0.51, IMG - 2, (16, 2)),
         ], axis=1).reshape(16, 4).astype(np.float32)
     )
 
