@@ -360,14 +360,13 @@ class Detic(nn.Module):
 def quantize_detic_params(params):
     """Float Detic param tree -> the tree DeticConfig with
     swin.quant_int8=True expects: the Swin backbone's MLPs go int8
-    (models/swin.quantize_swin_params); FPN, proposal head, and the
-    cascade ROI heads stay float (they are a small share of device time
-    and the score/delta heads are NMS-threshold-sensitive)."""
-    from cm3d_tpu.models.swin import quantize_swin_params
+    (models/swin.quantize_swin_backbone — the boundary shared with the
+    GroundingDINO path); FPN, proposal head, and the cascade ROI heads
+    stay float (they are a small share of device time and the
+    score/delta heads are NMS-threshold-sensitive)."""
+    from cm3d_tpu.models.swin import quantize_swin_backbone
 
-    out = dict(params)
-    out["backbone"] = quantize_swin_params(dict(out["backbone"]))
-    return out
+    return quantize_swin_backbone(params)
 
 
 # Detic's configs set INPUT.FORMAT: RGB with ImageNet-order statistics

@@ -298,6 +298,16 @@ def quantize_swin_params(params):
     return out
 
 
+def quantize_swin_backbone(params, key: str = "backbone"):
+    """Quantize the Swin subtree under `key` of a detector param tree —
+    the ONE shared definition of the detector quantization boundary, used
+    by both Detic (models/detic.quantize_detic_params) and GroundingDINO
+    (pipelines/masks.attach_gdino) so they cannot silently diverge."""
+    out = dict(params)
+    out[key] = quantize_swin_params(dict(out[key]))
+    return out
+
+
 class PatchMerging(nn.Module):
     dim: int  # input dim
     dtype: jnp.dtype = jnp.float32

@@ -573,8 +573,10 @@ def main(argv=None):
                    help="SAM rectangle encode (faster; small deviation)")
     p.add_argument("--quant_int8", action="store_true",
                    help="int8 w8a8 Dense layers in the SAM encoder AND "
-                   "Detic's Swin MLPs (2x MXU peak; documented deviation "
-                   "for both models) — same flag as the masks CLI")
+                   "the 2D detector's Swin MLPs (Detic, or GroundingDINO "
+                   "under --detector gdino; 2x MXU peak; documented "
+                   "deviation for both models) — same flag as the masks "
+                   "CLI")
     p.add_argument("--sam_size", default="vit_h",
                    choices=["vit_h", "vit_l", "vit_b"],
                    help="SAM encoder scale matching --sam_ckpt (same flag "
@@ -633,17 +635,19 @@ def main(argv=None):
         from cm3d_tpu.parallel import make_mesh
 
         mesh = make_mesh(n_data=args.camera_mesh, n_model=1)
+    quant_detic = args.quant_int8 and args.detector == "detic"
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
                                    rect_encode=args.rect_encode, mesh=mesh,
                                    encode_chunk=args.encode_chunk,
-                                   quant_int8=args.quant_int8)
+                                   quant_int8=args.quant_int8,
+                                   quant_detic=quant_detic)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
             encode_chunk=args.encode_chunk, sam_size=args.sam_size,
-            quant_int8=args.quant_int8,
+            quant_int8=args.quant_int8, quant_detic=quant_detic,
         )
     if args.detector == "gdino":
         models = attach_gdino(

@@ -691,6 +691,7 @@ def build_real_models(
     encode_chunk: int = 1,
     sam_size: str = "vit_h",
     quant_int8: bool = False,
+    quant_detic: bool | None = None,
 ) -> MaskModels:
     """Full-size models from released torch checkpoints, jitted batched.
 
@@ -726,19 +727,26 @@ def build_real_models(
         embed_vocabulary(clip_params, tokenizer, list(vocabulary))
     )
 
+    # quant_detic=False skips quantizing a Detic that the caller is about
+    # to swap out (--detector gdino): the transform + device replication
+    # of the discarded tree is pure wasted startup over the slow tunnel
+    if quant_detic is None:
+        quant_detic = quant_int8
     detic_cfg = dataclasses.replace(
         DETIC_SWINB, dtype=dtype,
         swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype,
-                                 quant_int8=quant_int8),
+                                 quant_int8=quant_detic),
     )
     sam_cfg = dataclasses.replace(sam_base, dtype=dtype,
                                   rect_encode=rect_encode,
                                   quant_int8=quant_int8)
     if quant_int8:
-        from cm3d_tpu.models.detic import quantize_detic_params
         from cm3d_tpu.models.sam import quantize_sam_params
 
         sam_params = quantize_sam_params(sam_params)
+    if quant_detic:
+        from cm3d_tpu.models.detic import quantize_detic_params
+
         detic_params = quantize_detic_params(detic_params)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
@@ -834,12 +842,11 @@ def attach_gdino(
             lambda p: convert_gdino_params(load_torch_state_dict(p), cfg),
         )
     if quant_int8:
-        from cm3d_tpu.models.swin import quantize_swin_params
+        from cm3d_tpu.models.swin import quantize_swin_backbone
 
         cfg = _dc.replace(cfg, swin=_dc.replace(cfg.swin, quant_int8=True))
         model = GroundingDino(cfg)
-        params = dict(params)
-        params["backbone"] = quantize_swin_params(dict(params["backbone"]))
+        params = quantize_swin_backbone(params)
     detect = make_gdino_detector(
         model, params, tok, vocabulary, box_threshold=box_threshold
     )
@@ -953,9 +960,10 @@ def main(argv=None):
                    "(see scripts/measure_rect_encode.py numbers)")
     p.add_argument("--quant_int8", action="store_true",
                    help="int8 w8a8 Dense layers in the SAM encoder AND "
-                   "Detic's Swin MLPs (2x MXU peak; documented deviation "
-                   "for both models — see scripts/ab_sam_int8.py and "
-                   "scripts/ab_detic_int8.py)")
+                   "the 2D detector's Swin MLPs (Detic, or GroundingDINO "
+                   "under --detector gdino; 2x MXU peak; documented "
+                   "deviation for both models — see scripts/ab_sam_int8.py"
+                   " and scripts/ab_detic_int8.py)")
     p.add_argument("--use_zoedepth", action="store_true",
                    help="store per-mask masked metric depth instead of RLE "
                    "masks (reference gen_2d_masks_detic.py:408-451)")
@@ -999,17 +1007,19 @@ def main(argv=None):
         from cm3d_tpu.parallel import make_mesh
 
         mesh = make_mesh(n_data=args.camera_mesh, n_model=1)
+    quant_detic = args.quant_int8 and args.detector == "detic"
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
                                    rect_encode=args.rect_encode, mesh=mesh,
                                    encode_chunk=args.encode_chunk,
-                                   quant_int8=args.quant_int8)
+                                   quant_int8=args.quant_int8,
+                                   quant_detic=quant_detic)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
             encode_chunk=args.encode_chunk, sam_size=args.sam_size,
-            quant_int8=args.quant_int8,
+            quant_int8=args.quant_int8, quant_detic=quant_detic,
         )
 
     if args.use_zoedepth:
@@ -1034,7 +1044,8 @@ def main(argv=None):
 def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
                       rect_encode: bool = False, mesh=None,
                       encode_chunk: int = 1,
-                      quant_int8: bool = False) -> MaskModels:
+                      quant_int8: bool = False,
+                      quant_detic: bool | None = None) -> MaskModels:
     """Tiny random-weight models (hermetic smoke tests / CI) behind the same
     batched wrappers as the real checkpoints."""
     import jax
@@ -1058,14 +1069,18 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
     sam_params = sam_model.init(
         jax.random.PRNGKey(seed + 1), sq0, jnp.zeros((1, 4), jnp.float32)
     )["params"]
+    if quant_detic is None:
+        quant_detic = quant_int8
     if quant_int8:
-        from cm3d_tpu.models.detic import quantize_detic_params
         from cm3d_tpu.models.sam import quantize_sam_params
 
         sam_model = Sam(dataclasses.replace(
             SAM_TEST, rect_encode=rect_encode, quant_int8=True
         ))
         sam_params = quantize_sam_params(sam_params)
+    if quant_detic:
+        from cm3d_tpu.models.detic import quantize_detic_params
+
         detic_model = Detic(dataclasses.replace(
             DETIC_TEST,
             swin=dataclasses.replace(DETIC_TEST.swin, quant_int8=True),
