@@ -16,11 +16,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # (path regex, spec builder). Kernels are [in, out]; column-parallel layers
-# split out, row-parallel layers split in.
+# split out, row-parallel layers split in. The int8 w8a8 variants
+# (QuantDense: kernel_q [in, out] + kernel_scale [out], ops/quant.py)
+# shard the same way — kernel_q like kernel, and the per-OUT-channel
+# scale follows the out axis (sharded for column-parallel, replicated for
+# row-parallel, where XLA all-reduces the int32 partials before the
+# dequant multiply).
 _RULES = [
-    (r"(attn/qkv|in_proj|fc1|mlp_fc|lin1)/kernel$", P(None, "model")),
-    (r"(attn/qkv|in_proj|fc1|mlp_fc|lin1)/bias$", P("model")),
-    (r"(attn/proj|out_proj|fc2|mlp_proj|lin2)/kernel$", P("model", None)),
+    (r"(attn/qkv|in_proj|fc1|mlp_fc|lin1)/kernel(_q)?$", P(None, "model")),
+    (r"(attn/qkv|in_proj|fc1|mlp_fc|lin1)/(bias|kernel_scale)$", P("model")),
+    (r"(attn/proj|out_proj|fc2|mlp_proj|lin2)/kernel(_q)?$", P("model", None)),
 ]
 
 

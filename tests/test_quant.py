@@ -355,6 +355,44 @@ def test_quant_camera_parallel_matches_single_device():
     assert (fm.masks == fm_ref.masks).all()
 
 
+def test_quant_tensor_sharded_matches_unsharded(sam_pair):
+    """Megatron-style tensor sharding composes with quant_int8: kernel_q
+    shards like kernel (column/row-parallel) and the per-out-channel
+    kernel_scale follows the out axis; the sharded forward matches the
+    unsharded quant forward."""
+    from jax.sharding import PartitionSpec as P
+
+    from cm3d_tpu.parallel import make_mesh
+    from cm3d_tpu.parallel.sharding import param_spec, shard_model_params
+
+    assert param_spec("block0/attn/qkv/kernel_q", 2) == P(None, "model")
+    assert param_spec("block0/attn/qkv/kernel_scale", 1) == P("model")
+    assert param_spec("block0/attn/proj/kernel_q", 2) == P("model", None)
+    assert param_spec("block0/attn/proj/kernel_scale", 1) == P()
+    assert param_spec("block0/mlp/lin1/kernel_q", 2) == P(None, "model")
+    assert param_spec("block0/mlp/lin2/kernel_q", 2) == P("model", None)
+
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    ref_masks, ref_iou = qmodel.apply({"params": qparams}, img, boxes)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_model_params(qparams, mesh)
+    kq = sharded["image_encoder"]["block0"]["attn"]["qkv"]["kernel_q"]
+    assert "model" in str(kq.sharding.spec)
+
+    fwd = jax.jit(lambda p, i, b: qmodel.apply({"params": p}, i, b))
+    with mesh:
+        masks, iou = fwd(sharded, img, boxes)
+    np.testing.assert_allclose(
+        np.asarray(masks, np.float32), np.asarray(ref_masks, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(iou, np.float32), np.asarray(ref_iou, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_quant_sequence_sharded_encode_matches(sam_pair):
     """quant_int8 composes with GSPMD sequence parallelism: token rows
     shard over the mesh while the per-token activation scales reduce over
