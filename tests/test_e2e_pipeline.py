@@ -20,7 +20,12 @@ SMALL = LiftStageConfig(
 MASK_CFG = MaskStageConfig(max_detections=16, max_masks_total=32)
 
 
-def test_fused_e2e_matches_two_stage(tmp_path, capsys):
+@pytest.mark.parametrize("quant", [False, True],
+                         ids=["float", "quant_int8"])
+def test_fused_e2e_matches_two_stage(tmp_path, capsys, quant):
+    """quant=True re-runs the parity with the int8 w8a8 SAM (the detector
+    is replaced by a fixed stub either way): the bit-plane handoff must
+    stay lossless through the quantized encode/decode too."""
     from PIL import Image
 
     from cm3d_tpu.datasets.nuscenes.tables import CAM_LIST, NuScenesTables
@@ -31,7 +36,7 @@ def test_fused_e2e_matches_two_stage(tmp_path, capsys):
     info = make_fake_nuscenes(root, tmp_path / "planted", n_frames=2,
                               n_objects=6)
     scene = info["scene_name"]
-    models = build_fake_models()
+    models = build_fake_models(quant_int8=quant)
 
     # deterministic detections (the test targets the bit-plane HANDOFF, not
     # the random-weight detector): two boxes per camera, car + pedestrian
