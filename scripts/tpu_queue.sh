@@ -54,6 +54,9 @@ step bench_e2e 3600 python bench.py --stage e2e
 # 6b. fast-mode e2e (opt-in --rect_encode: the README's speed offer)
 step bench_e2e_rect 3600 python bench.py --stage e2e --rect_encode
 
+# 6c. int8 e2e (opt-in --quant_int8: the round-3 session-9 speed offer)
+step bench_e2e_quant 3600 python bench.py --stage e2e --quant_int8
+
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG"
 
 # Persist the results where the next session / round-end commit can see
