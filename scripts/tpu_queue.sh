@@ -36,6 +36,9 @@ step bench_fusion_train 1800 python bench.py --stage fusion_train
 # 4. compact-kernel tile sweep (lift stretch)
 step tile_sweep 2400 python -c "exec(open('scripts/sweep_compact_tiles.py').read())"
 
+# 4b. lift batch-size sweep (headline batch default check)
+step lift_batch_sweep 2400 python -c "exec(open('scripts/sweep_lift_batch.py').read())"
+
 # 5. SAM ring-encode chunk-batch A/B (mask-stage floor lever)
 step ab_sam_batch 2400 python -c "exec(open('scripts/ab_sam_batch.py').read())"
 
