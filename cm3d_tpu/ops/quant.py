@@ -61,6 +61,40 @@ def quantize_dense_params(p: dict) -> dict:
     return out
 
 
+def is_quantized_tree(params) -> bool:
+    """True if the param tree contains QuantDense leaves (a `kernel_q`
+    key anywhere) — i.e. it was already transformed by a quantize_*
+    helper or loaded from a pre-quantized deployment checkpoint
+    (scripts/convert_checkpoints.py --quant_int8)."""
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, _leaf in flat:
+        for entry in path:
+            if getattr(entry, "key", None) == "kernel_q":
+                return True
+    return False
+
+
+def reconcile_quantization(params, transform, want: bool, name: str):
+    """Bring a loaded param tree in line with the quant_int8 setting.
+
+    want=True: transform float trees, pass pre-quantized trees through
+    (no double-quantization). want=False: float trees pass through, but a
+    pre-quantized tree is a hard error — the float module cannot consume
+    it and silently mis-keyed apply errors are much harder to diagnose.
+    """
+    have = is_quantized_tree(params)
+    if want:
+        return params if have else transform(params)
+    if have:
+        raise ValueError(
+            f"{name} checkpoint is int8-quantized (kernel_q leaves present)"
+            " — pass --quant_int8, or convert a float checkpoint"
+        )
+    return params
+
+
 def dynamic_int8_matmul(
     x: jax.Array,
     w_q: jax.Array,

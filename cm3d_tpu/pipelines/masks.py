@@ -740,14 +740,19 @@ def build_real_models(
     sam_cfg = dataclasses.replace(sam_base, dtype=dtype,
                                   rect_encode=rect_encode,
                                   quant_int8=quant_int8)
-    if quant_int8:
-        from cm3d_tpu.models.sam import quantize_sam_params
+    from cm3d_tpu.models.detic import quantize_detic_params
+    from cm3d_tpu.models.sam import quantize_sam_params
+    from cm3d_tpu.ops.quant import reconcile_quantization
 
-        sam_params = quantize_sam_params(sam_params)
-    if quant_detic:
-        from cm3d_tpu.models.detic import quantize_detic_params
-
-        detic_params = quantize_detic_params(detic_params)
+    # pre-quantized deployment checkpoints (convert_checkpoints.py
+    # --quant_int8) pass through; float trees transform; a quantized tree
+    # without the flag is a hard error
+    sam_params = reconcile_quantization(
+        sam_params, quantize_sam_params, quant_int8, "SAM"
+    )
+    detic_params = reconcile_quantization(
+        detic_params, quantize_detic_params, quant_detic, "Detic"
+    )
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
         vocabulary, mesh=mesh, encode_chunk=encode_chunk,
@@ -841,12 +846,15 @@ def attach_gdino(
             ckpt_path,
             lambda p: convert_gdino_params(load_torch_state_dict(p), cfg),
         )
-    if quant_int8:
-        from cm3d_tpu.models.swin import quantize_swin_backbone
+    from cm3d_tpu.models.swin import quantize_swin_backbone
+    from cm3d_tpu.ops.quant import reconcile_quantization
 
+    params = reconcile_quantization(
+        params, quantize_swin_backbone, quant_int8, "GroundingDINO"
+    )
+    if quant_int8:
         cfg = _dc.replace(cfg, swin=_dc.replace(cfg.swin, quant_int8=True))
         model = GroundingDino(cfg)
-        params = quantize_swin_backbone(params)
     detect = make_gdino_detector(
         model, params, tok, vocabulary, box_threshold=box_threshold
     )

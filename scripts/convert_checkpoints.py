@@ -25,6 +25,13 @@ def main():
     p.add_argument("--zoe", default="")
     p.add_argument("--gdino", default="")
     p.add_argument("--out_dir", required=True)
+    p.add_argument("--quant_int8", action="store_true",
+                   help="also apply the int8 w8a8 load-time transforms "
+                   "(SAM encoder Dense, detector Swin MLPs) and save "
+                   "pre-quantized *_int8 trees: ~4x smaller deploy "
+                   "artifacts, no per-start quantize cost; load with "
+                   "--quant_int8 on the CLIs (the builders detect "
+                   "kernel_q leaves and skip re-quantizing)")
     args = p.parse_args()
 
     from cm3d_tpu.models.checkpoints import save_params
@@ -38,16 +45,28 @@ def main():
         params = convert_sam_params(
             load_torch_state_dict(args.sam), sam_config_for(args.sam_size)
         )
-        save_params(params, f"{args.out_dir}/sam_{args.sam_size}")
-        print(f"saved sam_{args.sam_size}")
+        name = f"sam_{args.sam_size}"
+        if args.quant_int8:
+            from cm3d_tpu.models.sam import quantize_sam_params
+
+            params = quantize_sam_params(params)
+            name += "_int8"
+        save_params(params, f"{args.out_dir}/{name}")
+        print(f"saved {name}")
     if args.detic:
         from cm3d_tpu.models.convert_detic import (
             convert_detic_params, load_detic_checkpoint,
         )
 
         params = convert_detic_params(load_detic_checkpoint(args.detic))
-        save_params(params, f"{args.out_dir}/detic_swinb")
-        print("saved detic_swinb")
+        name = "detic_swinb"
+        if args.quant_int8:
+            from cm3d_tpu.models.detic import quantize_detic_params
+
+            params = quantize_detic_params(params)
+            name += "_int8"
+        save_params(params, f"{args.out_dir}/{name}")
+        print(f"saved {name}")
     if args.clip:
         from cm3d_tpu.models.clip_text import convert_clip_text_params
         from cm3d_tpu.models.convert_sam import load_torch_state_dict
@@ -68,8 +87,14 @@ def main():
 
         params = convert_gdino_params(load_torch_state_dict(args.gdino),
                                       GDINO_SWINT)
-        save_params(params, f"{args.out_dir}/gdino_swint")
-        print("saved gdino_swint")
+        name = "gdino_swint"
+        if args.quant_int8:
+            from cm3d_tpu.models.swin import quantize_swin_backbone
+
+            params = quantize_swin_backbone(params)
+            name += "_int8"
+        save_params(params, f"{args.out_dir}/{name}")
+        print(f"saved {name}")
 
 
 if __name__ == "__main__":

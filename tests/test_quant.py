@@ -280,6 +280,49 @@ def test_fake_models_quant_pipeline_smoke():
     assert np.all(np.isfinite(np.asarray(emb, np.float32)))
 
 
+def test_reconcile_quantization_semantics(sam_pair):
+    """Float + want -> transformed; quantized + want -> passthrough (no
+    double-quantize); quantized + not want -> loud error."""
+    from cm3d_tpu.models.sam import quantize_sam_params
+    from cm3d_tpu.ops.quant import is_quantized_tree, reconcile_quantization
+
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    assert not is_quantized_tree(params)
+    assert is_quantized_tree(qparams)
+
+    out = reconcile_quantization(params, quantize_sam_params, True, "SAM")
+    assert is_quantized_tree(out)
+    same = reconcile_quantization(qparams, quantize_sam_params, True, "SAM")
+    assert same is qparams  # passthrough, not re-transformed
+    back = reconcile_quantization(params, quantize_sam_params, False, "SAM")
+    assert back is params
+    with pytest.raises(ValueError, match="int8-quantized"):
+        reconcile_quantization(qparams, quantize_sam_params, False, "SAM")
+
+
+def test_quantized_tree_orbax_roundtrip(sam_pair, tmp_path):
+    """Pre-quantized deployment checkpoints (convert_checkpoints.py
+    --quant_int8): orbax must round-trip the int8 leaves bit-exactly and
+    the restored tree must drive the quant model."""
+    from cm3d_tpu.models.checkpoints import load_params, save_params
+
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    path = str(tmp_path / "sam_test_int8")
+    save_params(qparams, path)
+    restored = load_params(path)
+    kq = restored["image_encoder"]["block0"]["attn"]["qkv"]["kernel_q"]
+    assert np.asarray(kq).dtype == np.int8
+    ref = qmodel.apply(
+        {"params": qparams}, img[None], method=qmodel.encode_image
+    )
+    out = qmodel.apply(
+        {"params": restored}, img[None], method=qmodel.encode_image
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    )
+
+
 def test_gdino_quant_detector_close():
     """--detector gdino --quant_int8: the GroundingDINO Swin backbone's
     MLPs quantize through the same boundary as Detic's; detections from
