@@ -635,19 +635,19 @@ def main(argv=None):
         from cm3d_tpu.parallel import make_mesh
 
         mesh = make_mesh(n_data=args.camera_mesh, n_model=1)
-    quant_detic = args.quant_int8 and args.detector == "detic"
+    detic_used = args.detector == "detic"
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
                                    rect_encode=args.rect_encode, mesh=mesh,
                                    encode_chunk=args.encode_chunk,
                                    quant_int8=args.quant_int8,
-                                   quant_detic=quant_detic)
+                                   detic_used=detic_used)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
             encode_chunk=args.encode_chunk, sam_size=args.sam_size,
-            quant_int8=args.quant_int8, quant_detic=quant_detic,
+            quant_int8=args.quant_int8, detic_used=detic_used,
         )
     if args.detector == "gdino":
         models = attach_gdino(

@@ -691,7 +691,7 @@ def build_real_models(
     encode_chunk: int = 1,
     sam_size: str = "vit_h",
     quant_int8: bool = False,
-    quant_detic: bool | None = None,
+    detic_used: bool = True,
 ) -> MaskModels:
     """Full-size models from released torch checkpoints, jitted batched.
 
@@ -727,22 +727,9 @@ def build_real_models(
         embed_vocabulary(clip_params, tokenizer, list(vocabulary))
     )
 
-    # quant_detic=False skips quantizing a Detic that the caller is about
-    # to swap out (--detector gdino): the transform + device replication
-    # of the discarded tree is pure wasted startup over the slow tunnel
-    if quant_detic is None:
-        quant_detic = quant_int8
-    detic_cfg = dataclasses.replace(
-        DETIC_SWINB, dtype=dtype,
-        swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype,
-                                 quant_int8=quant_detic),
-    )
-    sam_cfg = dataclasses.replace(sam_base, dtype=dtype,
-                                  rect_encode=rect_encode,
-                                  quant_int8=quant_int8)
     from cm3d_tpu.models.detic import quantize_detic_params
     from cm3d_tpu.models.sam import quantize_sam_params
-    from cm3d_tpu.ops.quant import reconcile_quantization
+    from cm3d_tpu.ops.quant import is_quantized_tree, reconcile_quantization
 
     # pre-quantized deployment checkpoints (convert_checkpoints.py
     # --quant_int8) pass through; float trees transform; a quantized tree
@@ -750,9 +737,26 @@ def build_real_models(
     sam_params = reconcile_quantization(
         sam_params, quantize_sam_params, quant_int8, "SAM"
     )
-    detic_params = reconcile_quantization(
-        detic_params, quantize_detic_params, quant_detic, "Detic"
+    if detic_used:
+        detic_params = reconcile_quantization(
+            detic_params, quantize_detic_params, quant_int8, "Detic"
+        )
+        detic_quant = quant_int8
+    else:
+        # --detector gdino: attach_gdino replaces this Detic before any
+        # frame runs, so neither quantize it (wasted transform + device
+        # replication of a discarded tree) nor reject whatever form the
+        # checkpoint is in (an int8-only deployment dir must stay usable);
+        # the cfg just matches the loaded tree so the callable is coherent
+        detic_quant = is_quantized_tree(detic_params)
+    detic_cfg = dataclasses.replace(
+        DETIC_SWINB, dtype=dtype,
+        swin=dataclasses.replace(DETIC_SWINB.swin, dtype=dtype,
+                                 quant_int8=detic_quant),
     )
+    sam_cfg = dataclasses.replace(sam_base, dtype=dtype,
+                                  rect_encode=rect_encode,
+                                  quant_int8=quant_int8)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
         vocabulary, mesh=mesh, encode_chunk=encode_chunk,
@@ -1015,19 +1019,19 @@ def main(argv=None):
         from cm3d_tpu.parallel import make_mesh
 
         mesh = make_mesh(n_data=args.camera_mesh, n_model=1)
-    quant_detic = args.quant_int8 and args.detector == "detic"
+    detic_used = args.detector == "detic"
     if args.fake_weights:
         models = build_fake_models(vocabulary=vocab,
                                    rect_encode=args.rect_encode, mesh=mesh,
                                    encode_chunk=args.encode_chunk,
                                    quant_int8=args.quant_int8,
-                                   quant_detic=quant_detic)
+                                   detic_used=detic_used)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
             encode_chunk=args.encode_chunk, sam_size=args.sam_size,
-            quant_int8=args.quant_int8, quant_detic=quant_detic,
+            quant_int8=args.quant_int8, detic_used=detic_used,
         )
 
     if args.use_zoedepth:
@@ -1053,7 +1057,7 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
                       rect_encode: bool = False, mesh=None,
                       encode_chunk: int = 1,
                       quant_int8: bool = False,
-                      quant_detic: bool | None = None) -> MaskModels:
+                      detic_used: bool = True) -> MaskModels:
     """Tiny random-weight models (hermetic smoke tests / CI) behind the same
     batched wrappers as the real checkpoints."""
     import jax
@@ -1077,8 +1081,6 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
     sam_params = sam_model.init(
         jax.random.PRNGKey(seed + 1), sq0, jnp.zeros((1, 4), jnp.float32)
     )["params"]
-    if quant_detic is None:
-        quant_detic = quant_int8
     if quant_int8:
         from cm3d_tpu.models.sam import quantize_sam_params
 
@@ -1086,7 +1088,7 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
             SAM_TEST, rect_encode=rect_encode, quant_int8=True
         ))
         sam_params = quantize_sam_params(sam_params)
-    if quant_detic:
+    if quant_int8 and detic_used:
         from cm3d_tpu.models.detic import quantize_detic_params
 
         detic_model = Detic(dataclasses.replace(

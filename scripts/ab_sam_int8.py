@@ -17,15 +17,23 @@ import dataclasses as dc
 import os
 import time
 
+# CM3D_AB_SMOKE=1: tiny-config CPU smoke (validates the script itself so an
+# unattended queue run can't waste the tunnel window on a script bug).
+# The CPU backend must be forced BEFORE the first backend init — the
+# image's sitecustomize pre-selects axon, and a dead tunnel hangs forever.
+SMOKE = bool(os.environ.get("CM3D_AB_SMOKE"))
+if SMOKE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
 from cm3d_tpu.models.sam import SAM_TEST, SAM_VIT_H, Sam, quantize_sam_params
-
-# CM3D_AB_SMOKE=1: tiny-config CPU smoke (validates the script itself so an
-# unattended queue run can't waste the tunnel window on a script bug)
-SMOKE = bool(os.environ.get("CM3D_AB_SMOKE"))
 WARMUP, ITERS = (1, 1) if SMOKE else (2, 6)
 N_CAMS = 2 if SMOKE else 6
 BASE = SAM_TEST if SMOKE else SAM_VIT_H

@@ -333,9 +333,11 @@ def test_gdino_quant_detector_close():
     imgs = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(2)]
 
     def detect(quant):
+        # detic_used=False mirrors the CLI: the Detic about to be swapped
+        # out is neither quantized nor validated against the flag
         models = attach_gdino(
-            build_fake_models(seed=0, quant_int8=quant), test=True,
-            quant_int8=quant, box_threshold=0.0,
+            build_fake_models(seed=0, quant_int8=quant, detic_used=False),
+            test=True, quant_int8=quant, box_threshold=0.0,
         )
         frame = models.prepare(imgs)
         return models.detic(frame)
