@@ -60,6 +60,9 @@ step bench_e2e_rect 3600 python bench.py --stage e2e --rect_encode
 # 6c. int8 e2e (opt-in --quant_int8: the round-3 session-9 speed offer)
 step bench_e2e_quant 3600 python bench.py --stage e2e --quant_int8
 
+# 6d. combined fast mode: rect encode (-44% encoder FLOPs) + int8 Dense
+step bench_e2e_rect_quant 3600 python bench.py --stage e2e --rect_encode --quant_int8
+
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG"
 
 # Persist the results where the next session / round-end commit can see
