@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <fstream>
 #include <map>
@@ -308,8 +309,6 @@ static const TypeCfg kTypes[] = {
     {4, "CYCLIST", 0.5},
 };
 
-struct ScoredTP { double score; int tp; double hweight; };
-
 // Waymo heading accuracy weight: 1 - |wrapped yaw diff| / pi.
 static double heading_weight(double a, double b) {
   double d = std::fabs(a - b);
@@ -323,8 +322,15 @@ static double box_range(const Obj* o) {
   return std::sqrt(o->box[0] * o->box[0] + o->box[1] * o->box[1]);
 }
 
-// level: 1 -> evaluate on L1 gts only (preds matched to L2 gts ignored);
-// 2 -> all gts. GT difficulty: L2 iff num_points <= 5.
+// GT difficulty semantics, pinned EMPIRICALLY against the reference repo's
+// real compute_detection_metrics_main ELF (single-object probe bins, see
+// tests/test_waymo_metrics_live.py):
+//   - num_points == 0  -> gt excluded entirely (no match, no npos, either
+//     level); its would-be pred becomes an FP;
+//   - 1..5 points      -> LEVEL_2: counts at L2 always; at L1 it counts
+//     (npos AND its matched pred's TP) only if the match happened —
+//     UNMATCHED L2 gts are dropped from L1's denominator;
+//   - >= 6 points      -> LEVEL_1: counts at both levels.
 // [range_lo, range_hi): objects outside the shard are dropped before
 // matching (the real tool shards one global match by range; identical
 // except when a match would cross a bucket boundary).
@@ -333,8 +339,16 @@ static void evaluate_type(
     const std::map<std::pair<std::string, int64_t>, std::vector<const Obj*>>& gts,
     const TypeCfg& tc, int level, double* out_ap, double* out_aph,
     double range_lo = -1.0, double range_hi = 1e30) {
-  std::vector<ScoredTP> rows;
-  long npos = 0;
+  // Per-cutoff accumulators over all frames: the real tool samples the PR
+  // curve at 101 fixed score cutoffs 0.00..1.00 ("Cutoffs size: 101" in its
+  // stdout; pinned by the tp.015/fp.014 probe in test_waymo_metrics_live.py)
+  // and RE-MATCHES the surviving predictions at every cutoff.
+  static const int kCuts = 101;
+  float cutoff[kCuts];
+  for (int k = 0; k < kCuts; k++) cutoff[k] = (float)(k * 0.01);
+  std::vector<long> tp(kCuts, 0), fp(kCuts, 0), fn(kCuts, 0);
+  std::vector<double> hsum(kCuts, 0.0);
+
   std::map<std::pair<std::string, int64_t>, char> all_frames;
   for (auto& kv : preds) all_frames[kv.first] = 1;
   for (auto& kv : gts) all_frames[kv.first] = 1;
@@ -350,69 +364,115 @@ static void evaluate_type(
     auto ig = gts.find(fr.first);
     if (ig != gts.end())
       for (auto* o : ig->second)
-        if (o->type == tc.type && box_range(o) >= range_lo &&
-            box_range(o) < range_hi)
+        if (o->type == tc.type && o->num_points > 0 &&
+            box_range(o) >= range_lo && box_range(o) < range_hi)
           g.push_back(o);
 
-    std::vector<char> g_is_l2(g.size());
-    for (size_t j = 0; j < g.size(); j++) g_is_l2[j] = g[j]->num_points <= 5;
-    for (size_t j = 0; j < g.size(); j++)
-      if (level == 2 || !g_is_l2[j]) npos++;
-
     const int n = (int)p.size(), m = (int)g.size();
-    if (n == 0) continue;
-    if (m == 0) {
-      for (auto* o : p) rows.push_back({o->score, 0, 0.0});
-      continue;
-    }
+    // Score-descending order: the pred subset at cutoff k is a prefix.
+    std::sort(p.begin(), p.end(), [](const Obj* a, const Obj* b) {
+      return a->score > b->score;
+    });
     std::vector<double> pb(7 * n), gb(7 * m);
     for (int i = 0; i < n; i++) std::memcpy(&pb[7 * i], p[i]->box, 56);
     for (int j = 0; j < m; j++) std::memcpy(&gb[7 * j], g[j]->box, 56);
-    std::vector<int> pi(n), gi(n);
-    std::vector<double> io(n);
-    const int q = hungarian_match_boxes(pb.data(), n, gb.data(), m, tc.iou, 0,
-                                        pi.data(), gi.data(), io.data());
-    std::vector<int> matched_gt(n, -1);
-    for (int k = 0; k < q; k++) matched_gt[pi[k]] = gi[k];
-    for (int i = 0; i < n; i++) {
-      const int j = matched_gt[i];
-      if (j < 0) {
-        rows.push_back({p[i]->score, 0, 0.0});
-      } else if (level == 1 && g_is_l2[j]) {
-        // matched an L2-only gt: excluded from the L1 metric entirely
-      } else {
-        rows.push_back(
-            {p[i]->score, 1, heading_weight(p[i]->box[6], g[j]->box[6])});
+
+    // Memoize one matching per distinct prefix length.
+    std::map<int, std::vector<int>> match_by_len;  // len -> matched_gt[0..len)
+    for (int k = 0; k < kCuts; k++) {
+      int len = 0;
+      while (len < n && (float)p[len]->score >= cutoff[k]) len++;
+      auto it = match_by_len.find(len);
+      if (it == match_by_len.end()) {
+        std::vector<int> matched_gt(len, -1);
+        if (len > 0 && m > 0) {
+          std::vector<int> pi(len), gi(len);
+          std::vector<double> io(len);
+          const int q = hungarian_match_boxes(pb.data(), len, gb.data(), m,
+                                              tc.iou, 0, pi.data(), gi.data(),
+                                              io.data());
+          for (int t = 0; t < q; t++) matched_gt[pi[t]] = gi[t];
+        }
+        it = match_by_len.emplace(len, std::move(matched_gt)).first;
+      }
+      const std::vector<int>& matched_gt = it->second;
+      std::vector<char> gt_matched(m, 0);
+      for (int i = 0; i < len; i++) {
+        const int j = matched_gt[i];
+        if (j < 0) {
+          fp[k]++;
+        } else {
+          tp[k]++;
+          hsum[k] += heading_weight(p[i]->box[6], g[j]->box[6]);
+          gt_matched[j] = 1;
+        }
+      }
+      for (int j = 0; j < m; j++) {
+        if (gt_matched[j]) continue;
+        const bool is_l2 = g[j]->num_points <= 5;
+        if (level == 2 || !is_l2) fn[k]++;  // unmatched L2 gts skip L1's FN
       }
     }
   }
 
-  if (npos == 0 || rows.empty()) { *out_ap = 0; *out_aph = 0; return; }
-  std::sort(rows.begin(), rows.end(),
-            [](const ScoredTP& a, const ScoredTP& b) { return a.score > b.score; });
-  std::vector<double> prec(rows.size()), rec(rows.size());
-  std::vector<double> prec_h(rows.size());
-  double tp = 0, fp = 0, tph = 0;
-  for (size_t i = 0; i < rows.size(); i++) {
-    if (rows[i].tp) { tp += 1; tph += rows[i].hweight; }
-    else fp += 1;
-    prec[i] = tp / (tp + fp);
-    prec_h[i] = tph / (tp + fp);
-    rec[i] = tp / (double)npos;
+  // PR point per cutoff; 0/0 ratios -> 0 (such points sit at r=0 and never
+  // move the max-precision envelope).
+  const bool dbg = std::getenv("CM3D_PR_DEBUG") != nullptr;
+  std::vector<double> prec(kCuts), prec_h(kCuts), rec(kCuts);
+  double r_max = 0.0;
+  for (int k = 0; k < kCuts; k++) {
+    const double denom_p = (double)(tp[k] + fp[k]);
+    const double denom_r = (double)(tp[k] + fn[k]);
+    prec[k] = denom_p > 0 ? tp[k] / denom_p : 0.0;
+    prec_h[k] = denom_p > 0 ? hsum[k] / denom_p : 0.0;
+    rec[k] = denom_r > 0 ? tp[k] / denom_r : 0.0;
+    r_max = std::max(r_max, rec[k]);
+    if (dbg)
+      std::fprintf(stderr, "PRDBG %s L%d k=%d tp=%ld fp=%ld fn=%ld r=%.4f p=%.4f\n",
+                   tc.name, level, k, tp[k], fp[k], fn[k], rec[k], prec[k]);
   }
-  // max-interpolated p(r), integrated over recall (Pascal-style continuous)
-  double ap = 0, aph = 0, prev_r = 0;
-  double max_p = 0, max_ph = 0;
-  for (size_t i = rows.size(); i-- > 0;) {
-    max_p = std::max(max_p, prec[i]);
-    max_ph = std::max(max_ph, prec_h[i]);
-    prec[i] = max_p;
-    prec_h[i] = max_ph;
+  if (r_max == 0.0) { *out_ap = 0; *out_aph = 0; return; }
+
+  // AP = trapezoidal integral over [0, r_max] of the max-precision envelope
+  //   P(r) = max{ prec[k] : rec[k] >= r },
+  // sampled at the raw recall points PLUS, for each consecutive cutoff pair
+  // with a recall gap, points stepping DOWN from the pair's higher recall by
+  // the 0.05 desired_recall_delta (r_hi - j*0.05 while > r_lo). The step
+  // anchors at r_hi, not an absolute grid: pinned by the probe family in
+  // test_waymo_metrics_live.py (plateau 0.841667 -> smear width 0.05;
+  // off-grid disc at 1/3 under a (2/3 -> 1/3) gap -> width 1/30 because the
+  // insertions land at 2/3 - 6*0.05 = 0.3667; two-disc 0.69375 -> width
+  // 0.05 from 0.75 - 4*0.05 = 0.55). mAPH integrates its OWN envelope
+  // (probe: mAP 0.561111 / mAPH 0.222222 with a heading-flipped TP).
+  std::vector<double> samples;
+  for (int k = 0; k < kCuts; k++) samples.push_back(rec[k]);
+  for (int k = 0; k + 1 < kCuts; k++) {
+    const double r_hi = rec[k], r_lo = rec[k + 1];
+    // Epsilon guard: 0.8 - 4*0.05 = 0.6 + 1e-17 in doubles; a spurious
+    // sample epsilon above a discontinuity collapses its trapezoid smear.
+    for (int j = 1; r_hi - j * 0.05 > r_lo + 1e-9; j++)
+      samples.push_back(r_hi - j * 0.05);
   }
-  for (size_t i = 0; i < rows.size(); i++) {
-    ap += prec[i] * (rec[i] - prev_r);
-    aph += prec_h[i] * (rec[i] - prev_r);
-    prev_r = rec[i];
+  samples.push_back(0.0);
+  std::sort(samples.begin(), samples.end());
+  samples.erase(std::unique(samples.begin(), samples.end()), samples.end());
+
+  auto envelope = [&](const std::vector<double>& v, double r) {
+    double best = 0.0;
+    for (int k = 0; k < kCuts; k++)
+      if (rec[k] >= r) best = std::max(best, v[k]);
+    return best;
+  };
+
+  double ap = 0, aph = 0;
+  double prev_r = 0, prev_p = envelope(prec, 0.0), prev_ph = envelope(prec_h, 0.0);
+  for (double r : samples) {
+    if (r <= 0.0) continue;
+    if (r > r_max) break;
+    const double pe = envelope(prec, r), phe = envelope(prec_h, r);
+    ap += (r - prev_r) * 0.5 * (prev_p + pe);
+    aph += (r - prev_r) * 0.5 * (prev_ph + phe);
+    prev_r = r; prev_p = pe; prev_ph = phe;
   }
   *out_ap = ap;
   *out_aph = aph;
