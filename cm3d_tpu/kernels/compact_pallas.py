@@ -37,7 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _L_T = 512   # output tile (lanes of the one-hot matmul)
-_S_T = 2048  # source chunk (sublanes of the one-hot matmul)
+_S_T = 1024  # source chunk (sublanes of the one-hot matmul)
+# Defaults from the on-chip sweep (scripts/sweep_compact_tiles.py, r03 queue):
+# 1024/512 wins at all three lift stages — camera 12.69 -> 10.47 ms,
+# union 5.57 -> 5.35 ms, mask 12.14 -> 11.56 ms (batch-8 production shapes).
 _RB = 8      # rows per program
 
 # Mosaic's default vmem_limit_bytes is 16 MB regardless of hardware (v5e
