@@ -122,10 +122,15 @@ def splat_to_bev(
         # the kernel's custom_vmap sees every operand batched
         from cm3d_tpu.kernels.segment_pallas import segment_sum_pallas
 
-        cell_s, perm = jax.lax.sort(
-            (cell, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-        )
-        vals = contrib[perm].T  # one row gather, channels-major for the kernel
+        iota = jnp.arange(n, dtype=jnp.int32)
+        cell_s, perm = jax.lax.sort((cell, iota), num_keys=1)
+        # inverse permutation via a second sort (scatter-free); the
+        # custom-VJP gather keeps the backward pass scatter-free too —
+        # XLA's transpose of a plain contrib[perm] gather is a
+        # ~12 cycles/element scatter-add over every splat element
+        _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
+        # one row gather, channels-major for the kernel
+        vals = _voxelize.apply_permutation(contrib, perm, inv_perm).T
         sums = segment_sum_pallas(
             cell_s[None], vals[None], n_cells, interpret,
         )

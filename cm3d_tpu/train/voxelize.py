@@ -34,6 +34,37 @@ def segment_kernel_mode() -> tuple:
     return use, _USE_PALLAS_SEGMENT == "interpret"
 
 
+@jax.custom_vjp
+def apply_permutation(vals: jax.Array, perm: jax.Array,
+                      inv_perm: jax.Array) -> jax.Array:
+    """vals[perm] with an exact gather VJP (perm must be a bijection).
+
+    XLA transposes a differentiated gather into a scatter-add
+    (~12 cycles/element on TPU) — at the camera splat's 83k x 32 f32
+    rows per sample that backward scatter alone costs ~250 ms of the
+    268 ms batch-8 fusion train step. For a PERMUTATION the cotangent of
+    vals[perm] is exactly ct[inv_perm]: another cheap row gather. The
+    caller supplies inv_perm (one extra lax.sort of (perm, iota) — the
+    same recipe that produced perm, still scatter-free).
+    """
+    del inv_perm
+    return vals[perm]
+
+
+def _apply_permutation_fwd(vals, perm, inv_perm):
+    return vals[perm], inv_perm
+
+
+def _apply_permutation_bwd(inv_perm, ct):
+    import numpy as np
+
+    f0 = np.zeros(inv_perm.shape, dtype=jax.dtypes.float0)
+    return ct[inv_perm], f0, f0
+
+
+apply_permutation.defvjp(_apply_permutation_fwd, _apply_permutation_bwd)
+
+
 @dataclasses.dataclass(frozen=True)
 class PillarConfig:
     x_min: float = -51.2

@@ -214,3 +214,33 @@ def test_detector_rejects_unaligned_image_hw():
             bad, jnp.tile(jnp.eye(3), (1, 2, 1, 1)),
             jnp.tile(jnp.eye(4), (1, 2, 1, 1)),
         )
+
+
+def test_apply_permutation_vjp_matches_plain_gather():
+    """apply_permutation's custom VJP (ct[inv_perm], scatter-free) must
+    equal the autodiff of a plain vals[perm] gather — the fusion step's
+    backward depends on this bijection identity."""
+    rng = np.random.default_rng(3)
+    n, f = 37, 5
+    vals = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    inv = jnp.argsort(perm).astype(jnp.int32)
+    ct = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+
+    def loss_custom(v):
+        return jnp.sum(_voxelize.apply_permutation(v, perm, inv) * ct)
+
+    def loss_plain(v):
+        return jnp.sum(v[perm] * ct)
+
+    np.testing.assert_array_equal(
+        np.asarray(_voxelize.apply_permutation(vals, perm, inv)),
+        np.asarray(vals[perm]))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_custom)(vals)),
+        np.asarray(jax.grad(loss_plain)(vals)), rtol=0, atol=0)
+    # jit + vmap (the production transform stack)
+    vb = jnp.stack([vals, vals * 2.0])
+    gb = jax.jit(jax.vmap(jax.grad(loss_custom)))(vb)
+    gp = jax.vmap(jax.grad(loss_plain))(vb)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gp), rtol=0, atol=0)
