@@ -543,6 +543,6 @@ def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
         # for how much the camera branch adds, NOT a health ratio — keeping
         # it out of vs_baseline so "vs_baseline < 1" stays meaningful
         "vs_baseline": None,
-        "lidar_only_step_ms": 10.0,
+        "lidar_only_step_ms": 6.17,  # bench_train, r03 queue 2026-08-19
         "steps_per_sec": round(n_iters / dt, 2),
     }

@@ -82,6 +82,7 @@ def run_detect(
     use_camera: bool = False,
     image_hw=(144, 256),
     fusion_cfg=None,
+    camera_backbone: str = "conv",
     data_parallel: int = 0,
 ) -> dict:
     """Run the trained detector over keyframes; write + return the
@@ -105,7 +106,8 @@ def run_detect(
         from cm3d_tpu.train.bevfusion import BevFusionConfig, BevFusionDetector
 
         fusion_cfg = fusion_cfg or BevFusionConfig(
-            centerpoint=model_cfg or CenterPointConfig()
+            centerpoint=model_cfg or CenterPointConfig(),
+            camera_backbone=camera_backbone,
         )
         model_cfg = fusion_cfg.centerpoint
         model = BevFusionDetector(fusion_cfg, pillar_cfg)
@@ -233,6 +235,10 @@ def main(argv=None):
     p.add_argument("--use_camera", action="store_true",
                    help="BEVFusion-lite checkpoint ({out}/bevfusion from "
                    "pretrain --use_camera); loads the ring images too")
+    p.add_argument("--camera_backbone", default="conv",
+                   choices=("conv", "swin_t"),
+                   help="--use_camera image backbone; must match the "
+                   "checkpoint's training-time choice")
     p.add_argument("--image_hw", default="144x256",
                    help="camera input size HxW (must match training)")
     args = p.parse_args(argv)
@@ -242,7 +248,8 @@ def main(argv=None):
         scenes=args.scenes.split(",") if args.scenes else None,
         batch_size=args.batch_size, top_k=args.top_k,
         score_thresh=args.score_thresh, use_camera=args.use_camera,
-        image_hw=(ih, iw), data_parallel=args.data_parallel,
+        image_hw=(ih, iw), camera_backbone=args.camera_backbone,
+        data_parallel=args.data_parallel,
     )
 
 

@@ -241,6 +241,7 @@ def run_pretrain(
     use_camera: bool = False,
     image_hw=(144, 256),
     fusion_cfg=None,
+    camera_backbone: str = "conv",
     labels_gt: bool = False,
     split: str = None,
     splits_json: str = None,
@@ -329,7 +330,8 @@ def run_pretrain(
         )
 
         fusion_cfg = fusion_cfg or BevFusionConfig(
-            centerpoint=model_cfg or CenterPointConfig()
+            centerpoint=model_cfg or CenterPointConfig(),
+            camera_backbone=camera_backbone,
         )
         n_cams = len(data[0][5][0])
         state, model, tx = init_fusion_state(
@@ -475,13 +477,19 @@ def main(argv=None):
                    "saves to {out}/bevfusion")
     p.add_argument("--image_hw", default="144x256",
                    help="camera input size HxW for --use_camera")
+    p.add_argument("--camera_backbone", default="conv",
+                   choices=("conv", "swin_t"),
+                   help="--use_camera image backbone: the lite conv trunk "
+                   "or full Swin-T (the backbone the reference's BEVFusion "
+                   "rows train; multi-scale outputs FPN-fused at stride 8)")
     args = p.parse_args(argv)
     ih, iw = (int(x) for x in args.image_hw.split("x"))
     run_pretrain(args.dataroot, args.version, args.labels, args.out,
                  args.steps, args.batch_size, args.lr,
                  save_every=args.save_every, resume=args.resume,
                  seed=args.seed, use_camera=args.use_camera,
-                 image_hw=(ih, iw), labels_gt=args.labels_gt,
+                 image_hw=(ih, iw), camera_backbone=args.camera_backbone,
+                 labels_gt=args.labels_gt,
                  split=args.split, splits_json=args.splits_json,
                  init_from=args.init_from, lr_schedule=args.lr_schedule,
                  warmup_steps=args.warmup_steps, grad_clip=args.grad_clip,

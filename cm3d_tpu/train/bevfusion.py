@@ -36,10 +36,21 @@ import jax.numpy as jnp
 import optax
 import flax.linen as nn
 
+from cm3d_tpu.models.swin import SwinConfig, SwinTransformer
 from cm3d_tpu.train.centerpoint import CenterPointConfig, CenterPointDetector
 from cm3d_tpu.train.train import TrainState, make_train_step_impl
 from cm3d_tpu.train.voxelize import PillarConfig
 from cm3d_tpu.train import voxelize as _voxelize
+
+# Swin-T (the backbone the reference's BEVFusion rows actually train —
+# project page `index.html:298-334` cites BEVFusion, whose camera branch
+# is Swin-T) — reuses the Detic/GroundingDINO Swin module. fused_attn is
+# pinned OFF: the Pallas window-attention kernel is inference-only (no AD
+# rule); the unfused path is pure XLA and differentiates.
+SWIN_T_CAMERA = SwinConfig(
+    embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+    out_indices=(1, 2, 3), fused_attn=False,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,9 +61,17 @@ class BevFusionConfig:
     depth_bins: int = 24
     d_min: float = 1.0
     d_max: float = 45.0
+    # "conv": the lite stride-2 conv trunk above (fast default).
+    # "swin_t": full Swin-T, multi-scale stage outputs upsampled to the
+    # shallowest out-stage's stride and concatenated (the BEVFusion
+    # FPN-fusion pattern) before the same feat/depth heads.
+    camera_backbone: str = "conv"
+    swin: SwinConfig = SWIN_T_CAMERA
 
     @property
     def img_stride(self) -> int:
+        if self.camera_backbone == "swin_t":
+            return self.swin.patch_size * 2 ** min(self.swin.out_indices)
         return 2 ** len(self.cam_trunk)
 
     def bin_depths(self) -> jnp.ndarray:
@@ -150,13 +169,31 @@ class CameraTrunk(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False):
         cfg = self.cfg
-        x = images
-        for i, ch in enumerate(cfg.cam_trunk):
-            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
-                        use_bias=False, name=f"cam{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             name=f"cam{i}_bn")(x)
-            x = nn.relu(x)
+        if cfg.camera_backbone == "swin_t":
+            outs = SwinTransformer(cfg.swin, name="swin")(images)
+            base = min(cfg.swin.out_indices)
+            bh = -(-images.shape[1] // (cfg.swin.patch_size * 2 ** base))
+            bw = -(-images.shape[2] // (cfg.swin.patch_size * 2 ** base))
+            ups = []
+            for i in sorted(cfg.swin.out_indices):
+                o = outs[f"swin{i}"]
+                f = 2 ** (i - base)
+                if f > 1:  # nearest upsample to the base stride, then
+                    o = jnp.repeat(jnp.repeat(o, f, axis=1), f, axis=2)
+                ups.append(o[:, :bh, :bw])  # crop odd-size merge padding
+            x = jnp.concatenate(ups, axis=-1)
+        elif cfg.camera_backbone == "conv":
+            x = images
+            for i, ch in enumerate(cfg.cam_trunk):
+                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
+                            use_bias=False, name=f"cam{i}")(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.99, name=f"cam{i}_bn")(x)
+                x = nn.relu(x)
+        else:
+            raise ValueError(
+                f"unknown camera_backbone {cfg.camera_backbone!r} "
+                "(expected 'conv' or 'swin_t')")
         feats = nn.Conv(cfg.cam_channels, (1, 1), name="cam_feat")(x)
         depth = nn.Conv(cfg.depth_bins, (1, 1), name="cam_depth")(x)
         return feats, jax.nn.softmax(depth, axis=-1)

@@ -244,3 +244,65 @@ def test_apply_permutation_vjp_matches_plain_gather():
     gb = jax.jit(jax.vmap(jax.grad(loss_custom)))(vb)
     gp = jax.vmap(jax.grad(loss_plain))(vb)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gp), rtol=0, atol=0)
+
+
+def test_swin_camera_backbone_trains():
+    """camera_backbone='swin_t' (the reference BEVFusion rows' actual
+    image backbone): multi-scale stage outputs FPN-fuse at stride 8 into
+    the same feat/depth heads; the train step must flow gradients into
+    the Swin blocks (fused_attn pinned off — the Pallas window kernel has
+    no AD rule)."""
+    from cm3d_tpu.models.swin import SwinConfig
+
+    tiny_swin = SwinConfig(embed_dim=8, depths=(1, 1, 1), num_heads=(1, 2, 2),
+                           out_indices=(1, 2), fused_attn=False)
+    cfg = BevFusionConfig(
+        centerpoint=CenterPointConfig(num_classes=3, trunk_channels=(8, 8)),
+        cam_channels=4, depth_bins=4, d_min=1.0, d_max=7.0,
+        camera_backbone="swin_t", swin=tiny_swin,
+    )
+    assert cfg.img_stride == 8  # patch 4 x 2^min(out_indices)
+
+    rng = np.random.default_rng(7)
+    ih, iw = 48, 64
+    bsz, c, n, m = 2, 2, 256, 3
+    _, _, intr, ext = _rand_inputs(seed=7, c=c)
+    intr = intr.copy()
+    intr[:, 0, 2], intr[:, 1, 2] = iw / 2, ih / 2
+    boxes = np.zeros((bsz, m, 8), np.float32)
+    boxes[..., :3] = rng.uniform(-6, 6, (bsz, m, 3))
+    boxes[..., 2] = 0.5
+    boxes[..., 3:6] = [1.8, 4.2, 1.6]
+    boxes[..., 7] = rng.integers(0, 3, (bsz, m))
+    batch = FusionBatch(
+        points=jnp.asarray(rng.uniform(-7, 7, (bsz, n, 4)).astype(np.float32)),
+        point_valid=jnp.ones((bsz, n), bool),
+        boxes=jnp.asarray(boxes),
+        box_valid=jnp.ones((bsz, m), bool),
+        images=jnp.asarray(rng.random((bsz, c, ih, iw, 3), np.float32)),
+        intrinsics=jnp.asarray(np.tile(intr, (bsz, 1, 1, 1))),
+        cam_to_ego=jnp.asarray(np.tile(ext, (bsz, 1, 1, 1))),
+    )
+    state, model, tx = init_fusion_state(
+        jax.random.PRNGKey(0), PILLAR, cfg, (ih, iw), n_cams=c)
+    assert "swin" in state.params["camera"]
+    step = jax.jit(make_fusion_train_step(model, tx, PILLAR))
+    before = np.asarray(jax.tree_util.tree_leaves(
+        state.params["camera"]["swin"])[0]).copy()
+    state1, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = np.asarray(jax.tree_util.tree_leaves(
+        state1.params["camera"]["swin"])[0])
+    assert np.abs(after - before).max() > 0, (
+        "swin backbone params did not move — no gradient flow")
+
+
+def test_camera_trunk_rejects_unknown_backbone():
+    import pytest
+
+    cfg = BevFusionConfig(camera_backbone="resnet")
+    from cm3d_tpu.train.bevfusion import CameraTrunk
+
+    with pytest.raises(ValueError, match="camera_backbone"):
+        CameraTrunk(cfg).init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 48, 64, 3)))
