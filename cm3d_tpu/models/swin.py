@@ -53,6 +53,12 @@ class SwinConfig:
     # quantize_swin_params (checkpoints stay float). Opt-in deviation;
     # on-chip A/B: scripts/ab_detic_int8.py / bench --quant_int8.
     quant_int8: bool = False
+    # Rematerialize each block on the backward pass (jax.checkpoint via
+    # nn.remat): trades ~1 extra forward of FLOPs for not holding every
+    # block's activations — the standard TPU memory lever for TRAINING
+    # this backbone (train/bevfusion.py camera branch). No-op for
+    # inference (no grad). Param tree is identical either way.
+    remat: bool = False
 
     def stage_dim(self, i: int) -> int:
         return self.embed_dim * (2 ** i)
@@ -346,10 +352,11 @@ class SwinTransformer(nn.Module):
 
         outs: Dict[str, jax.Array] = {}
         fused = cfg.fused_mode()
+        block_cls = nn.remat(SwinBlock) if cfg.remat else SwinBlock
         for i, depth in enumerate(cfg.depths):
             dim = cfg.stage_dim(i)
             for j in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim,
                     cfg.num_heads[i],
                     cfg.window_size,

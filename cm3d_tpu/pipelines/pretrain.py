@@ -242,6 +242,8 @@ def run_pretrain(
     image_hw=(144, 256),
     fusion_cfg=None,
     camera_backbone: str = "conv",
+    camera_bf16: bool = False,
+    camera_remat: bool = False,
     labels_gt: bool = False,
     split: str = None,
     splits_json: str = None,
@@ -332,6 +334,7 @@ def run_pretrain(
         fusion_cfg = fusion_cfg or BevFusionConfig(
             centerpoint=model_cfg or CenterPointConfig(),
             camera_backbone=camera_backbone,
+            camera_bf16=camera_bf16, camera_remat=camera_remat,
         )
         n_cams = len(data[0][5][0])
         state, model, tx = init_fusion_state(
@@ -482,6 +485,12 @@ def main(argv=None):
                    help="--use_camera image backbone: the lite conv trunk "
                    "or full Swin-T (the backbone the reference's BEVFusion "
                    "rows train; multi-scale outputs FPN-fused at stride 8)")
+    p.add_argument("--camera_bf16", action="store_true",
+                   help="bf16 compute in the camera backbone (params/"
+                   "losses stay f32) — the TPU mixed-precision recipe")
+    p.add_argument("--camera_remat", action="store_true",
+                   help="rematerialize Swin blocks on backward (memory "
+                   "for FLOPs; swin_t backbone only)")
     args = p.parse_args(argv)
     ih, iw = (int(x) for x in args.image_hw.split("x"))
     run_pretrain(args.dataroot, args.version, args.labels, args.out,
@@ -489,6 +498,8 @@ def main(argv=None):
                  save_every=args.save_every, resume=args.resume,
                  seed=args.seed, use_camera=args.use_camera,
                  image_hw=(ih, iw), camera_backbone=args.camera_backbone,
+                 camera_bf16=args.camera_bf16,
+                 camera_remat=args.camera_remat,
                  labels_gt=args.labels_gt,
                  split=args.split, splits_json=args.splits_json,
                  init_from=args.init_from, lr_schedule=args.lr_schedule,

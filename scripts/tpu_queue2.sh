@@ -19,6 +19,11 @@ import jax, numpy as np, jax.numpy as jnp
 print(jax.devices()); print(float(np.asarray(jnp.sum(jnp.ones((128,128))))))"
 grep -q -- '--- health2 exit=0' <(tail -5 "$LOG") || { echo 'tunnel unhealthy; aborting' | tee -a "$LOG"; exit 1; }
 
+# clean re-run: the 03:37 bench_e2e (2072 ms/kf) ran while the CPU test
+# suite starved the pipeline's host threads (single-core VM — never run
+# CPU-heavy jobs alongside TPU benches)
+step bench_e2e_clean 3600 python bench.py --stage e2e
+
 # A/B vs the 267.78 ms recorded this round before the custom-VJP fix
 step bench_fusion_train2 1800 python bench.py --stage fusion_train
 

@@ -306,3 +306,69 @@ def test_camera_trunk_rejects_unknown_backbone():
     with pytest.raises(ValueError, match="camera_backbone"):
         CameraTrunk(cfg).init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 48, 64, 3)))
+
+
+def _tiny_swin_cfg(**kw):
+    from cm3d_tpu.models.swin import SwinConfig
+
+    return SwinConfig(embed_dim=8, depths=(1, 1, 1), num_heads=(1, 2, 2),
+                      out_indices=(1, 2), fused_attn=False, **kw)
+
+
+def _tiny_swin_fusion_cfg(**kw):
+    return BevFusionConfig(
+        centerpoint=CenterPointConfig(num_classes=3, trunk_channels=(8, 8)),
+        cam_channels=4, depth_bins=4, d_min=1.0, d_max=7.0,
+        camera_backbone="swin_t", swin=_tiny_swin_cfg(), **kw,
+    )
+
+
+def test_camera_remat_same_tree_and_grads():
+    """camera_remat must not change the param tree (checkpoints
+    interchange) nor the gradients (pure memory/FLOPs trade)."""
+    from cm3d_tpu.train.bevfusion import CameraTrunk
+
+    imgs = jnp.asarray(np.random.default_rng(0).random(
+        (2, 48, 64, 3), np.float32))
+    cfg_a = _tiny_swin_fusion_cfg()
+    cfg_b = _tiny_swin_fusion_cfg(camera_remat=True)
+    va = CameraTrunk(cfg_a).init(jax.random.PRNGKey(1), imgs)
+    vb = CameraTrunk(cfg_b).init(jax.random.PRNGKey(1), imgs)
+    assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+
+    def loss(variables, cfg):
+        f, d = CameraTrunk(cfg).apply(variables, imgs)
+        return jnp.sum(f ** 2) + jnp.sum(d ** 2)
+
+    ga = jax.grad(loss)(va, cfg_a)
+    gb = jax.grad(loss)(vb, cfg_b)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_camera_bf16_keeps_f32_params_and_outputs():
+    """camera_bf16 changes compute dtype only: params stay f32 (optimizer
+    precision), trunk outputs stay f32 (heads cast back), and both
+    backbones run."""
+    from cm3d_tpu.train.bevfusion import CameraTrunk
+
+    imgs = jnp.asarray(np.random.default_rng(1).random(
+        (2, 48, 64, 3), np.float32))
+    for cfg in (
+        BevFusionConfig(cam_channels=4, depth_bins=4, camera_bf16=True),
+        _tiny_swin_fusion_cfg(camera_bf16=True),
+    ):
+        v = CameraTrunk(cfg).init(jax.random.PRNGKey(0), imgs)
+        for leaf in jax.tree_util.tree_leaves(v["params"]):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+        if cfg.camera_backbone == "conv":
+            (f, d), _ = CameraTrunk(cfg).apply(
+                v, imgs, True, mutable=["batch_stats"])
+        else:
+            f, d = CameraTrunk(cfg).apply(v, imgs)
+        assert f.dtype == jnp.float32 and d.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(f)))
+        s = np.asarray(jnp.sum(d, axis=-1))
+        np.testing.assert_allclose(s, 1.0, rtol=2e-3)
