@@ -52,6 +52,12 @@ def main() -> None:
         raise SystemExit(
             "--rect_encode/--quant_int8 only apply to --stage masks|e2e"
         )
+    swin_camera = "--swin_camera" in sys.argv
+    camera_bf16 = "--camera_bf16" in sys.argv
+    if (swin_camera or camera_bf16) and stage != "fusion_train":
+        raise SystemExit(
+            "--swin_camera/--camera_bf16 only apply to --stage fusion_train"
+        )
 
     if stage == "masks":
         _emit(benchmarks.bench_mask_stage(
@@ -67,7 +73,10 @@ def main() -> None:
         _emit(benchmarks.bench_train())
         return
     if stage == "fusion_train":
-        _emit(benchmarks.bench_fusion_train())
+        _emit(benchmarks.bench_fusion_train(
+            camera_backbone="swin_t" if swin_camera else "conv",
+            camera_bf16=camera_bf16,
+        ))
         return
     if stage == "lift":
         _emit(benchmarks.bench_lift())

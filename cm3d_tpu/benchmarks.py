@@ -478,12 +478,15 @@ def bench_train(batch_size: int = 8, n_iters: int = 20) -> dict:
 
 
 def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
-                       image_hw=(144, 256)) -> dict:
-    """BEVFusion-lite training-step throughput at production pillar scale:
-    bench_train's LiDAR workload plus the 6-camera ring through the conv
-    trunk + depth head + lift-splat BEV pooling (differentiable Pallas
-    segment sum). The camera branch adds ~83k splat elements/sample at
-    144x256/24 bins."""
+                       image_hw=(144, 256), camera_backbone: str = "conv",
+                       camera_bf16: bool = False) -> dict:
+    """BEVFusion training-step throughput at production pillar scale:
+    bench_train's LiDAR workload plus the 6-camera ring through the
+    camera backbone (lite conv trunk or full Swin-T w/ --swin_camera) +
+    depth head + lift-splat BEV pooling (differentiable Pallas segment
+    sum, scatter-free permutation-gather backward). The camera branch
+    adds ~83k splat elements/sample at 144x256/24 bins. camera_bf16 runs
+    the backbone compute in bf16 (bench.py --camera_bf16)."""
     import jax
     import jax.numpy as jnp
 
@@ -496,7 +499,9 @@ def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
     )
 
     pillar_cfg = PillarConfig()
-    cfg = BevFusionConfig(centerpoint=CenterPointConfig())
+    cfg = BevFusionConfig(centerpoint=CenterPointConfig(),
+                          camera_backbone=camera_backbone,
+                          camera_bf16=camera_bf16)
     state, model, tx = init_fusion_state(
         jax.random.PRNGKey(0), pillar_cfg, cfg, image_hw, n_cams=6)
     step = jax.jit(make_fusion_train_step(model, tx, pillar_cfg))
@@ -545,4 +550,6 @@ def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
         "vs_baseline": None,
         "lidar_only_step_ms": 6.17,  # bench_train, r03 queue 2026-08-19
         "steps_per_sec": round(n_iters / dt, 2),
+        "camera_backbone": camera_backbone,
+        "camera_bf16": camera_bf16,
     }
