@@ -181,14 +181,17 @@ def _segment_sum_fwd(cell, values, n_cells, interpret):
 
 
 def _segment_sum_bwd(n_cells, interpret, cell, g):
-    # g: [R, D, n_cells]; sink ids (>= n_cells) must read a zero cotangent
+    # g: [R, D, n_cells]; sink ids (>= n_cells) must read a zero cotangent.
+    # Orient the cotangent table row-major ([n_cells+1, D]) and gather
+    # ROWS by cell id: TPU gather cost tracks INDEX ROWS (~12 cycles/row),
+    # while the take_along_axis form with broadcast [R, D, N] indices is
+    # costed per ELEMENT — measured as ~the whole isolated splat backward
+    # (321 ms at batch-8 x 83k x 32; the camera splat trains through this).
     gz = jnp.concatenate([g, jnp.zeros(g.shape[:2] + (1,), g.dtype)], axis=2)
+    gzt = jnp.swapaxes(gz, 1, 2)  # [R, n_cells + 1, D]
     safe = jnp.minimum(cell, n_cells)  # [R, N]
-    dvalues = jnp.take_along_axis(
-        gz, jnp.broadcast_to(safe[:, None, :],
-                             (cell.shape[0], g.shape[1], cell.shape[1])),
-        axis=2,
-    )
+    rows = jax.vmap(lambda t, i: t[i])(gzt, safe)  # [R, N, D] row gather
+    dvalues = jnp.swapaxes(rows, 1, 2)  # [R, D, N]
     import numpy as np
 
     # integer primal -> float0 cotangent (custom_vjp contract)
