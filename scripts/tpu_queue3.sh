@@ -28,3 +28,14 @@ step fusion_swin_bf16 3000 python bench.py --stage fusion_train --swin_camera --
 
 echo "QUEUE3 DONE $(date +%H:%M:%S)" | tee -a "$LOG"
 grep -h '^{' "$LOG" > /root/repo/TPU_QUEUE_r03_bench_lines.jsonl 2>/dev/null || true
+
+# re-run the lost bisection arm (session-10 queue2 died mid-step):
+# batch-16 lift on the XLA compaction path — crash-risky, keep LAST
+step diag_b16_xla 1800 python -c "
+import cm3d_tpu.ops.lift as lift
+lift._USE_PALLAS_COMPACT = False
+from cm3d_tpu import benchmarks
+print(benchmarks.bench_lift(batch_size=16))"
+
+echo "QUEUE3+DIAG DONE $(date +%H:%M:%S)" | tee -a "$LOG"
+grep -h '^{' "$LOG" > /root/repo/TPU_QUEUE_r03_bench_lines.jsonl 2>/dev/null || true
