@@ -54,10 +54,15 @@ def main() -> None:
         )
     swin_camera = "--swin_camera" in sys.argv
     camera_bf16 = "--camera_bf16" in sys.argv
-    if (swin_camera or camera_bf16) and stage != "fusion_train":
+    camera_fused = "--camera_fused" in sys.argv
+    if (swin_camera or camera_bf16 or camera_fused) and \
+            stage != "fusion_train":
         raise SystemExit(
-            "--swin_camera/--camera_bf16 only apply to --stage fusion_train"
+            "--swin_camera/--camera_bf16/--camera_fused only apply to "
+            "--stage fusion_train"
         )
+    if camera_fused and not swin_camera:
+        raise SystemExit("--camera_fused requires --swin_camera")
 
     if stage == "masks":
         _emit(benchmarks.bench_mask_stage(
@@ -76,6 +81,7 @@ def main() -> None:
         _emit(benchmarks.bench_fusion_train(
             camera_backbone="swin_t" if swin_camera else "conv",
             camera_bf16=camera_bf16,
+            camera_fused=camera_fused,
         ))
         return
     if stage == "lift":

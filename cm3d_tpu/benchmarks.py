@@ -479,7 +479,8 @@ def bench_train(batch_size: int = 8, n_iters: int = 20) -> dict:
 
 def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
                        image_hw=(144, 256), camera_backbone: str = "conv",
-                       camera_bf16: bool = False) -> dict:
+                       camera_bf16: bool = False,
+                       camera_fused: bool = False) -> dict:
     """BEVFusion training-step throughput at production pillar scale:
     bench_train's LiDAR workload plus the 6-camera ring through the
     camera backbone (lite conv trunk or full Swin-T w/ --swin_camera) +
@@ -501,7 +502,8 @@ def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
     pillar_cfg = PillarConfig()
     cfg = BevFusionConfig(centerpoint=CenterPointConfig(),
                           camera_backbone=camera_backbone,
-                          camera_bf16=camera_bf16)
+                          camera_bf16=camera_bf16,
+                          camera_fused=camera_fused)
     state, model, tx = init_fusion_state(
         jax.random.PRNGKey(0), pillar_cfg, cfg, image_hw, n_cams=6)
     step = jax.jit(make_fusion_train_step(model, tx, pillar_cfg))
@@ -552,4 +554,5 @@ def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
         "steps_per_sec": round(n_iters / dt, 2),
         "camera_backbone": camera_backbone,
         "camera_bf16": camera_bf16,
+        "camera_fused": camera_fused,
     }

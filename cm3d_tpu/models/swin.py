@@ -10,6 +10,7 @@ maps the detector's FPN consumes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -223,66 +224,169 @@ class SwinBlock(nn.Module):
     def _fused_attn(self, x, window, shift):
         """norm1 + window attention via the fused Pallas kernel; returns
         the attention branch output [B, H, W, C] (pre-residual). Param
-        tree identical to the unfused path (holders mirror the modules)."""
-        from cm3d_tpu.kernels.window_attn_pallas import (
-            expand_bias_interleaved,
-            expand_blockdiag,
-            fused_window_attn,
-            pick_group,
-        )
-
-        b, h, w, c = x.shape
-        n = window * window
+        tree identical to the unfused path (holders mirror the modules).
+        Differentiable: _fused_attn_fn's custom_vjp recomputes the
+        backward through the XLA branch."""
+        c = x.shape[-1]
         g_ln, b_ln = _LNParams(c, name="norm1")()
         wqkv, bqkv, wproj, bproj, table = _WinAttnParams(
             self.dim, self.heads, window, name="attn"
         )()
+        f = _fused_attn_fn(
+            int(window), int(shift), int(self.heads), int(self.dim),
+            jnp.dtype(self.dtype).name, int(self.fused_group_tokens),
+            self.fused_mode == "interpret",
+        )
+        return f(x, (g_ln, b_ln, wqkv, bqkv, wproj, bproj, table))
 
-        pad_b = (window - h % window) % window
-        pad_r = (window - w % window) % window
-        hp, wp = h + pad_b, w + pad_r
-        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        n_wx = wp // window
-        grp = pick_group(n_wx, n, self.fused_group_tokens)
-        n_gx = -(-n_wx // grp)
-        pad_g = n_gx * grp * window - wp  # extra whole windows for grouping
+
+def _fused_branch_impl(x, params, *, window, shift, heads, dim, dtype,
+                       group_tokens, interpret):
+    """The fused Pallas attention branch, [B, H, W, C] -> [B, H, W, C]
+    (pre-residual): pad/roll/group, expand bias+mask to the kernel's
+    interleaved block-diagonal layout, run the kernel, crop back."""
+    from cm3d_tpu.kernels.window_attn_pallas import (
+        expand_bias_interleaved,
+        expand_blockdiag,
+        fused_window_attn,
+        pick_group,
+    )
+
+    g_ln, b_ln, wqkv, bqkv, wproj, bproj, table = params
+    b, h, w, c = x.shape
+    n = window * window
+    pad_b = (window - h % window) % window
+    pad_r = (window - w % window) % window
+    hp, wp = h + pad_b, w + pad_r
+    x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    if shift > 0:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    n_wx = wp // window
+    grp = pick_group(n_wx, n, group_tokens)
+    n_gx = -(-n_wx // grp)
+    pad_g = n_gx * grp * window - wp  # extra whole windows for grouping
+    if pad_g:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_g), (0, 0)))
+
+    idx = jnp.asarray(_rel_pos_index(window)).reshape(-1)
+    bias = table[idx].reshape(n, n, heads)
+    btil = expand_bias_interleaved(
+        jnp.transpose(bias, (2, 0, 1)), window, grp
+    )
+    mtil = None
+    if shift > 0:
+        mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
+        mask = mask.reshape(hp // window, n_wx, n, n)
         if pad_g:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_g), (0, 0)))
+            mask = jnp.pad(
+                mask, ((0, 0), (0, n_gx * grp - n_wx), (0, 0), (0, 0))
+            )
+        mask = mask.reshape(hp // window, n_gx, grp, n, n)
+        mtil = expand_blockdiag(mask, window)
 
-        idx = jnp.asarray(_rel_pos_index(window)).reshape(-1)
-        bias = table[idx].reshape(n, n, self.heads)
-        btil = expand_bias_interleaved(
-            jnp.transpose(bias, (2, 0, 1)), window, grp
-        )
-        mtil = None
-        if shift > 0:
-            mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
-            mask = mask.reshape(hp // window, n_wx, n, n)
-            if pad_g:
-                mask = jnp.pad(
-                    mask, ((0, 0), (0, n_gx * grp - n_wx), (0, 0), (0, 0))
-                )
-            mask = mask.reshape(hp // window, n_gx, grp, n, n)
-            mtil = expand_blockdiag(mask, window)
+    # bounds only matter when window padding introduced zero tokens
+    # (reference zeroes them POST-norm; the kernel re-zeroes after its
+    # in-kernel LayerNorm). Group padding adds whole garbage windows
+    # that are cropped below, so it needs no masking.
+    bounds = None if (pad_b == 0 and pad_r == 0) else (h, w, wp, shift)
+    out = fused_window_attn(
+        x, g_ln, b_ln, wqkv, bqkv, wproj, bproj, btil, mtil,
+        win=window, G=grp, heads=heads, dtype=dtype,
+        eps=1e-5,  # torch Swin LayerNorm default
+        bounds=bounds,
+        interpret=interpret,
+    )
+    out = out[:, :, :wp].astype(dtype)
+    if shift > 0:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    return out[:, :h, :w]
 
-        # bounds only matter when window padding introduced zero tokens
-        # (reference zeroes them POST-norm; the kernel re-zeroes after its
-        # in-kernel LayerNorm). Group padding adds whole garbage windows
-        # that are cropped below, so it needs no masking.
-        bounds = None if (pad_b == 0 and pad_r == 0) else (h, w, wp, shift)
-        out = fused_window_attn(
-            x, g_ln, b_ln, wqkv, bqkv, wproj, bproj, btil, mtil,
-            win=window, G=grp, heads=self.heads, dtype=self.dtype,
-            eps=1e-5,  # torch Swin LayerNorm default
-            bounds=bounds,
-            interpret=self.fused_mode == "interpret",
+
+def _attn_branch_xla(x, params, *, window, shift, heads, dim, dtype):
+    """Pure-XLA attention branch (norm1 -> shifted-window attention ->
+    proj), numerically mirroring the unfused SwinBlock path op for op.
+    This is the recompute target for the fused kernel's backward
+    (_fused_attn_fn): its gradient stands in for the kernel's."""
+    g_ln, b_ln, wqkv, bqkv, wproj, bproj, table = params
+    b, h, w, c = x.shape
+    n = window * window
+    head_dim = dim // heads
+
+    # nn.LayerNorm(eps=1e-5): f32 stats (fast variance), f32 result
+    # (scale/bias params are f32, so the module's output promotes).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0
+    )
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * g_ln + b_ln
+
+    pad_b = (window - h % window) % window
+    pad_r = (window - w % window) % window
+    xn = jnp.pad(xn, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    hp, wp = h + pad_b, w + pad_r
+    mask = None
+    if shift > 0:
+        xn = jnp.roll(xn, (-shift, -shift), axis=(1, 2))
+        mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
+    xn = xn.reshape(b, hp // window, window, wp // window, window, c)
+    xn = jnp.transpose(xn, (0, 1, 3, 2, 4, 5)).reshape(-1, n, c)
+
+    qkv = xn.astype(dtype) @ wqkv.astype(dtype) + bqkv.astype(dtype)
+    bnw = qkv.shape[0]
+    qkv = qkv.reshape(bnw, n, 3, heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    attn = jnp.einsum("bqhc,bkhc->bhqk", q * head_dim ** -0.5, k)
+    bias = table[jnp.asarray(_rel_pos_index(window)).reshape(-1)]
+    attn = attn + jnp.transpose(bias.reshape(n, n, heads), (2, 0, 1))[None]
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(bnw // nw, nw, heads, n, n) + mask[None, :, None]
+        attn = attn.reshape(bnw, heads, n, n)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(bnw, n, dim)
+    out = out.astype(dtype) @ wproj.astype(dtype) + bproj.astype(dtype)
+    out = out.reshape(b, hp // window, wp // window, window, window, c)
+    out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
+    if shift > 0:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    return out[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_attn_fn(window, shift, heads, dim, dtype_name, group_tokens,
+                   interpret):
+    """Differentiable fused attention branch.
+
+    The Pallas kernel has no AD rule; instead of hand-writing a backward
+    kernel, the custom_vjp recomputes the branch through the numerically
+    equivalent XLA path (_attn_branch_xla) and uses ITS gradient —
+    gradient-of-recompute, a la jax.checkpoint, sound because both
+    implement the same function (pinned by the fused/unfused parity
+    tests). Net effect for training: the forward (and every loss eval)
+    keeps the fused kernel's speed; the backward pays one unfused forward
+    it would have paid anyway under remat."""
+    dtype = jnp.dtype(dtype_name)
+    kw = dict(window=window, shift=shift, heads=heads, dim=dim, dtype=dtype)
+
+    @jax.custom_vjp
+    def f(x, params):
+        return _fused_branch_impl(
+            x, params, group_tokens=group_tokens, interpret=interpret, **kw
         )
-        out = out[:, :, :wp].astype(self.dtype)
-        if shift > 0:
-            out = jnp.roll(out, (shift, shift), axis=(1, 2))
-        return out[:, :h, :w]
+
+    def fwd(x, params):
+        return f(x, params), (x, params)
+
+    def bwd(res, g):
+        x, params = res
+        _, vjp = jax.vjp(
+            functools.partial(_attn_branch_xla, **kw), x, params
+        )
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def quantize_swin_params(params):

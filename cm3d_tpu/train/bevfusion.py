@@ -44,9 +44,13 @@ from cm3d_tpu.train import voxelize as _voxelize
 
 # Swin-T (the backbone the reference's BEVFusion rows actually train —
 # project page `index.html:298-334` cites BEVFusion, whose camera branch
-# is Swin-T) — reuses the Detic/GroundingDINO Swin module. fused_attn is
-# pinned OFF: the Pallas window-attention kernel is inference-only (no AD
-# rule); the unfused path is pure XLA and differentiates.
+# is Swin-T) — reuses the Detic/GroundingDINO Swin module. The Pallas
+# window-attention kernel now differentiates (models/swin.py
+# _fused_attn_fn custom_vjp recomputes the backward through the
+# equivalent XLA branch), but Swin-T's stage-0 lane width (C=96, not a
+# 128-multiple like SwinB's) is unvalidated on-chip, so the default
+# stays the unfused XLA path; opt in with
+# dataclasses.replace(SWIN_T_CAMERA, fused_attn=None) (auto-on on TPU).
 SWIN_T_CAMERA = SwinConfig(
     embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
     out_indices=(1, 2, 3), fused_attn=False,
@@ -74,14 +78,19 @@ class BevFusionConfig:
     # rematerialize Swin blocks on backward (memory for FLOPs; see
     # SwinConfig.remat). Ignored by the conv trunk (too small to matter).
     camera_remat: bool = False
+    # fused Pallas window attention in the camera Swin (differentiable via
+    # the custom_vjp XLA-recompute backward; see SWIN_T_CAMERA note on why
+    # it is opt-in pending an on-chip A/B at Swin-T lane widths).
+    camera_fused: bool = False
 
     def effective_swin(self) -> SwinConfig:
-        """The swin config with the dtype/remat training knobs applied —
-        ONE derivation point so CLI wiring stays a pair of booleans."""
+        """The swin config with the dtype/remat/fused training knobs
+        applied — ONE derivation point so CLI wiring stays booleans."""
         return dataclasses.replace(
             self.swin,
             dtype="bfloat16" if self.camera_bf16 else self.swin.dtype,
             remat=self.camera_remat or self.swin.remat,
+            fused_attn=None if self.camera_fused else self.swin.fused_attn,
         )
 
     @property

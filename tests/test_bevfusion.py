@@ -372,3 +372,44 @@ def test_camera_bf16_keeps_f32_params_and_outputs():
         assert np.all(np.isfinite(np.asarray(f)))
         s = np.asarray(jnp.sum(d, axis=-1))
         np.testing.assert_allclose(s, 1.0, rtol=2e-3)
+
+
+def test_camera_fused_attn_same_tree_and_grads():
+    """The fused window-attention camera path differentiates via the
+    custom_vjp XLA-recompute backward (models/swin.py _fused_attn_fn):
+    same param tree as the unfused trainer, matching gradients.
+    Interpret mode stands in for the TPU kernel on CPU; the camera_fused
+    config knob itself resolves fused_attn=None (backend auto)."""
+    import dataclasses as dc
+
+    from cm3d_tpu.train.bevfusion import CameraTrunk
+
+    cfg_a = _tiny_swin_fusion_cfg()
+    assert cfg_a.effective_swin().fused_attn is False
+    assert dc.replace(cfg_a, camera_fused=True) \
+        .effective_swin().fused_attn is None
+    cfg_b = dc.replace(
+        cfg_a, swin=dc.replace(cfg_a.swin, fused_attn="interpret"))
+
+    imgs = jnp.asarray(np.random.default_rng(2).random(
+        (2, 48, 64, 3), np.float32))
+    va = CameraTrunk(cfg_a).init(jax.random.PRNGKey(1), imgs)
+    vb = CameraTrunk(cfg_b).init(jax.random.PRNGKey(1), imgs)
+    assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+
+    def loss(variables, cfg):
+        f, d = CameraTrunk(cfg).apply(variables, imgs)
+        return jnp.sum(f ** 2) + jnp.sum(d ** 2)
+
+    la, ga = jax.value_and_grad(loss)(va, cfg_a)
+    lb, gb = jax.value_and_grad(loss)(vb, cfg_b)
+    # forwards are different implementations of the same math
+    np.testing.assert_allclose(float(lb), float(la), rtol=2e-4)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ga),
+        jax.tree_util.tree_leaves_with_path(gb),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+            err_msg=str(kp),
+        )

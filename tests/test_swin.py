@@ -170,3 +170,69 @@ def test_fused_window_attn_under_vmap():
                 np.asarray(out_v[k][i]), np.asarray(out_i[k]),
                 rtol=2e-4, atol=2e-4,
             )
+
+
+@pytest.mark.parametrize("hw", [(32, 24), (29, 22)])
+def test_fused_window_attn_gradients(hw):
+    """The fused branch differentiates: its custom_vjp recomputes the
+    backward through the XLA branch (models/swin.py _fused_attn_fn), so
+    gradients through the FULL backbone must match the unfused path's.
+    (29, 22) forces window padding (the bounds/masked-LN kernel path)."""
+    import dataclasses as dc
+
+    cfg = SWIN_TEST
+    model = SwinTransformer(cfg)
+    model_fused = SwinTransformer(dc.replace(cfg, fused_attn="interpret"))
+    x = jnp.asarray(RNG.random((1, *hw, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(2), x)["params"]
+
+    def loss(m):
+        def f(p, xi):
+            outs = m.apply({"params": p}, xi)
+            return sum(jnp.sum(v * v) for v in outs.values())
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss(model), argnums=(0, 1))(params, x)
+    got_l, got_g = jax.value_and_grad(loss(model_fused), argnums=(0, 1))(
+        params, x
+    )
+    # loss values come from different forward implementations
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=2e-4)
+    # gradients: fused bwd = grad of the XLA recompute, which mirrors the
+    # unfused path op for op -> tight tolerance
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(got_g),
+        jax.tree_util.tree_leaves_with_path(ref_g),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+            err_msg=str(kp),
+        )
+
+
+def test_fused_window_attn_grad_under_vmap():
+    """vmap(grad(.)) — the BEVFusion camera-ring training composition —
+    over the fused branch."""
+    import dataclasses as dc
+
+    cfg = dc.replace(SWIN_TEST, fused_attn="interpret")
+    model = SwinTransformer(cfg)
+    model_ref = SwinTransformer(dc.replace(cfg, fused_attn=False))
+    x = jnp.asarray(RNG.random((2, 1, 16, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(3), x[0])["params"]
+
+    def gfn(m):
+        return jax.vmap(
+            jax.grad(
+                lambda xi: sum(
+                    jnp.sum(v) for v in m.apply({"params": params}, xi
+                                               ).values()
+                )
+            )
+        )
+
+    got = gfn(model)(x)
+    ref = gfn(model_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-4
+    )
