@@ -20,13 +20,14 @@ import os
 
 arm = os.environ.get("CM3D_DIAG_ARM", "pallas")
 smoke = os.environ.get("CM3D_AB_SMOKE") == "1"
-if smoke:
-    # the image exports JAX_PLATFORMS=axon — a setdefault would keep it
-    # and run the smoke on the REAL chip (observed)
-    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+if smoke:
+    # the env var alone does not deregister the axon plugin (observed:
+    # backend stays tpu); the config update before backend init does
+    jax.config.update("jax_platforms", "cpu")
 
 import cm3d_tpu.ops.lift as lift  # noqa: E402
 import cm3d_tpu.ops.medoid as medoid  # noqa: E402
