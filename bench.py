@@ -54,15 +54,18 @@ def main() -> None:
         )
     swin_camera = "--swin_camera" in sys.argv
     camera_bf16 = "--camera_bf16" in sys.argv
-    camera_fused = "--camera_fused" in sys.argv
-    if (swin_camera or camera_bf16 or camera_fused) and \
+    # fused is the production default (the unfused full step kills the
+    # TPU worker — see train/bevfusion.py SWIN_T_CAMERA); the negative
+    # flag exists for the crash-confirm / XLA-baseline A/B only.
+    no_camera_fused = "--no_camera_fused" in sys.argv
+    if (swin_camera or camera_bf16 or no_camera_fused) and \
             stage != "fusion_train":
         raise SystemExit(
-            "--swin_camera/--camera_bf16/--camera_fused only apply to "
+            "--swin_camera/--camera_bf16/--no_camera_fused only apply to "
             "--stage fusion_train"
         )
-    if camera_fused and not swin_camera:
-        raise SystemExit("--camera_fused requires --swin_camera")
+    if no_camera_fused and not swin_camera:
+        raise SystemExit("--no_camera_fused requires --swin_camera")
 
     if stage == "masks":
         _emit(benchmarks.bench_mask_stage(
@@ -81,7 +84,7 @@ def main() -> None:
         _emit(benchmarks.bench_fusion_train(
             camera_backbone="swin_t" if swin_camera else "conv",
             camera_bf16=camera_bf16,
-            camera_fused=camera_fused,
+            camera_fused=not no_camera_fused,
         ))
         return
     if stage == "lift":

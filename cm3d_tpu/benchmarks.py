@@ -480,7 +480,7 @@ def bench_train(batch_size: int = 8, n_iters: int = 20) -> dict:
 def bench_fusion_train(batch_size: int = 8, n_iters: int = 20,
                        image_hw=(144, 256), camera_backbone: str = "conv",
                        camera_bf16: bool = False,
-                       camera_fused: bool = False) -> dict:
+                       camera_fused: bool = True) -> dict:
     """BEVFusion training-step throughput at production pillar scale:
     bench_train's LiDAR workload plus the 6-camera ring through the
     camera backbone (lite conv trunk or full Swin-T w/ --swin_camera) +

@@ -44,13 +44,20 @@ from cm3d_tpu.train import voxelize as _voxelize
 
 # Swin-T (the backbone the reference's BEVFusion rows actually train —
 # project page `index.html:298-334` cites BEVFusion, whose camera branch
-# is Swin-T) — reuses the Detic/GroundingDINO Swin module. The Pallas
-# window-attention kernel now differentiates (models/swin.py
-# _fused_attn_fn custom_vjp recomputes the backward through the
-# equivalent XLA branch), but Swin-T's stage-0 lane width (C=96, not a
-# 128-multiple like SwinB's) is unvalidated on-chip, so the default
-# stays the unfused XLA path; opt in with
-# dataclasses.replace(SWIN_T_CAMERA, fused_attn=None) (auto-on on TPU).
+# is Swin-T) — reuses the Detic/GroundingDINO Swin module. fused_attn
+# stays False HERE so the unfused XLA path remains reachable for A/B
+# (diag_swin `step` arm); production training routes through
+# BevFusionConfig.camera_fused (default True -> fused_attn=None, backend
+# auto: the Pallas kernel on TPU, the same XLA path off-TPU). Measured
+# on the axon v5e (TPU_QUEUE_r03.log session 11): the fused full train
+# step runs at 132.98 ms/batch-8 while the UNFUSED full step reliably
+# kills the TPU worker ("kernel fault") even though the unfused trunk
+# forward AND backward pass in isolation at identical shapes — an
+# XLA:TPU codegen fault somewhere in the full-graph fusion; the Pallas
+# kernel both avoids it and is the faster path. The kernel
+# differentiates via models/swin.py _fused_attn_fn (custom_vjp
+# recomputing the backward through the equivalent XLA branch), and
+# fused_fwd validated Swin-T's C=96 lane widths on-chip (parity 3e-5).
 SWIN_T_CAMERA = SwinConfig(
     embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
     out_indices=(1, 2, 3), fused_attn=False,
@@ -79,18 +86,30 @@ class BevFusionConfig:
     # SwinConfig.remat). Ignored by the conv trunk (too small to matter).
     camera_remat: bool = False
     # fused Pallas window attention in the camera Swin (differentiable via
-    # the custom_vjp XLA-recompute backward; see SWIN_T_CAMERA note on why
-    # it is opt-in pending an on-chip A/B at Swin-T lane widths).
-    camera_fused: bool = False
+    # the custom_vjp XLA-recompute backward). Default ON: resolves to
+    # fused_attn=None (backend auto — Pallas on TPU, XLA elsewhere); see
+    # the SWIN_T_CAMERA note — on the axon v5e the UNFUSED full train
+    # step kills the TPU worker while the fused one runs (132.98
+    # ms/batch-8), so False is strictly an A/B/debug setting.
+    camera_fused: bool = True
 
     def effective_swin(self) -> SwinConfig:
         """The swin config with the dtype/remat/fused training knobs
-        applied — ONE derivation point so CLI wiring stays booleans."""
+        applied — ONE derivation point so CLI wiring stays booleans.
+
+        fused_attn precedence: an explicit "interpret" on the swin config
+        (CPU kernel-coverage tests) always wins; otherwise camera_fused
+        decides — True -> None (backend auto: Pallas kernel on TPU, the
+        XLA path elsewhere), False -> force the unfused XLA path (the
+        crash-confirm / baseline A/B; see the SWIN_T_CAMERA note)."""
+        fused = self.swin.fused_attn
+        if fused != "interpret":
+            fused = None if self.camera_fused else False
         return dataclasses.replace(
             self.swin,
             dtype="bfloat16" if self.camera_bf16 else self.swin.dtype,
             remat=self.camera_remat or self.swin.remat,
-            fused_attn=None if self.camera_fused else self.swin.fused_attn,
+            fused_attn=fused,
         )
 
     @property

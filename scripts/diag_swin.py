@@ -46,9 +46,11 @@ else:
 interp = "interpret" if smoke else None  # None = backend auto (on for TPU)
 
 if arm in ("trunk_fwd", "trunk_bwd", "fused_fwd"):
+    # camera_fused now defaults True — trunk arms pin it OFF so they
+    # keep exercising the unfused XLA path they were built to bisect
     cfg = BevFusionConfig(camera_backbone="swin_t", cam_channels=8,
-                          depth_bins=8)
-    if arm == "fused_fwd":
+                          depth_bins=8, camera_fused=arm == "fused_fwd")
+    if arm == "fused_fwd" and smoke:
         cfg = dc.replace(cfg, swin=dc.replace(cfg.swin, fused_attn=interp))
     imgs = jnp.asarray(
         np.random.default_rng(0).random((bsz, ih, iw, 3), np.float32))

@@ -385,9 +385,11 @@ def test_camera_fused_attn_same_tree_and_grads():
     from cm3d_tpu.train.bevfusion import CameraTrunk
 
     cfg_a = _tiny_swin_fusion_cfg()
-    assert cfg_a.effective_swin().fused_attn is False
-    assert dc.replace(cfg_a, camera_fused=True) \
-        .effective_swin().fused_attn is None
+    # default camera_fused=True -> backend auto (Pallas on TPU, the XLA
+    # path here on CPU); False is the explicit unfused A/B setting
+    assert cfg_a.effective_swin().fused_attn is None
+    assert dc.replace(cfg_a, camera_fused=False) \
+        .effective_swin().fused_attn is False
     cfg_b = dc.replace(
         cfg_a, swin=dc.replace(cfg_a.swin, fused_attn="interpret"))
 
