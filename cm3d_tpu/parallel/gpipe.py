@@ -1,0 +1,126 @@
+"""GPipe-style pipeline parallelism over a `stage` mesh axis.
+
+The workload's models all fit one chip (SURVEY.md §2.4: pure DP is the
+default; tensor/sequence sharding are the latency levers), so cm3d_tpu
+does not NEED pipeline parallelism — this module completes the
+parallelism toolkit for stacks that outgrow one chip (e.g. scaling the
+semi-supervised detector's trunk, or a future SAM-scale encoder across a
+pod slice). It is the textbook TPU recipe (scaling-book "pipelining"):
+
+  - layer stack params stacked on a leading stage axis, each device
+    holding ONE stage's slice (the only sharded operand);
+  - activations flow stage -> stage+1 via `lax.ppermute` over ICI — the
+    single collective in the schedule;
+  - a `lax.scan` over M + S - 1 ticks implements the GPipe schedule:
+    stage 0 ingests microbatch t at tick t, stage s runs microbatch
+    t - s, the last stage retires microbatch t - (S - 1); the (S - 1)
+    bubble ticks at head and tail run garbage that is never stored.
+
+The executor is DIFFERENTIABLE (scan + ppermute + where transpose
+cleanly), so it also serves as the pp building block of a training step:
+grad(pipeline_apply) is pinned against grad(sequential) in
+tests/test_gpipe.py.
+
+Deliberate simplifications, documented for the production path:
+  - microbatch inputs/outputs are replicated across stages (in_specs
+    P(None)); at dryrun/test scale this costs nothing, at pod scale the
+    input would be sharded to stage 0 and the output kept on the last
+    stage;
+  - no interleaved/looping schedule (1F1B etc.) — GPipe's fill-drain
+    bubble is S - 1 of M + S - 1 ticks, fine for M >> S.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def stage_mesh(n_stages: int, devices=None) -> Mesh:
+    """A 1-D pipeline mesh with a `stage` axis (the data/model mesh of
+    mesh.make_mesh composes with it at pod scale; a dedicated helper keeps
+    the dryrun/test plumbing one line)."""
+    if devices is None:
+        devices = jax.devices()
+    if not 0 < n_stages <= len(devices):
+        raise ValueError(
+            f"need 1..{len(devices)} stages, got {n_stages}"
+        )
+    return Mesh(np.array(devices[:n_stages]), axis_names=("stage",))
+
+
+def stack_layer_params(layer_params: list) -> dict:
+    """Stack per-layer param trees [p_0 .. p_{L-1}] (identical structure)
+    into one tree whose leaves carry a leading layer axis — the scan /
+    pipeline operand layout."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+
+
+def make_pipeline_fn(mesh: Mesh, stage_fn, axis: str = "stage"):
+    """Build `run(stage_params, x) -> y` executing S pipeline stages.
+
+    stage_fn(params_slice, x_mb) -> y_mb applies ONE stage (any
+    jax-traceable function: a flax apply, a lax.scan over the stage's
+    own layer sub-stack, ...). stage_params: a pytree whose every leaf
+    has leading dim S == mesh.shape[axis] (see stack_layer_params).
+    x: [M, ...] microbatch-major inputs; stage_fn input/output shapes
+    must match (a residual-stack invariant, same as lax.scan requires).
+
+    Returns y [M, ...] with y[m] = stage_{S-1}(... stage_0(x[m])),
+    computed on the GPipe fill-drain schedule in M + S - 1 ticks with
+    one ppermute per tick.
+    """
+    if axis not in mesh.shape:
+        raise ValueError(f"mesh has no {axis!r} axis: {dict(mesh.shape)}")
+    s = mesh.shape[axis]
+
+    def spmd(params_local, x):  # params_local: [1, ...] slices; x: [M, ...]
+        p = jax.tree.map(lambda t: jnp.squeeze(t, 0), params_local)
+        stage = jax.lax.axis_index(axis)
+        m = x.shape[0]
+        perm = [(i, i + 1) for i in range(s - 1)]
+
+        def tick(carry, t):
+            state, outbuf = carry
+            # stage 0 ingests microbatch t (clamped: drain ticks t >= M
+            # feed a repeat of the last microbatch whose result is never
+            # stored — cheaper than a guard, identical output)
+            inp = jax.lax.dynamic_index_in_dim(
+                x, jnp.clip(t, 0, m - 1), 0, keepdims=False
+            )
+            cur = jnp.where(stage == 0, inp, state)
+            out = stage_fn(p, cur)
+            # the last stage retires microbatch t - (S - 1)
+            r = t - (s - 1)
+            stored = jax.lax.dynamic_update_index_in_dim(
+                outbuf, out, jnp.clip(r, 0, m - 1), 0
+            )
+            outbuf = jnp.where((stage == s - 1) & (r >= 0), stored, outbuf)
+            # shift activations one stage forward; stage 0's incoming
+            # lane is zeros (unused — it reads from x)
+            state = jax.lax.ppermute(out, axis, perm) if s > 1 else out
+            return (state, outbuf), None
+
+        carry = (jnp.zeros_like(x[0]), jnp.zeros_like(x))
+        (_, outbuf), _ = jax.lax.scan(tick, carry, jnp.arange(m + s - 1))
+        return outbuf
+
+    # out_specs P(axis): stages concatenate on dim 0 -> [S * M, ...];
+    # every stage but the last contributes zeros, the caller slices the
+    # last M rows (avoids a psum broadcast of the whole output).
+    inner = jax.shard_map(
+        spmd, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def run(stage_params, x):
+        lead = {t.shape[0] for t in jax.tree.leaves(stage_params)}
+        if lead != {s}:
+            raise ValueError(
+                f"stage_params leading dims {lead} != mesh {axis}={s}"
+            )
+        return inner(stage_params, x)[-x.shape[0]:]
+
+    return run
