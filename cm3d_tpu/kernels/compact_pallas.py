@@ -49,6 +49,33 @@ _RB = 8      # rows per program
 # when even that can't fit (see _vmem_params).
 VMEM_LIMIT = 100 * 1024 * 1024
 
+# Measured TPU-worker fault envelope (r03 sessions 10-11 bisection,
+# TPU_QUEUE_r03.log): the folded camera/union compactions at >= 96 rows
+# over >= 32768 sources reproducibly KILL the TPU worker ("kernel fault",
+# a Mosaic/XLA codegen bug — the same shapes pass in interpret mode and
+# on the XLA fallback path), while 48-row (batch-8) runs of the same
+# kernels and 2048-row/8192-source mask compactions pass bit-exact.
+# Raise at trace time instead of killing the worker at run time; the
+# bound is the measured fault frontier, not a proof — shapes between the
+# validated batch-8 envelope and this line are untested.
+_FAULT_ROWS = 96
+_FAULT_SRC = 32768
+
+
+def _check_fault_envelope(rows: int, s: int, interpret: bool) -> None:
+    if interpret:
+        return  # the interpreter executes the same shapes safely
+    if rows >= _FAULT_ROWS and s >= _FAULT_SRC:
+        raise ValueError(
+            f"compact_rows_pallas: {rows} rows x {s} sources is outside "
+            "the validated envelope — on-chip runs at >= "
+            f"{_FAULT_ROWS} rows x >= {_FAULT_SRC} sources reproducibly "
+            "kill the TPU worker (Mosaic codegen fault, TPU_QUEUE_r03.log)."
+            " Reduce the keyframe batch (8 is the measured throughput "
+            "optimum) or force the XLA path "
+            "(cm3d_tpu.ops.lift._FOLD_CAMERA_UNION = False)"
+        )
+
 
 def _vmem_params(interpret: bool, prog_bytes: int, name: str):
     """Compiler params raising the VMEM cap; a clear error when one
@@ -196,6 +223,9 @@ def _compact_rows_impl(sel, values, limit, interpret, s_tile=_S_T,
     r, s = sel.shape
     d = values.shape[1]
     assert values.shape == (r, d, s), (values.shape, (r, d, s))
+    # vmapped calls fold the batch into r first (custom_vmap rule), so
+    # this sees the true on-chip row count
+    _check_fault_envelope(r, s, interpret)
     # Pad S / limit up to tile multiples (padding is unselected / sliced
     # off), so arbitrary geometries work — the lift derives NU/K from the
     # point-cloud size, which need not hit the production multiples.

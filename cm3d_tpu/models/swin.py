@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -105,47 +105,12 @@ def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
     return mask
 
 
-class WindowAttention(nn.Module):
-    dim: int
-    heads: int
-    window: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
-        """x: [nW*B, win*win, dim]; mask: [nW, win^2, win^2] or None."""
-        bnw, n, _ = x.shape
-        head_dim = self.dim // self.heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(bnw, n, 3, self.heads, head_dim)
-        # slice + einsum instead of moveaxis/swapaxes: the explicit
-        # transposes materialized full [B*nW, n, 3, heads, hd] layout copies
-        # (1.7 ms each at Swin stage 1, batch 6); einsum folds the head
-        # transposition into the dot itself.
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [bnw,n,h,hd]
-        attn = jnp.einsum("bqhc,bkhc->bhqk", q * head_dim ** -0.5, k)
-
-        table = self.param(
-            "rel_pos_bias_table",
-            nn.initializers.normal(0.02),
-            ((2 * self.window - 1) ** 2, self.heads),
-        )
-        idx = jnp.asarray(_rel_pos_index(self.window)).reshape(-1)
-        bias = table[idx].reshape(n, n, self.heads)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
-
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, self.heads, n, n)
-            attn = attn + mask[None, :, None]
-            attn = attn.reshape(bnw, self.heads, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(bnw, n, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
-
-
 class _WinAttnParams(nn.Module):
-    """WindowAttention-compatible param holder (fused kernel path)."""
+    """Window-attention param holder — the same tree an nn.Dense
+    qkv/proj + rel_pos_bias_table module stack would create (kernel
+    lecun_normal, bias zeros, table normal(0.02)); both the fused Pallas
+    branch and the unfused XLA branch (_attn_branch_xla) consume it, so
+    there is exactly ONE attention param layout."""
 
     dim: int
     heads: int
@@ -188,28 +153,18 @@ class SwinBlock(nn.Module):
         if self.fused_mode != "off":
             x = self._fused_attn(x, window, shift)
         else:
-            x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-            pad_b = (window - h % window) % window
-            pad_r = (window - w % window) % window
-            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-            hp, wp = h + pad_b, w + pad_r
-            if shift > 0:
-                x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-                mask = jnp.asarray(_shift_attn_mask(hp, wp, window, shift))
-            else:
-                mask = None
-            x = x.reshape(b, hp // window, window, wp // window, window, c)
-            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
-                -1, window * window, c
+            # same param holders as the fused branch (the ONE tree), same
+            # XLA math as the custom_vjp recompute (_attn_branch_xla is
+            # the single unfused implementation — no drift surface)
+            g_ln, b_ln = _LNParams(c, name="norm1")()
+            attn_params = _WinAttnParams(
+                self.dim, self.heads, window, name="attn"
+            )()
+            x = _attn_branch_xla(
+                x, (g_ln, b_ln, *attn_params),
+                window=window, shift=shift, heads=self.heads,
+                dim=self.dim, dtype=self.dtype,
             )
-            x = WindowAttention(
-                self.dim, self.heads, window, self.dtype, name="attn"
-            )(x, mask)
-            x = x.reshape(b, hp // window, wp // window, window, window, c)
-            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, hp, wp, c)
-            if shift > 0:
-                x = jnp.roll(x, (shift, shift), axis=(1, 2))
-            x = x[:, :h, :w]
         x = shortcut + x
 
         from cm3d_tpu.models.common import QuantDense
@@ -303,10 +258,15 @@ def _fused_branch_impl(x, params, *, window, shift, heads, dim, dtype,
 
 
 def _attn_branch_xla(x, params, *, window, shift, heads, dim, dtype):
-    """Pure-XLA attention branch (norm1 -> shifted-window attention ->
-    proj), numerically mirroring the unfused SwinBlock path op for op.
-    This is the recompute target for the fused kernel's backward
-    (_fused_attn_fn): its gradient stands in for the kernel's."""
+    """THE unfused attention branch (norm1 -> shifted-window attention ->
+    proj), [B, H, W, C] -> [B, H, W, C] pre-residual. Serves double duty:
+    SwinBlock's non-TPU forward AND the recompute target for the fused
+    kernel's backward (_fused_attn_fn) — one implementation, no drift.
+    qkv uses slice + einsum rather than moveaxis/swapaxes: the explicit
+    transposes materialized full [B*nW, n, 3, heads, hd] layout copies
+    (1.7 ms each at Swin stage 1, batch 6); einsum folds the head
+    transposition into the dot itself. Torch-parity pinned by
+    tests/test_swin.py::test_swin_block_matches_transformers."""
     g_ln, b_ln, wqkv, bqkv, wproj, bproj, table = params
     b, h, w, c = x.shape
     n = window * window

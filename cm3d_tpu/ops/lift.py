@@ -82,7 +82,9 @@ _USE_PALLAS_COMPACT = None
 # is a Mosaic/XLA codegen bug in the folded camera/union compactions at
 # >= 96 folded rows x 131072 sources. Batch 8 is also the throughput
 # optimum (213 vs 112 kf/s), so production stays inside the envelope; for
-# larger batches force _FOLD_CAMERA_UNION = False.
+# larger batches force _FOLD_CAMERA_UNION = False. The envelope is
+# ENFORCED: compact_pallas._check_fault_envelope raises a clear
+# trace-time error (naming this flag) instead of killing the worker.
 _FOLD_CAMERA_UNION = None
 
 

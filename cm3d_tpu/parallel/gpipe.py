@@ -116,10 +116,12 @@ def make_pipeline_fn(mesh: Mesh, stage_fn, axis: str = "stage"):
     )
 
     def run(stage_params, x):
-        lead = {t.shape[0] for t in jax.tree.leaves(stage_params)}
+        lead = {None if t.ndim == 0 else t.shape[0]
+                for t in jax.tree.leaves(stage_params)}
         if lead != {s}:
             raise ValueError(
-                f"stage_params leading dims {lead} != mesh {axis}={s}"
+                f"stage_params leading dims {lead} != mesh {axis}={s} — "
+                "every leaf needs a stacked stage axis (stack_layer_params)"
             )
         return inner(stage_params, x)[-x.shape[0]:]
 

@@ -30,7 +30,6 @@ import numpy as np
 
 from cm3d_tpu.benchmarks import _synthetic_train_arrays
 from cm3d_tpu.train import CenterPointConfig, PillarConfig
-from cm3d_tpu.train import train as _train
 from cm3d_tpu.train.bevfusion import (
     BevFusionConfig,
     CameraTrunk,

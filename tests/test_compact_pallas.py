@@ -163,3 +163,29 @@ def test_vmem_params_loud_overflow():
     with pytest.raises(ValueError, match="VMEM"):
         _vmem_params(False, VMEM_LIMIT + 1, "compact_rows_pallas")
     assert _vmem_params(True, 1024, "x") is None  # interpret: no params
+
+
+def test_fault_envelope_guard():
+    """Shapes inside the measured TPU-worker fault region (>= 96 folded
+    rows x >= 32768 sources, TPU_QUEUE_r03.log bisection) raise a clear
+    trace-time ValueError on the compiled path instead of killing the
+    worker at run time; interpret mode (which executes the same shapes
+    safely) and the validated batch-8 / mask-stage shapes pass."""
+    import pytest
+
+    from cm3d_tpu.kernels.compact_pallas import _check_fault_envelope
+
+    with pytest.raises(ValueError, match="validated envelope"):
+        _check_fault_envelope(96, 32768, interpret=False)
+    with pytest.raises(ValueError, match="_FOLD_CAMERA_UNION"):
+        _check_fault_envelope(96, 131072, interpret=False)
+    _check_fault_envelope(96, 131072, interpret=True)   # interpreter: safe
+    _check_fault_envelope(48, 131072, interpret=False)  # batch-8 camera fold
+    _check_fault_envelope(2048, 8192, interpret=False)  # mask compaction
+
+    # and through the public entry (batch folded into rows by the vmap
+    # rule): the batch-16 camera-fold shape must raise, not lower
+    sel = jnp.zeros((96, 32768), bool)
+    vals = jnp.zeros((96, 1, 32768), jnp.float32)
+    with pytest.raises(ValueError, match="validated envelope"):
+        compact_rows_pallas(sel, vals, 256, interpret=False)

@@ -27,7 +27,7 @@ def _layernorm(x, g, b, eps=1e-6):
 
 def _ref_window_attn(x, g, b, wqkv, bqkv, wproj, bproj, bias_hnn, mask,
                      win, heads):
-    """Unfused reference (mirrors models/swin.py SwinBlock+WindowAttention
+    """Unfused reference (mirrors models/swin.py _attn_branch_xla
     math, float64-free numpy)."""
     B, Hp, Wp, C = x.shape
     hd = C // heads
