@@ -207,6 +207,7 @@ class NuScenesFrontend:
         lane_points: np.ndarray,
         packed: Tuple,
         drivable: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        points: Optional[np.ndarray] = None,
     ) -> Tuple[Keyframe, KeyframeMeta]:
         """Build a Keyframe from already-materialized mask data — either the
         artifact store's packed read or the mask stage's device bit-planes
@@ -214,12 +215,15 @@ class NuScenesFrontend:
 
         packed: (labels [M] str, scores [M], cams [M], mask_bits
         [W, H, ceil(max_masks/32)] uint32).
+        points: optional pre-aggregated sweep points (aggregate_sweeps
+        output) — the fused pipeline loads them on its IO worker so this
+        call (main thread) never blocks on point-file IO.
         """
         cfg = self.cfg
         m_pad = cfg.max_masks
         labels_raw, scores_raw, cams_raw, mask_bits = packed
 
-        pts = self.aggregate_sweeps(sample)
+        pts = points if points is not None else self.aggregate_sweeps(sample)
         n = cfg.max_points
         points = np.zeros((n, 4), np.float32)
         point_valid = np.zeros(n, bool)

@@ -48,8 +48,8 @@ def _scale_ratio_for_thumbnail(lift_cfg: LiftStageConfig,
 from cm3d_tpu.parallel import make_keyframe_step_fn
 from cm3d_tpu.pipelines.masks import (
     MaskModels,
-    finish_frame_masks,
     start_frame_masks,
+    write_frame_artifacts,
 )
 
 
@@ -61,6 +61,7 @@ def run_fused(
     on_boxes,
     batch_size: int = 4,
     counters=None,
+    mask_wh: Optional[tuple] = None,
 ) -> int:
     """The fused images->masks->boxes core loop (shared by the nuScenes CLI
     path below and cm3d_tpu.benchmarks.bench_e2e, so the benchmark measures
@@ -85,6 +86,13 @@ def run_fused(
     on_boxes(token, boxes_slice): consume one keyframe's lift outputs
         (numpy pytree, already sliced to this frame). Called from the
         finisher thread, one batch at a time, in order.
+    mask_wh: fixed bit-plane canvas (w, h). REQUIRED whenever source
+        image sizes can vary across frames (KITTI native sizes differ
+        per frame): the default derives the canvas from each frame's
+        thumbnailed images, and mismatched mask_bits shapes crash the
+        keyframe stack (and each new geometry costs a full lift
+        recompile). None is fine when the camera set is fixed
+        (nuScenes/Waymo rings).
     Returns the number of keyframes that went through the lift step.
     """
     from collections import deque
@@ -158,7 +166,8 @@ def run_fused(
             prepared, assemble = res
             # 2D stage: planes stay in the lift's bit-plane layout
             handle = start_frame_masks(
-                models, None, mask_cfg, plane_layout="xy", prepared=prepared
+                models, None, mask_cfg, mask_wh=mask_wh,
+                plane_layout="xy", prepared=prepared,
             )
             # same truncation accounting as run_mask_stage — the fused
             # path must not silently drop what the two-stage path counts
@@ -202,9 +211,12 @@ def run_e2e(
     )
     lift_cfg = _scale_ratio_for_thumbnail(lift_cfg, thumbnail)
     store = MaskArtifactStore(mask_dir) if mask_dir else None
+    # ONE fixed plane canvas for the frontend AND the fused mask stage
+    # (run_fused mask_wh): per-frame canvases would change the keyframe
+    # shape whenever image geometry varies
+    plane_wh = mask_wh or (thumbnail, thumbnail * 9 // 16)
     frontend = NuScenesFrontend(
-        dataroot, version, store, lift_cfg,
-        mask_wh=mask_wh or (thumbnail, thumbnail * 9 // 16),
+        dataroot, version, store, lift_cfg, mask_wh=plane_wh,
     )
     step = jax.jit(make_keyframe_step_fn(lift_cfg))
     writer = SubmissionWriter()
@@ -229,9 +241,15 @@ def run_e2e(
                     ).convert("RGB")
                     im.thumbnail((thumbnail, thumbnail))
                     images.append(np.asarray(im))
+                # sweep aggregation (file reads + host transforms) runs
+                # HERE — the generator body executes on run_fused's IO
+                # worker — so the main thread's device-feed loop never
+                # stalls on point IO (it only assembles)
+                points = frontend.aggregate_sweeps(sample)
 
                 def assemble(handle, scene_name=scene_name,
                              frame_num=frame_num, sample=sample,
+                             points=points,
                              lane_points=lane_points, drivable=drivable,
                              n_total=len(samples)):
                     # assemble runs on the MAIN thread in frame order, so
@@ -240,11 +258,12 @@ def run_e2e(
                     # the IO-prefetch generator, which runs frames ahead)
                     # keeps the resume manifest truthful under a mid-scene
                     # crash. Zero-detection frames still write (empty)
-                    # artifacts, matching run_mask_stage.
+                    # artifacts, matching run_mask_stage. Writes go through
+                    # the packed C encoder (masks.write_frame_artifacts),
+                    # not the dense finish_frame_masks route.
                     if store is not None:  # optional reference artifacts
-                        store.write_frame(
-                            scene_name, frame_num,
-                            finish_frame_masks(models, handle, mask_cfg),
+                        write_frame_artifacts(
+                            store, scene_name, frame_num, handle
                         )
                         if frame_num == n_total - 1:
                             store.mark_scene_complete(scene_name, n_total)
@@ -257,7 +276,7 @@ def run_e2e(
                               handle["cams"], handle["planes"])
                     kf, meta = frontend.assemble_keyframe(
                         scene_name, frame_num, sample, lane_points, packed,
-                        drivable,
+                        drivable, points=points,
                     )
                     return kf, meta.sample_token
 
@@ -267,6 +286,7 @@ def run_e2e(
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg,
         writer.add_device_outputs, batch_size, counters=counters,
+        mask_wh=plane_wh,
     )
 
     submission = writer.write(out_path)
@@ -342,12 +362,10 @@ def run_e2e_waymo(
                 def assemble(handle, scene=scene, i=i, fr=fr, n=n):
                     # artifact write + completion marking happen here, on
                     # the main thread in frame order (see run_e2e: the IO
-                    # generator runs frames ahead of the writes)
+                    # generator runs frames ahead of the writes); writes go
+                    # through the packed C encoder (write_frame_artifacts)
                     if store is not None:  # optional reference artifacts
-                        store.write_frame(
-                            scene, i,
-                            finish_frame_masks(models, handle, mask_cfg),
-                        )
+                        write_frame_artifacts(store, scene, i, handle)
                         if i == n - 1:
                             store.mark_scene_complete(scene, n)
                     if handle["planes"] is None:
@@ -370,14 +388,17 @@ def run_e2e_waymo(
             )
         )
 
-    # NOTE: the plane canvas comes from the thumbnailed image sizes inside
-    # run_fused (max over cameras — Waymo's front/side cameras differ in
-    # height); the lift's in-image test reads the canvas dims off the
-    # planes, so the fused path is self-consistent without frontend.mask_wh.
+    # NOTE: with mask_wh=None the plane canvas comes from the thumbnailed
+    # image sizes inside run_fused (max over cameras — Waymo's front/side
+    # cameras differ in height but the CAMERA SET is fixed, so the canvas
+    # is identical every frame); the lift's in-image test reads the canvas
+    # dims off the planes, so the fused path is self-consistent. An
+    # explicit mask_wh pins the canvas for both the frontend and the
+    # mask stage.
     counters = MaskCounters()
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg, on_boxes, batch_size,
-        counters=counters,
+        counters=counters, mask_wh=mask_wh,
     )
     with open(out_path, "wb") as f:
         f.write(encode_objects(all_objects))
@@ -425,8 +446,16 @@ def run_e2e_kitti(
     )
     lift_cfg = _scale_ratio_for_thumbnail(lift_cfg, thumbnail)
     store = MaskArtifactStore(mask_dir) if mask_dir else None
+    # KITTI native image sizes vary PER FRAME (1242x375 / 1224x370 /
+    # 1238x374 / ...), so the bit-plane canvas must be pinned: a
+    # per-frame canvas (run_fused's default) makes mask_bits shapes
+    # differ across frames — the keyframe stack crashes and every new
+    # geometry costs a full lift recompile. (1024, 320) is the two-stage
+    # frontend default, scaled for non-1024 thumbnails.
+    kitti_wh = (thumbnail, -(-320 * thumbnail // 1024))
     frontend = KittiFrontend(
-        root, store or MaskArtifactStore("/nonexistent"), lift_cfg
+        root, store or MaskArtifactStore("/nonexistent"), lift_cfg,
+        mask_wh=kitti_wh,
     )
     kitti_step = jax.jit(make_kitti_step_fn(lift_cfg))
 
@@ -452,9 +481,8 @@ def run_e2e_kitti(
 
             def assemble(handle, idx=idx):
                 if store is not None:
-                    store.write_frame(
-                        frontend.scene_name, idx,
-                        finish_frame_masks(models, handle, mask_cfg),
+                    write_frame_artifacts(
+                        store, frontend.scene_name, idx, handle
                     )
                     # no mark_scene_complete: `indices` may be an arbitrary
                     # subset of the split, so per-frame has_frame resume is
@@ -487,7 +515,7 @@ def run_e2e_kitti(
     counters = MaskCounters()
     n_frames = run_fused(
         models, step, frame_source(), mask_cfg, on_boxes, batch_size,
-        counters=counters,
+        counters=counters, mask_wh=kitti_wh,
     )
     if verbose:
         dt = time.perf_counter() - t0
@@ -524,9 +552,11 @@ def merge_host_outputs(paths: List[str], out: str,
         with a single repeated field, and protobuf defines concatenation
         of serialized messages as message merging, so `cat` semantics are
         exact (the reference's metrics binary reads the result as one bin).
-    kitti: per-host label DIRECTORIES hold disjoint {frame:06d}.txt files;
-        merging copies them into one directory (duplicate frame ids raise —
-        host shards must be disjoint).
+    kitti: per-host OUTPUT DIRECTORIES hold disjoint {frame:06d}.txt label
+        files — either flat (the two-stage lift layout) or under pred/ and
+        pseudo/ subdirectories (run_e2e_kitti's layout); merging mirrors
+        the sublayout and copies files (duplicate frame ids raise — host
+        shards must be disjoint).
     """
     if dataset == "nuscenes":
         merge_submissions(paths, out)
@@ -538,15 +568,23 @@ def merge_host_outputs(paths: List[str], out: str,
     elif dataset == "kitti":
         import shutil
 
-        os.makedirs(out, exist_ok=True)
-        for path in paths:
-            for name in sorted(os.listdir(path)):
-                dst = os.path.join(out, name)
-                if os.path.exists(dst):
-                    raise FileExistsError(
-                        f"{dst}: frame written by two host shards"
-                    )
-                shutil.copyfile(os.path.join(path, name), dst)
+        def _merge_dir(srcs, dst_dir):
+            os.makedirs(dst_dir, exist_ok=True)
+            for src in srcs:
+                for name in sorted(os.listdir(src)):
+                    s = os.path.join(src, name)
+                    d = os.path.join(dst_dir, name)
+                    if os.path.isdir(s):
+                        # run_e2e_kitti sublayout: recurse into pred/pseudo
+                        _merge_dir([s], d)
+                        continue
+                    if os.path.exists(d):
+                        raise FileExistsError(
+                            f"{d}: frame written by two host shards"
+                        )
+                    shutil.copyfile(s, d)
+
+        _merge_dir(paths, out)
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
 
@@ -564,6 +602,11 @@ def main(argv=None):
     p.add_argument("--mask_dir", default="",
                    help="also write reference-layout mask artifacts here")
     p.add_argument("--thumbnail", type=int, default=1024)
+    p.add_argument("--run_nms", type=int, default=-1,
+                   help="class-wise 2D NMS before SAM prompting: 1 on / "
+                   "0 off / -1 dataset default (off for kitti — the "
+                   "reference's 'wo_2d_nms' — on otherwise; same contract "
+                   "as the masks CLI)")
     p.add_argument("--fake_weights", action="store_true")
     p.add_argument("--detic_ckpt", default="")
     p.add_argument("--sam_ckpt", default="")
@@ -654,21 +697,28 @@ def main(argv=None):
             models, args.gdino_ckpt, args.gdino_vocab,
             test=args.fake_weights, quant_int8=args.quant_int8,
         )
+    # same default as the masks CLI: the reference's KITTI flow runs
+    # without 2D NMS ("wo_2d_nms", kitti/gen_2d_masks_detic.py:781-811)
+    run_nms = (
+        (args.dataset != "kitti") if args.run_nms < 0 else bool(args.run_nms)
+    )
+    mask_cfg = MaskStageConfig(run_nms=run_nms)
     if args.dataset == "waymo":
         run_e2e_waymo(
-            args.dataroot, scene_list, out_path, models,
+            args.dataroot, scene_list, out_path, models, mask_cfg=mask_cfg,
             thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
         )
     elif args.dataset == "kitti":
         run_e2e_kitti(
             args.dataroot, [int(i) for i in scene_list],
-            out_path, models, thumbnail=args.thumbnail,
+            out_path, models, mask_cfg=mask_cfg, thumbnail=args.thumbnail,
             mask_dir=args.mask_dir or None,
         )
     else:
         run_e2e(
             args.dataroot, args.version, scene_list, out_path,
-            models, thumbnail=args.thumbnail, mask_dir=args.mask_dir or None,
+            models, mask_cfg=mask_cfg, thumbnail=args.thumbnail,
+            mask_dir=args.mask_dir or None,
         )
 
 

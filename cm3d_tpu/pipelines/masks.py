@@ -176,6 +176,17 @@ def start_frame_masks(
         counts["dropped_masks_total"] += k_cam - k
         if k <= 0:
             continue
+        if k < len(boxes):
+            # when a cap binds, drop the LOWEST scores — the incoming
+            # order is class-major (classwise_nms_np) or raw detector
+            # order, so a plain [:k] cut would keep low-score boxes of
+            # early classes over high-score boxes of late ones. Survivors
+            # keep their original relative order (np.sort of the top-k
+            # index set), so untruncated frames are bit-identical.
+            top = np.sort(np.argsort(-scores, kind="stable")[:k])
+            boxes = boxes[top]
+            scores = scores[top]
+            labels = [labels[i] for i in top]
         prompts[cam_idx, :k] = boxes[:k]
         n_boxes[cam_idx] = k
         all_labels.extend(labels[:k])
@@ -239,6 +250,43 @@ def finish_frame_masks(
         planes = np.ascontiguousarray(np.swapaxes(planes, 0, 1))
     dense = unpack_masks_np(planes, handle["total"]).astype(np.uint8)
     return FrameMasks(handle["labels"], handle["scores"], handle["cams"], dense)
+
+
+def write_frame_artifacts(store, scene: str, frame_num: int,
+                          handle: dict) -> None:
+    """Write one frame's mask artifacts straight from a start_frame_masks
+    handle via the packed-plane C encoder — no dense [M, W, H]
+    intermediate (unpack + per-mask rescan cost ~760 ms/keyframe vs ~6 ms).
+    The ONE artifact-writing recipe: run_mask_stage's finisher thread and
+    the fused pipelines' optional --mask_dir writes both call this, so the
+    fused path can't regress onto the slow finish_frame_masks +
+    write_frame route."""
+    if handle.get("depths") is not None:
+        # use_zoedepth: masked depth images replace the mask payload
+        # (reference :484-486). Checked FIRST so a zero-detection frame
+        # still writes the depth-mode payload type ([0, H, W] float32,
+        # which masked_depth_images returns when planes is None) — a
+        # mixed-payload scene would break read_frame_depths consumers.
+        store.write_frame_depths(
+            scene, frame_num, handle["labels"], handle["scores"],
+            handle["cams"], masked_depth_images(handle),
+        )
+    elif handle["planes"] is None:
+        store.write_frame_rles(
+            scene, frame_num, handle["labels"], handle["scores"],
+            handle["cams"], [],
+        )
+    else:
+        from cm3d_tpu.ops import rle as rle_codec
+
+        rles = rle_codec.encode_packed_many(
+            np.asarray(handle["planes"]), handle["total"],
+            layout=handle["layout"],
+        )
+        store.write_frame_rles(
+            scene, frame_num, handle["labels"], handle["scores"],
+            handle["cams"], rles,
+        )
 
 
 def generate_frame_masks(
@@ -340,34 +388,7 @@ def run_mask_stage(
     def _finish(entry):
         nonlocal n_frames
         scene, f, handle = entry
-        if handle.get("depths") is not None:
-            # use_zoedepth: masked depth images replace the mask payload
-            # (reference :484-486). Checked FIRST so a zero-detection frame
-            # still writes the depth-mode payload type ([0, H, W] float32,
-            # which masked_depth_images returns when planes is None) — a
-            # mixed-payload scene would break read_frame_depths consumers.
-            store.write_frame_depths(
-                scene, f, handle["labels"], handle["scores"],
-                handle["cams"], masked_depth_images(handle),
-            )
-        elif handle["planes"] is None:
-            store.write_frame_rles(
-                scene, f, handle["labels"], handle["scores"],
-                handle["cams"], [],
-            )
-        else:
-            # packed planes -> COCO RLE straight in C: no dense [M, W, H]
-            # intermediate (unpack + rescan cost ~760 ms/keyframe)
-            from cm3d_tpu.ops import rle as rle_codec
-
-            rles = rle_codec.encode_packed_many(
-                np.asarray(handle["planes"]), handle["total"],
-                layout=handle["layout"],
-            )
-            store.write_frame_rles(
-                scene, f, handle["labels"], handle["scores"],
-                handle["cams"], rles,
-            )
+        write_frame_artifacts(store, scene, f, handle)
         counters.update(handle["counts"])
         remaining[scene] -= 1
         _maybe_complete(scene)

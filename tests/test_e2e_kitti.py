@@ -112,3 +112,113 @@ def test_fused_kitti_matches_two_stage(tmp_path):
         for kind in ("pred", "pseudo"):
             assert (tmp_path / "dp" / kind / f"{idx:06d}.txt").read_text() \
                 == (tmp_path / "two" / kind / f"{idx:06d}.txt").read_text()
+
+
+def test_fused_kitti_mixed_image_sizes(tmp_path):
+    """KITTI native image sizes vary per frame (1242x375, 1224x370, ...):
+    the fused path must pin the bit-plane canvas (run_fused mask_wh) so
+    mask_bits shapes match across frames — a per-frame canvas crashed the
+    keyframe stack (review finding, session 11)."""
+    from PIL import Image
+
+    from cm3d_tpu.datasets.kitti.calib import read_label
+    from cm3d_tpu.pipelines.e2e import run_e2e_kitti
+    from cm3d_tpu.pipelines.masks import build_fake_models
+
+    root = tmp_path / "kitti"
+    for sub in ("calib", "velodyne", "image_2"):
+        (root / "training" / sub).mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    for idx, (w, h) in enumerate(((1242, 375), (1224, 370))):
+        (root / "training" / "calib" / f"{idx:06d}.txt").write_text(CALIB_TXT)
+        pts = rng.uniform([-40, -40, -1.8], [40, 40, 1.0], (4000, 3))
+        raw = np.zeros((len(pts), 4), np.float32)
+        raw[:, :3] = pts
+        raw.tofile(root / "training" / "velodyne" / f"{idx:06d}.bin")
+        Image.fromarray(
+            (rng.random((h, w, 3)) * 80 + 60).astype(np.uint8)
+        ).save(root / "training" / "image_2" / f"{idx:06d}.png")
+
+    models = dataclasses.replace(build_fake_models(), detic=_fixed_detic)
+    n = run_e2e_kitti(str(root), [0, 1], str(tmp_path / "fused"), models,
+                      lift_cfg=SMALL_K, mask_cfg=MASK_CFG, batch_size=2,
+                      verbose=False)
+    assert n == 2
+    for idx in (0, 1):  # both frames produced label files
+        assert (tmp_path / "fused" / "pred" / f"{idx:06d}.txt").exists()
+        assert (tmp_path / "fused" / "pseudo" / f"{idx:06d}.txt").exists()
+    assert sum(
+        len(read_label(tmp_path / "fused" / "pred" / f"{i:06d}.txt"))
+        for i in (0, 1)
+    ) > 0
+
+
+def test_merge_host_outputs_kitti_pred_pseudo(tmp_path):
+    """merge_host_outputs('kitti') must mirror run_e2e_kitti's pred/pseudo
+    sublayout (it previously copyfile()d the directories themselves) and
+    keep the flat two-stage layout working; duplicate frames raise."""
+    import pytest
+
+    from cm3d_tpu.pipelines.e2e import merge_host_outputs
+
+    # run_e2e_kitti layout: {out}/pred + {out}/pseudo per host shard
+    for host, idx in ((0, 0), (1, 1)):
+        for kind in ("pred", "pseudo"):
+            d = tmp_path / f"out.host{host}" / kind
+            d.mkdir(parents=True)
+            (d / f"{idx:06d}.txt").write_text(f"obj-{kind}-{idx}\n")
+    merged = tmp_path / "merged"
+    merge_host_outputs(
+        [str(tmp_path / "out.host0"), str(tmp_path / "out.host1")],
+        str(merged), "kitti",
+    )
+    for idx in (0, 1):
+        for kind in ("pred", "pseudo"):
+            assert (merged / kind / f"{idx:06d}.txt").read_text() \
+                == f"obj-{kind}-{idx}\n"
+
+    # flat layout (two-stage lift label dirs) still merges
+    for host in (0, 1):
+        d = tmp_path / f"flat{host}"
+        d.mkdir()
+        (d / f"{host:06d}.txt").write_text("x\n")
+    merge_host_outputs([str(tmp_path / "flat0"), str(tmp_path / "flat1")],
+                       str(tmp_path / "mflat"), "kitti")
+    assert (tmp_path / "mflat" / "000000.txt").exists()
+    assert (tmp_path / "mflat" / "000001.txt").exists()
+
+    # duplicate frame ids across shards must raise
+    (tmp_path / "flat1" / "000000.txt").write_text("dup\n")
+    with pytest.raises(FileExistsError):
+        merge_host_outputs(
+            [str(tmp_path / "flat0"), str(tmp_path / "flat1")],
+            str(tmp_path / "mdup"), "kitti",
+        )
+
+
+def test_e2e_cli_kitti_run_nms_default(monkeypatch, tmp_path):
+    """The fused CLI must preserve the reference's KITTI no-2D-NMS default
+    ('wo_2d_nms', kitti/gen_2d_masks_detic.py:781-811) like the masks CLI:
+    kitti -> run_nms False unless --run_nms 1; other datasets -> True."""
+    from cm3d_tpu.pipelines import e2e
+
+    seen = {}
+
+    def fake_kitti(root, indices, out, models, **kw):
+        seen["cfg"] = kw["mask_cfg"]
+        return 0
+
+    def fake_nusc(dataroot, version, scenes, out, models, **kw):
+        seen["cfg"] = kw["mask_cfg"]
+        return {}
+
+    monkeypatch.setattr(e2e, "run_e2e_kitti", fake_kitti)
+    monkeypatch.setattr(e2e, "run_e2e", fake_nusc)
+    base = ["--dataroot", str(tmp_path), "--scenes", "0",
+            "--out", str(tmp_path / "o"), "--fake_weights"]
+    e2e.main(["--dataset", "kitti"] + base)
+    assert seen["cfg"].run_nms is False
+    e2e.main(["--dataset", "kitti", "--run_nms", "1"] + base)
+    assert seen["cfg"].run_nms is True
+    e2e.main(["--dataset", "nuscenes"] + base)
+    assert seen["cfg"].run_nms is True

@@ -239,3 +239,36 @@ def test_rect_encode_smoke():
     fm = generate_frame_masks(models, images, MaskStageConfig())
     assert fm.masks.shape[1:] == (sam_cfg.img_size, 48)
     assert len(fm.labels) == fm.masks.shape[0]
+
+
+def test_truncation_keeps_highest_scores():
+    """When a cap binds, the cut must drop the LOWEST-scoring detections
+    (review finding, session 11): the pre-cut order is class-major (after
+    classwise NMS) or raw detector order, so a plain [:k] kept low-score
+    early boxes over high-score late ones. Survivors keep their original
+    relative order, so untruncated frames are unchanged."""
+    from cm3d_tpu.pipelines.masks import MaskModels, start_frame_masks
+    from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES
+
+    n_det = 6
+    asc = np.linspace(0.1, 0.6, n_det, dtype=np.float32)  # ASCENDING
+
+    def detic(frame):
+        boxes = np.zeros((1, n_det, 4), np.float32)
+        for i in range(n_det):
+            boxes[:, i] = [20 * i, 0, 20 * i + 10, 10]
+        return (boxes, asc[None], np.zeros((1, n_det), np.int32),
+                np.ones((1, n_det), bool))
+
+    base = _stub_models(n_det)
+    models = MaskModels(base.prepare, detic, base.sam_encode,
+                        base.sam_decode_planes, CUSTOM_VOCABULARY_NUSCENES)
+    img = [np.zeros((16, 200, 3), np.uint8)]
+    handle = start_frame_masks(
+        models, img,
+        MaskStageConfig(max_detections=3, max_masks_total=128,
+                        run_nms=False),
+    )
+    # top-3 of the ascending scores, original relative order preserved
+    np.testing.assert_allclose(handle["scores"], asc[3:], rtol=1e-6)
+    assert handle["counts"]["dropped_max_detections"] == 3
