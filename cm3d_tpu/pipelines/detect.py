@@ -242,6 +242,8 @@ def main(argv=None):
     p.add_argument("--image_hw", default="144x256",
                    help="camera input size HxW (must match training)")
     args = p.parse_args(argv)
+    if args.camera_backbone != "conv" and not args.use_camera:
+        raise SystemExit("--camera_backbone requires --use_camera")
     ih, iw = (int(x) for x in args.image_hw.split("x"))
     run_detect(
         args.dataroot, args.version, args.ckpt, args.out,

@@ -154,9 +154,14 @@ def build_train_batches(
     sample_tokens=None,
     tables=None,
 ):
-    """Yield (sample_token, points [N,4] ego, boxes [M,8], valids[, camera
-    triple]). image_hw != None additionally loads the ring images +
-    calibration (uint8; normalized at batch-assembly time). Labels come
+    """Yield (sample_token, points [n,4] ego UNPADDED, n_points int,
+    boxes [M,8], box_valid[, camera triple]). Points stay trimmed to their
+    real count in the resident dataset — the fixed [max_points, 4] pad
+    (~544 KB/sample regardless of content) is applied at batch-assembly
+    time, the same reason the ring images are held re-encoded as JPEGs
+    (at trainval scale the padded form pins ~15 GB of mostly zeros).
+    image_hw != None additionally loads the ring images + calibration
+    (uint8; normalized at batch-assembly time). Labels come
     from `results` (in-memory dict) or `labels_json`; `sample_tokens`
     restricts to a scene split's samples (GT-fraction fine-tuning)."""
     from cm3d_tpu.eval.algo import quaternion_yaw
@@ -176,12 +181,22 @@ def build_train_batches(
         if sample is None:
             continue
         points, pvalid, ego_t = load_ego_points(fe, sample, max_points)
+        n_pts = int(pvalid.sum())  # valid rows are a contiguous prefix
+        points = np.ascontiguousarray(points[:n_pts])
 
+        # filter unmapped names BEFORE the cap (a [:max_boxes] slice of the
+        # raw list let skipped entries consume box slots), and when the cap
+        # still binds keep the HIGHEST-scoring labels (pseudo-labels carry
+        # detection_score; GT from the tables does not — keep order there)
+        mapped = [o for o in objs if o["detection_name"] in CLASS_TO_ID]
+        if len(mapped) > max_boxes:
+            mapped.sort(
+                key=lambda o: -float(o.get("detection_score", 0.0))
+            )
+            mapped = mapped[:max_boxes]
         boxes = np.zeros((max_boxes, 8), np.float32)
         bvalid = np.zeros(max_boxes, bool)
-        for i, o in enumerate(objs[:max_boxes]):
-            if o["detection_name"] not in CLASS_TO_ID:
-                continue
+        for i, o in enumerate(mapped):
             t = np.asarray(o["translation"]) - ego_t
             yaw = quaternion_yaw(tuple(o["rotation"]))
             w, l, h = o["size"]
@@ -204,9 +219,9 @@ def build_train_batches(
                 b = io.BytesIO()
                 Image.fromarray(im).save(b, format="JPEG", quality=90)
                 bufs.append(b.getvalue())
-            yield token, points, pvalid, boxes, bvalid, (bufs, intr, exts)
+            yield token, points, n_pts, boxes, bvalid, (bufs, intr, exts)
         else:
-            yield token, points, pvalid, boxes, bvalid
+            yield token, points, n_pts, boxes, bvalid
 
 
 def latest_state_dir(out_dir: str):
@@ -385,9 +400,18 @@ def run_pretrain(
     step = jax.jit(step_fn)
 
     def assemble(pick):
+        # pad the trimmed resident points to the fixed jit shape here
+        # (build_train_batches holds them unpadded — see its docstring)
+        max_points = 32768  # build_train_batches default
+        pts = np.zeros((len(pick), max_points, 4), np.float32)
+        pvalid = np.zeros((len(pick), max_points), bool)
+        for row, i in enumerate(pick):
+            n = data[i][2]
+            pts[row, :n] = data[i][1]
+            pvalid[row, :n] = True
         base = dict(
-            points=jnp.asarray(np.stack([data[i][1] for i in pick])),
-            point_valid=jnp.asarray(np.stack([data[i][2] for i in pick])),
+            points=jnp.asarray(pts),
+            point_valid=jnp.asarray(pvalid),
             boxes=jnp.asarray(np.stack([data[i][3] for i in pick])),
             box_valid=jnp.asarray(np.stack([data[i][4] for i in pick])),
         )
@@ -416,9 +440,14 @@ def run_pretrain(
     for s in range(start, steps):
         pick = np.random.default_rng((seed, s)).integers(0, len(data), batch_size)
         state, metrics = step(state, place_batch(assemble(pick)))
-        last = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        # metrics stay DEVICE arrays between prints: a per-step host
+        # transfer blocks on step completion (serializing the next batch's
+        # host-side assemble against device compute, + ~28 ms tunnel sync)
+        last = metrics
         if verbose and (s % max(1, steps // 10) == 0 or s == steps - 1):
-            print(f"step {s}: " + json.dumps({k: round(v, 4) for k, v in last.items()}))
+            host = {k: round(float(np.asarray(v)), 4)
+                    for k, v in metrics.items()}
+            print(f"step {s}: " + json.dumps(host))
         if save_every and (s + 1) % save_every == 0:
             save_params(state, f"{out_dir}/state_{s + 1:06d}", overwrite=True)
             if verbose:
@@ -432,7 +461,7 @@ def run_pretrain(
     )
     if verbose:
         print(f"saved checkpoint to {out_dir}/{ckpt_name}")
-    return last
+    return {k: float(np.asarray(v)) for k, v in last.items()}
 
 
 def main(argv=None):
@@ -492,6 +521,17 @@ def main(argv=None):
                    help="rematerialize Swin blocks on backward (memory "
                    "for FLOPs; swin_t backbone only)")
     args = p.parse_args(argv)
+    if not args.use_camera and (
+        args.camera_backbone != "conv" or args.camera_bf16
+        or args.camera_remat
+    ):
+        # same misuse guard as bench.py: silently training a LiDAR-only
+        # model for hours after asking for a camera knob is worse than
+        # an immediate error
+        raise SystemExit(
+            "--camera_backbone/--camera_bf16/--camera_remat require "
+            "--use_camera"
+        )
     ih, iw = (int(x) for x in args.image_hw.split("x"))
     run_pretrain(args.dataroot, args.version, args.labels, args.out,
                  args.steps, args.batch_size, args.lr,

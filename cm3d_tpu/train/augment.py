@@ -60,9 +60,16 @@ def _apply_one(key: jax.Array, points, boxes, cfg: AugmentConfig):
     a, (flip_x, flip_y), theta, scale = _sample_affine(key, cfg)
     a3, shift = a[:3, :3], a[:3, 3]
 
-    new_pts = points.at[:, :3].set(points[:, :3] @ a3.T + shift)
+    # meter-scale coordinate dots need HIGHEST: the default TPU f32 dot
+    # runs bf16 passes (~2^-9 relative), ~0.1 m of rounding at the +-51 m
+    # grid extent — a systematic noise floor on the regression TARGETS
+    # (same convention as ops/range_image.py / ops/medoid.py)
+    hp = jax.lax.Precision.HIGHEST
+    new_pts = points.at[:, :3].set(
+        jnp.matmul(points[:, :3], a3.T, precision=hp) + shift
+    )
 
-    center = boxes[:, :3] @ a3.T + shift
+    center = jnp.matmul(boxes[:, :3], a3.T, precision=hp) + shift
     size = boxes[:, 3:6] * scale
     # yaw under reflection: x-flip maps yaw -> pi - yaw, y-flip -> -yaw;
     # then the rotation adds theta. sin/cos targets make wrapping free.
@@ -92,5 +99,6 @@ def augment_batch(
     )(keys, points, boxes)
     new_cams = None
     if cam_to_ego is not None:
-        new_cams = jnp.einsum("bij,bcjk->bcik", a, cam_to_ego)
+        new_cams = jnp.einsum("bij,bcjk->bcik", a, cam_to_ego,
+                              precision=jax.lax.Precision.HIGHEST)
     return new_pts, new_boxes, new_cams

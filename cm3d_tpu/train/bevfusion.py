@@ -160,7 +160,11 @@ def splat_to_bev(
     pts = jnp.stack([px, py, pz], axis=-1)  # [C, hf, wf, B, 3]
     rot = cam_to_ego[:, :3, :3]
     t = cam_to_ego[:, :3, 3]
-    ego = jnp.einsum("cij,chwbj->chwbi", rot, pts) + t[:, None, None, None, :]
+    # HIGHEST: default TPU f32 dot is bf16 passes — ~0.2 m of rounding at
+    # the 45 m depth bins would misbin features across 0.8 m pillar cells
+    ego = jnp.einsum("cij,chwbj->chwbi", rot, pts,
+                     precision=jax.lax.Precision.HIGHEST) \
+        + t[:, None, None, None, :]
 
     ix = jnp.floor((ego[..., 0] - pillar_cfg.x_min) / pillar_cfg.resolution)
     iy = jnp.floor((ego[..., 1] - pillar_cfg.y_min) / pillar_cfg.resolution)

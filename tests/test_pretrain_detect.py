@@ -372,3 +372,41 @@ def test_pretrain_recipe_flags_and_ema_deploy(tmp_path):
             np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7),
         a, c,
     )
+
+
+def test_build_train_batches_caps_keep_mapped_high_scores(tmp_path):
+    """Unmapped detection_names must not consume box slots, and when
+    max_boxes binds the HIGHEST-scoring mapped labels survive (review
+    finding, session 11: the raw objs[:max_boxes] slice let skipped
+    entries eat slots and kept arbitrary-order labels)."""
+    from cm3d_tpu.pipelines.pretrain import build_train_batches
+
+    root, labels = _setup(tmp_path)
+    with open(labels) as f:
+        results = json.load(f)["results"]
+    token = next(iter(results))
+    tpl = results[token][0]
+
+    def mk(name, score):
+        o = dict(tpl)
+        o["detection_name"] = name
+        o["detection_score"] = score
+        # width encodes the score so the kept set is assertable from the
+        # box array (scores themselves are not stored in it)
+        o["size"] = [score * 10.0, 4.5, 1.4]
+        return o
+
+    # 4 unmapped names first, then 4 mapped cars with ascending scores;
+    # max_boxes=2 must keep the TWO highest-scoring mapped ones
+    results = {token: (
+        [mk("not_a_class", 0.99)] * 4
+        + [mk("car", s) for s in (0.1, 0.4, 0.2, 0.8)]
+    )}
+    rows = list(build_train_batches(
+        str(root), VERSION, max_boxes=2, results=results,
+    ))
+    assert len(rows) == 1
+    _, _points, _n, boxes, bvalid = rows[0]
+    assert bvalid.sum() == 2  # both slots used by MAPPED labels
+    kept_w = sorted(float(w) for w in boxes[bvalid][:, 3])
+    np.testing.assert_allclose(kept_w, [4.0, 8.0], rtol=1e-6)
