@@ -26,6 +26,31 @@ from cm3d_tpu.ops import rle
 MANIFEST_NAME = "_manifest.json"
 
 
+def paste_mask_canvas(dst: np.ndarray, i: int, mk: np.ndarray,
+                      w: int, h: int) -> None:
+    """Paste one stored dense mask into row i of the x-major canvas
+    dst [M, w, h] (shared by the store's dense fallback and the Waymo
+    frontend — ONE definition of the canvas contract).
+
+    Stored masks may be SMALLER than the canvas (KITTI's per-frame image
+    sizes and Waymo's shorter side cameras pad into the fixed canvas at
+    the SAME pixel scale). A mask LARGER than the canvas would be
+    silently CROPPED — that only happens when artifacts written at one
+    thumbnail/mask_wh are read at a smaller one, and the resulting masks
+    misalign with the camera projection — so it fails loudly instead."""
+    if mk.shape == (h, w):
+        mk = mk.T  # y-major stored layout
+    if mk.shape[0] > w or mk.shape[1] > h:
+        raise ValueError(
+            f"stored mask {mk.shape} exceeds the {w}x{h} canvas — the "
+            "artifacts were written at a different thumbnail/mask_wh "
+            "(cropping would silently misalign masks with the camera "
+            "projection); re-run the mask stage or pass the matching "
+            "geometry"
+        )
+    dst[i, : mk.shape[0], : mk.shape[1]] = mk.astype(bool)
+
+
 @dataclasses.dataclass
 class FrameMasks:
     """One frame's 2D-stage output."""
@@ -140,12 +165,23 @@ class MaskArtifactStore:
         return data, depths
 
     def mark_scene_complete(self, scene_name: str, num_frames: int) -> None:
-        manifest = self.load_manifest()
-        manifest[scene_name] = num_frames
-        tmp = self.root / (MANIFEST_NAME + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.root / MANIFEST_NAME)
+        # the read-modify-write is guarded by an flock: multiple
+        # --host_shard processes share one artifact root, and two
+        # concurrent completions would otherwise lose one entry (the
+        # resume logic then reschedules a fully-finished scene). os.replace
+        # keeps single-writer crash-atomicity; the lock adds multi-writer
+        # mutual exclusion.
+        import fcntl
+
+        lock = self.root / (MANIFEST_NAME + ".lock")
+        with open(lock, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            manifest = self.load_manifest()
+            manifest[scene_name] = num_frames
+            tmp = self.root / (MANIFEST_NAME + f".tmp{os.getpid()}")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.root / MANIFEST_NAME)
 
     # -- read -------------------------------------------------------------
 
@@ -216,10 +252,7 @@ class MaskArtifactStore:
             m_cap = num_words * 32
             padded = np.zeros((m_cap, w, h), bool)
             for i in range(min(len(masks), m_cap)):
-                mk = masks[i]
-                if mk.shape == (h, w):
-                    mk = mk.T
-                padded[i, : mk.shape[0], : mk.shape[1]] = mk.astype(bool)[:w, :h]
+                paste_mask_canvas(padded, i, masks[i], w, h)
             words = pack_masks_np(padded)
         return data["labels"], data["detection_scores"], data["cam_nums"], words
 

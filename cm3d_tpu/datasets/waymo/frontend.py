@@ -275,12 +275,9 @@ class WaymoFrontend:
             if name not in CLASS_TO_ID:
                 continue
             if packed is None:
-                mk = fm.masks[i]
-                if mk.shape == (h, w):
-                    mk = mk.T
-                masks[i, : mk.shape[0], : mk.shape[1]] = (
-                    mk.astype(bool)[:w, :h]
-                )
+                from cm3d_tpu.datasets.artifacts import paste_mask_canvas
+
+                paste_mask_canvas(masks, i, fm.masks[i], w, h)
             mask_cam[i] = cams_raw[i]
             mask_label[i] = CLASS_TO_ID[name]
             mask_score[i] = scores_raw[i]

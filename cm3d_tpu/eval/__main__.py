@@ -110,7 +110,11 @@ def main(argv=None) -> dict:
             args.dataroot,
             args.version,
             eval_split_scenes=scenes,
-            rare=len(cfg.class_range) > 10,
+            # rare mode iff the config actually evaluates the rare classes
+            # (a class-COUNT heuristic misrouted custom 11+-class configs
+            # into the child/stroller GT mapping, then filter_eval_boxes
+            # KeyErrors on the range lookup)
+            rare={"child", "stroller"} <= set(cfg.class_range),
             need_map=bool(args.drivable_filtering),
             tables=eval_tables,
         )

@@ -202,14 +202,22 @@ def encode_packed_many(
             words = np.swapaxes(words, 0, 1)  # dense path expects [W, H, mw]
     else:
         raise ValueError(f"layout must be 'xy' or 'yx', got {layout!r}")
-    words = np.ascontiguousarray(words, np.uint32)
-    H, W, mw = words.shape
     if lib is None:
         from cm3d_tpu.ops.bitmask import unpack_masks_np
 
         # words is already [W, H, mw] on this branch (both layouts), which
-        # is exactly what unpack_masks_np expects — no transpose.
-        return encode_many(unpack_masks_np(words, n_masks).astype(np.uint8))
+        # is exactly what unpack_masks_np expects — no transpose, and NO
+        # ascontiguousarray: numpy handles the swapaxes view, and forcing
+        # contiguity here materialized a full copy of the plane stack
+        # (hundreds of MB at production canvas) on the very path the
+        # n_masks>2048 guard sends big frames down.
+        return encode_many(
+            unpack_masks_np(np.asarray(words, np.uint32), n_masks)
+            .astype(np.uint8)
+        )
+    # the C scanner requires contiguous memory
+    words = np.ascontiguousarray(words, np.uint32)
+    H, W, mw = words.shape
     n_runs = np.empty(n_masks, np.uint32)
     wp = words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
     lib.rle_packed_count_runs(

@@ -184,9 +184,25 @@ def merge_for_alpha(
     return merged
 
 
+def _check_conf_extrema(pred_min, pred_max, sam_min, sam_max):
+    """Degenerate submissions must fail with the diagnostic the callers
+    promise, not a ZeroDivisionError (all-zero SAM3D scores leave
+    sam_max=0 under exclude_zero_min) or a meaningless one-point grid
+    (an EMPTY submission leaves the 1e7/-1e7 sentinels, whose ratio
+    sneaks past the not-alphas guard)."""
+    if (pred_min > pred_max or sam_min > sam_max
+            or sam_max <= 0 or sam_min <= 0):
+        raise SystemExit(
+            f"degenerate confidence extrema (pred [{pred_min}, {pred_max}]"
+            f", sam3d [{sam_min}, {sam_max}]) — empty submission or "
+            "all-zero SAM3D scores; nothing to alpha-search"
+        )
+
+
 def alpha_grid(pred_min, pred_max, sam_min, sam_max, step: float = 0.04):
     """nuScenes grid (reference nuscenes/linear_matching.py:270-276):
     arange with an EXCLUSIVE stop at pred_max/sam_min."""
+    _check_conf_extrema(pred_min, pred_max, sam_min, sam_max)
     return list(np.arange(pred_min / sam_max, pred_max / sam_min, step))
 
 
@@ -197,6 +213,7 @@ def alpha_grid_waymo(pred_min, pred_max, sam_min, sam_max,
     then the list is REVERSED and its first three entries (the three
     largest alphas) dropped — search order matters because ties keep the
     first-seen best."""
+    _check_conf_extrema(pred_min, pred_max, sam_min, sam_max)
     full = np.arange(pred_min / sam_max, pred_max / sam_min + step, step)
     return list(full)[::-1][3:]
 
@@ -255,6 +272,12 @@ def run_fusion_nuscenes(
             pred_boxes=EvalBoxes.deserialize(merged["results"]),
             cfg=DETECTION_CVPR_2019,
             ego_translations=ego_translations,
+            # same hermetic-GT contract as the eval CLI (__main__.py:95):
+            # without it the per-alpha scores here would differ from
+            # `python -m cm3d_tpu.eval` on identical inputs whenever the
+            # GT carries bike-rack geometry (rack filtering is idempotent,
+            # so the hoisted shared gt_boxes stays valid across alphas)
+            bikerack_boxes=gt_data.get("bikerack_boxes"),
             object_only=object_only,
             verbose=False,
         )

@@ -193,3 +193,21 @@ def test_alpha_grid_waymo_quirks():
     assert got[0] > got[-1]  # descending
     full = np.arange(0.1, 0.9 + 0.04, 0.04)
     assert len(got) == len(full) - 3
+
+
+def test_alpha_grid_rejects_degenerate_extrema():
+    """All-zero SAM3D scores (sam_max=0 under exclude_zero_min) or empty
+    submissions (1e7/-1e7 sentinels) must fail with the diagnostic, not a
+    ZeroDivisionError or a meaningless one-point grid (review finding,
+    session 11)."""
+    import pytest
+
+    from cm3d_tpu.pipelines.fusion import alpha_grid, alpha_grid_waymo
+
+    with pytest.raises(SystemExit, match="degenerate"):
+        alpha_grid(0.1, 0.9, 1e7, 0.0)     # all-zero sam3d scores
+    with pytest.raises(SystemExit, match="degenerate"):
+        alpha_grid(0.1, 0.9, 1e7, -1e7)    # empty sam3d submission
+    with pytest.raises(SystemExit, match="degenerate"):
+        alpha_grid_waymo(1e7, -1e7, 0.2, 0.9)  # empty pred submission
+    assert alpha_grid(0.1, 0.9, 0.2, 0.9)  # healthy extrema still work

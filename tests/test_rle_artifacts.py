@@ -195,3 +195,22 @@ def test_write_frame_rles_roundtrip(tmp_path):
     assert fm.labels == ["car", "truck", "bicycle"]
     assert fm.cam_nums == [0, 1, 1]
     np.testing.assert_array_equal(fm.masks, masks)
+
+
+def test_paste_mask_canvas_rejects_crop():
+    """A stored mask LARGER than the read canvas means the artifacts were
+    written at a different thumbnail — cropping silently misaligned masks
+    with the camera projection; it must raise. Smaller masks still pad
+    (the KITTI/Waymo same-scale contract)."""
+    import pytest
+
+    from cm3d_tpu.datasets.artifacts import paste_mask_canvas
+
+    dst = np.zeros((1, 64, 32), bool)
+    small = np.ones((48, 16), np.uint8)  # [x, y] stored layout -> pads
+    paste_mask_canvas(dst, 0, small, 64, 32)
+    assert dst[0, :48, :16].all() and not dst[0, 48:].any()
+
+    big = np.ones((128, 40), np.uint8)  # wider than the 64-wide canvas
+    with pytest.raises(ValueError, match="exceeds the 64x32 canvas"):
+        paste_mask_canvas(np.zeros((1, 64, 32), bool), 0, big, 64, 32)
