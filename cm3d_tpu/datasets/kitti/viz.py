@@ -17,10 +17,10 @@ import numpy as np
 
 from cm3d_tpu.datasets.kitti.calib import Calibration, Object3d, compute_box_3d
 
-# Reference BEV crop (kitti_utils.py module constants)
-TOP_X_MIN, TOP_X_MAX, TOP_X_DIVISION = 0.0, 70.0, 0.2
+# Reference BEV crop (kitti_utils.py:15-24 module constants, verbatim)
+TOP_X_MIN, TOP_X_MAX, TOP_X_DIVISION = 0.0, 100.0, 0.2
 TOP_Y_MIN, TOP_Y_MAX, TOP_Y_DIVISION = -30.0, 30.0, 0.2
-TOP_Z_MIN, TOP_Z_MAX, TOP_Z_DIVISION = -2.0, 0.4, 0.3
+TOP_Z_MIN, TOP_Z_MAX, TOP_Z_DIVISION = -3.5, 0.6, 0.3
 
 _BOX_EDGES = [
     (0, 1), (1, 2), (2, 3), (3, 0),  # bottom

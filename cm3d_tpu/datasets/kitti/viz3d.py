@@ -115,7 +115,12 @@ def export_scene_html(
         "labels": labels,
         "title": title,
     }
-    html = _TEMPLATE.replace("__META__", json.dumps(meta))
+    # json.dumps leaves "</" verbatim — a title/label containing
+    # "</script>" would terminate the script element mid-JSON and blank
+    # the viewer; "<\/" is identical JSON but inert inside <script>
+    html = _TEMPLATE.replace(
+        "__META__", json.dumps(meta).replace("</", "<\\/")
+    )
     html = html.replace("__PTS_B64__", _b64_f32(pts))
     html = html.replace("__SEG_B64__", _b64_f32(segs.reshape(-1, 3)))
     html = html.replace("__SEGC_B64__", _b64_f32(seg_cols))

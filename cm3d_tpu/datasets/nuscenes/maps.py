@@ -127,12 +127,25 @@ class NuScenesMapLite:
     def __init__(self, dataroot: str | Path, map_name: str):
         p = Path(dataroot) / "maps" / "expansion" / f"{map_name}.json"
         data = json.loads(p.read_text())
-        self._nodes = {n["token"]: (n["x"], n["y"]) for n in data.get("node", [])}
-        self._polygons = {q["token"]: q for q in data.get("polygon", [])}
-        self.drivable_area = data.get("drivable_area", [])
-        self.lane = data.get("lane", [])
-        self.lane_connector = data.get("lane_connector", [])
-        self.arcline_path_3: Dict[str, List[dict]] = data.get("arcline_path_3", {})
+        # core layers fail LOUDLY when absent (same convention as
+        # tables.py): a truncated/schema-shifted expansion JSON silently
+        # defaulting to [] meant an all-False drivable grid that filtered
+        # every box, and zero lanes for the yaw assignment
+        missing = [k for k in ("node", "polygon", "drivable_area", "lane",
+                               "lane_connector", "arcline_path_3")
+                   if k not in data]
+        if missing:
+            raise KeyError(
+                f"{p}: map expansion JSON is missing layer(s) {missing} — "
+                "truncated download or wrong schema version (need the "
+                "nuScenes map expansion v1.3 layout)"
+            )
+        self._nodes = {n["token"]: (n["x"], n["y"]) for n in data["node"]}
+        self._polygons = {q["token"]: q for q in data["polygon"]}
+        self.drivable_area = data["drivable_area"]
+        self.lane = data["lane"]
+        self.lane_connector = data["lane_connector"]
+        self.arcline_path_3: Dict[str, List[dict]] = data["arcline_path_3"]
 
     def extract_polygon(self, token: str):
         """(exterior [N,2], [hole [M,2], ...]) arrays for a polygon record."""

@@ -97,11 +97,29 @@ def create_splits_scenes(
         "mini_train": list(MINI_TRAIN),
         "mini_val": list(MINI_VAL),
     }
+    # an overriding 'val' must replace the embedded list BEFORE train is
+    # derived as its complement — deriving first and updating after let a
+    # corrected val silently leak scenes into train/train25
+    if "val" in override:
+        out["val"] = list(override["val"])
     if scene_names is not None:
         names = sorted(set(scene_names))
-        n_val = sum(1 for s in names if s in set(VAL))
-        if n_val == len(VAL):  # full trainval tables
-            out["train"] = [s for s in names if s not in set(VAL)]
+        val_set = set(out["val"])
+        n_val = sum(1 for s in names if s in val_set)
+        if n_val == len(val_set):  # full val present -> derive train
+            train = [s for s in names if s not in val_set]
+            if "val" not in override and len(train) != 700:
+                # the documented contract: with the EMBEDDED v1.0-trainval
+                # val list, the complement is exactly the 700 train scenes;
+                # anything else is a partial/mixed dataroot and deriving a
+                # silent partial train split corrupts training downstream
+                raise ValueError(
+                    f"trainval tables contain all {len(val_set)} val scenes "
+                    f"but a {len(train)}-scene train complement (expected "
+                    "700) — partial dataroot? Supply explicit lists via "
+                    "--splits_json / $NUSCENES_SPLITS_JSON to proceed"
+                )
+            out["train"] = train
         elif n_val == 0 and len(names) == 150:  # test tables
             out["test"] = names
     out.update(override)
@@ -164,4 +182,13 @@ def resolve_eval_set(
                else "a splits JSON with the official train_detect list "
                     "(--splits_json / $NUSCENES_SPLITS_JSON)")
         )
-    return eval_set.split(",")
+    # explicit comma-separated scene names: tolerate whitespace and
+    # validate against the tables when they are available — a typo'd or
+    # space-padded name otherwise matches zero scenes and the eval
+    # silently runs over nothing
+    scenes = [s.strip() for s in eval_set.split(",") if s.strip()]
+    if not scenes:
+        raise ValueError(f"--eval_set {eval_set!r} names no scenes")
+    if scene_names is not None:
+        validate_against_tables(eval_set, scenes, scene_names)
+    return scenes
