@@ -105,11 +105,41 @@ def test_full_chain(tmp_path):
     # fusion of the two submissions through the public pipeline
     from cm3d_tpu.pipelines.fusion import run_fusion_nuscenes
 
+    n_gen = sum(len(v) for v in sub_gen["results"].values())
+    if n_gen == 0:
+        # the random-weight detector keeps no boxes at this scale: the
+        # alpha search must fail LOUDLY (degenerate-extrema guard), not
+        # sneak the 1e7/-1e7 sentinels through as a one-point grid
+        with pytest.raises(SystemExit, match="degenerate confidence"):
+            run_fusion_nuscenes(
+                str(tmp_path / "planted.json"), str(tmp_path / "gen.json"),
+                str(tmp_path / "gt.json"), str(tmp_path / "fused.json"),
+                verbose=False,
+            )
+    else:
+        # fusing in random-detector boxes must never beat nor break the eval
+        best_alpha, best_score = run_fusion_nuscenes(
+            str(tmp_path / "planted.json"), str(tmp_path / "gen.json"),
+            str(tmp_path / "gt.json"), str(tmp_path / "fused.json"),
+            verbose=False,
+        )
+        assert 0.0 <= best_score <= 1.0
+        assert (tmp_path / "fused.json").exists()
+
+    # exercise the REAL merge math end-to-end with a non-empty second
+    # submission: the planted boxes score-halved. Hungarian matching pairs
+    # every box with itself (IoU 1), so the merged geometry is identical
+    # and the alpha search must recover (about) the planted submission's
+    # mAP.
+    sam3d = json.loads((tmp_path / "planted.json").read_text())
+    for boxes in sam3d["results"].values():
+        for b in boxes:
+            b["detection_score"] = 0.5 * float(b["detection_score"])
+    (tmp_path / "sam3d.json").write_text(json.dumps(sam3d))
     best_alpha, best_score = run_fusion_nuscenes(
-        str(tmp_path / "planted.json"), str(tmp_path / "gen.json"),
+        str(tmp_path / "planted.json"), str(tmp_path / "sam3d.json"),
         str(tmp_path / "gt.json"), str(tmp_path / "fused.json"),
         verbose=False,
     )
-    # fusing in random-detector boxes must never beat nor break the eval
-    assert 0.0 <= best_score <= 1.0
+    assert best_score > 0.1  # same bar the planted submission cleared
     assert (tmp_path / "fused.json").exists()

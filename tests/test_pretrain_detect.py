@@ -287,12 +287,14 @@ def test_finetune_gt_split_warm_start(tmp_path):
 
 
 def test_finetune_split_excludes_all_samples(tmp_path):
-    """A split naming no fixture scene filters every sample out and fails
-    loudly instead of training on nothing."""
+    """A split naming a scene absent from the loaded tables fails loudly
+    AT SPLIT RESOLUTION (datasets.nuscenes.splits.validate_against_tables)
+    instead of silently filtering every sample out and training on
+    nothing."""
     import pytest
 
     root, _ = _setup(tmp_path)
-    with pytest.raises(SystemExit, match="no training samples"):
+    with pytest.raises(ValueError, match="not in the loaded tables"):
         _train(root, None, tmp_path / "x", labels_gt=True,
                split="scene-9999")
 
