@@ -32,21 +32,34 @@ def paste_mask_canvas(dst: np.ndarray, i: int, mk: np.ndarray,
     dst [M, w, h] (shared by the store's dense fallback and the Waymo
     frontend — ONE definition of the canvas contract).
 
-    Stored masks may be SMALLER than the canvas (KITTI's per-frame image
-    sizes and Waymo's shorter side cameras pad into the fixed canvas at
-    the SAME pixel scale). A mask LARGER than the canvas would be
-    silently CROPPED — that only happens when artifacts written at one
-    thumbnail/mask_wh are read at a smaller one, and the resulting masks
-    misalign with the camera projection — so it fails loudly instead."""
-    if mk.shape == (h, w):
-        mk = mk.T  # y-major stored layout
-    if mk.shape[0] > w or mk.shape[1] > h:
+    Two RLE dialects reach this point: this repo's writers store x-major
+    [W', H'] masks (always at their writer's full canvas), while
+    reference/pycocotools artifacts store y-major [H', W'] masks at the
+    thumbnailed IMAGE size, which may be smaller than the canvas (Waymo's
+    shorter side cameras, KITTI's per-frame image sizes — padded in at
+    the SAME pixel scale; scale mismatches are not detectable from shape,
+    so read with the mask_wh the artifacts were written at). Orientation
+    is decided by which way the mask fits the canvas; when both fit, an
+    array with first dim < second dim is taken as y-major — camera
+    canvases are landscape, and only the y-major dialect produces
+    sub-canvas masks. A mask fitting NEITHER way
+    would be silently CROPPED (artifacts written at one thumbnail/mask_wh
+    read at a smaller one, misaligning masks with the camera projection)
+    — it fails loudly instead."""
+    a, b = mk.shape
+    fits_x = a <= w and b <= h
+    fits_y = b <= w and a <= h
+    if fits_x and (not fits_y or a >= b):
+        pass  # x-major [W', H'] (this repo's writers)
+    elif fits_y:
+        mk = mk.T  # y-major [H', W'] (reference/pycocotools layout)
+    else:
         raise ValueError(
-            f"stored mask {mk.shape} exceeds the {w}x{h} canvas — the "
-            "artifacts were written at a different thumbnail/mask_wh "
-            "(cropping would silently misalign masks with the camera "
-            "projection); re-run the mask stage or pass the matching "
-            "geometry"
+            f"stored mask {mk.shape} exceeds the {w}x{h} canvas in both "
+            "orientations — the artifacts were written at a different "
+            "thumbnail/mask_wh (cropping would silently misalign masks "
+            "with the camera projection); re-run the mask stage or pass "
+            "the matching geometry"
         )
     dst[i, : mk.shape[0], : mk.shape[1]] = mk.astype(bool)
 
@@ -178,7 +191,11 @@ class MaskArtifactStore:
             fcntl.flock(lf, fcntl.LOCK_EX)
             manifest = self.load_manifest()
             manifest[scene_name] = num_frames
-            tmp = self.root / (MANIFEST_NAME + f".tmp{os.getpid()}")
+            # fixed tmp name: the flock already serializes writers, and a
+            # crash between dump and replace leaves at most ONE stale file
+            # that the next successful write consumes via os.replace
+            # (pid-suffixed names orphaned a new file per killed writer)
+            tmp = self.root / (MANIFEST_NAME + ".tmp")
             with open(tmp, "w") as f:
                 json.dump(manifest, f, indent=1, sort_keys=True)
             os.replace(tmp, self.root / MANIFEST_NAME)

@@ -76,7 +76,19 @@ def _load_splits_json(splits_json: Optional[str]) -> Dict[str, List[str]]:
     if not path:
         return {}
     with open(os.path.expanduser(path)) as f:
-        return {k: list(v) for k, v in json.load(f).items()}
+        out = {k: list(v) for k, v in json.load(f).items()}
+    empty = sorted(k for k, v in out.items() if not v)
+    if empty:
+        # an empty override list is always a malformed file, and an empty
+        # 'val' in particular would make the full-val-present check
+        # vacuously true and silently derive train as ALL scenes —
+        # including the real val scenes (the exact leak the derivation
+        # guard exists to prevent)
+        raise ValueError(
+            f"{path}: split override(s) {empty} are empty lists — remove "
+            "the key(s) or supply the scene names"
+        )
+    return out
 
 
 def create_splits_scenes(
@@ -106,7 +118,10 @@ def create_splits_scenes(
         names = sorted(set(scene_names))
         val_set = set(out["val"])
         n_val = sum(1 for s in names if s in val_set)
-        if n_val == len(val_set):  # full val present -> derive train
+        # val_set non-empty is guaranteed by _load_splits_json's empty-list
+        # rejection; keep the guard so a future caller can't derive
+        # train = ALL scenes from a vacuously-satisfied check
+        if val_set and n_val == len(val_set):  # full val present -> derive
             train = [s for s in names if s not in val_set]
             if "val" not in override and len(train) != 700:
                 # the documented contract: with the EMBEDDED v1.0-trainval

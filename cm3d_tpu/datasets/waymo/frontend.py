@@ -36,7 +36,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from cm3d_tpu.config import CLASS_TO_ID, LiftStageConfig, NUSCENES_CLASSES
-from cm3d_tpu.datasets.artifacts import MaskArtifactStore
+from cm3d_tpu.datasets.artifacts import MaskArtifactStore, paste_mask_canvas
 from cm3d_tpu.datasets.nuscenes.frontend import get_detection_name
 from cm3d_tpu.datasets.types import CameraParams, Keyframe
 from cm3d_tpu.datasets.waymo.proto import (
@@ -275,8 +275,6 @@ class WaymoFrontend:
             if name not in CLASS_TO_ID:
                 continue
             if packed is None:
-                from cm3d_tpu.datasets.artifacts import paste_mask_canvas
-
                 paste_mask_canvas(masks, i, fm.masks[i], w, h)
             mask_cam[i] = cams_raw[i]
             mask_label[i] = CLASS_TO_ID[name]

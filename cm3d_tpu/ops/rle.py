@@ -206,11 +206,12 @@ def encode_packed_many(
         from cm3d_tpu.ops.bitmask import unpack_masks_np
 
         # words is already [W, H, mw] on this branch (both layouts), which
-        # is exactly what unpack_masks_np expects — no transpose, and NO
-        # ascontiguousarray: numpy handles the swapaxes view, and forcing
-        # contiguity here materialized a full copy of the plane stack
-        # (hundreds of MB at production canvas) on the very path the
-        # n_masks>2048 guard sends big frames down.
+        # is exactly what unpack_masks_np expects — no transpose. A
+        # contiguity copy of the plane stack (hundreds of MB at the
+        # production canvas) still happens, unavoidably, INSIDE
+        # unpack_masks_np (ascontiguousarray + astype before unpackbits);
+        # this path is the rare >2048-mask / no-C-library fallback, so
+        # that cost is accepted rather than optimized.
         return encode_many(
             unpack_masks_np(np.asarray(words, np.uint32), n_masks)
             .astype(np.uint8)

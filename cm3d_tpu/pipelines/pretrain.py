@@ -21,6 +21,11 @@ import numpy as np
 
 from cm3d_tpu.config import CLASS_TO_ID, LiftStageConfig
 
+# ONE padded-points shape shared by the resident dataset (unpadded rows,
+# see build_train_batches) and batch assembly (run_pretrain.assemble):
+# the two sites must agree or assembly breaks/mis-pads.
+MAX_POINTS = 32768
+
 
 def make_points_frontend(dataroot: str, version: str, max_points: int,
                          tables=None):
@@ -147,7 +152,7 @@ def build_train_batches(
     dataroot: str,
     version: str,
     labels_json: str = None,
-    max_points: int = 32768,
+    max_points: int = MAX_POINTS,
     max_boxes: int = 64,
     image_hw=None,
     results: Dict[str, list] = None,
@@ -401,10 +406,10 @@ def run_pretrain(
 
     def assemble(pick):
         # pad the trimmed resident points to the fixed jit shape here
-        # (build_train_batches holds them unpadded — see its docstring)
-        max_points = 32768  # build_train_batches default
-        pts = np.zeros((len(pick), max_points, 4), np.float32)
-        pvalid = np.zeros((len(pick), max_points), bool)
+        # (build_train_batches holds them unpadded — see its docstring);
+        # MAX_POINTS is the shared module constant both sites use
+        pts = np.zeros((len(pick), MAX_POINTS, 4), np.float32)
+        pvalid = np.zeros((len(pick), MAX_POINTS), bool)
         for row, i in enumerate(pick):
             n = data[i][2]
             pts[row, :n] = data[i][1]

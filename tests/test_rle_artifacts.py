@@ -214,3 +214,35 @@ def test_paste_mask_canvas_rejects_crop():
     big = np.ones((128, 40), np.uint8)  # wider than the 64-wide canvas
     with pytest.raises(ValueError, match="exceeds the 64x32 canvas"):
         paste_mask_canvas(np.zeros((1, 64, 32), bool), 0, big, 64, 32)
+
+
+def test_paste_mask_canvas_y_major_subcanvas():
+    """Reference/pycocotools artifacts store y-major [H, W] masks at the
+    thumbnailed IMAGE size — possibly SMALLER than the canvas (Waymo's
+    shorter side cameras). They must transpose-paste, not raise or paste
+    sideways."""
+    from cm3d_tpu.datasets.artifacts import paste_mask_canvas
+
+    # Waymo side-camera geometry scaled down: image 64x29 (y-major stored
+    # (29, 64)) into a (w=64, h=32) canvas — fits ONLY as y-major
+    mk = np.zeros((29, 64), np.uint8)
+    mk[3, 10] = 1  # y=3, x=10
+    dst = np.zeros((1, 64, 32), bool)
+    paste_mask_canvas(dst, 0, mk, 64, 32)
+    assert dst[0, 10, 3] and dst[0].sum() == 1
+
+    # ambiguous sub-canvas (fits both ways): a portrait array is taken as
+    # y-major — this repo's writers only emit full-canvas landscape masks,
+    # so sub-canvas portrait can only be the reference dialect
+    amb = np.zeros((10, 20), np.uint8)
+    amb[2, 5] = 1  # y=2, x=5 in the y-major reading
+    dst2 = np.zeros((1, 64, 32), bool)
+    paste_mask_canvas(dst2, 0, amb, 64, 32)
+    assert dst2[0, 5, 2] and dst2[0].sum() == 1
+
+    # full-canvas y-major (the exact-(h, w) case) still transposes
+    full = np.zeros((32, 64), np.uint8)
+    full[1, 7] = 1
+    dst3 = np.zeros((1, 64, 32), bool)
+    paste_mask_canvas(dst3, 0, full, 64, 32)
+    assert dst3[0, 7, 1] and dst3[0].sum() == 1

@@ -81,3 +81,15 @@ def test_resolve_eval_set():
 def test_validation_raises_on_missing_scenes():
     with pytest.raises(ValueError, match="not in the loaded tables"):
         resolve_eval_set("val", ["scene-0003"])
+
+
+def test_empty_override_list_rejected(tmp_path):
+    """An empty 'val' override would make the full-val-present check
+    vacuously true and silently derive train as ALL scenes (val leaking
+    into train); any empty override list is malformed and must raise."""
+    f = tmp_path / "splits.json"
+    json.dump({"val": []}, open(f, "w"))
+    with pytest.raises(ValueError, match="empty list"):
+        create_splits_scenes(
+            scene_names=_fake_trainval_names(), splits_json=str(f)
+        )
