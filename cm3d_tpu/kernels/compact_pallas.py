@@ -107,6 +107,14 @@ def split3_bf16(vf):
     return jnp.concatenate([vh, vl, vm], axis=0)
 
 
+def broadcast_unbatched(x, batched, axis_size):
+    """custom_vmap rule helper shared by every kernel in this package:
+    broadcast an operand vmap saw as unbatched (no value dependency on the
+    mapped axis — e.g. a broadcast_to validity mask or constant stream)
+    so the rules can fold the batch into the row grid."""
+    return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+
 def check_interpret_backend(interpret):
     """interpret=True under a TPU default backend runs the kernel body
     through XLA:TPU, where the in-kernel bf16 split gets folded away —
@@ -174,15 +182,8 @@ def _compact_vmappable(limit: int, interpret: bool, s_tile: int, l_tile: int):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, sel, values):
-        # broadcast unbatched operands (a broadcast_to/constant sel carries
-        # no value dependency on the mapped axis, so vmap reports it
-        # unbatched) before folding the batch into the row grid
-        def bc(x, batched):
-            return x if batched else jnp.broadcast_to(
-                x, (axis_size,) + x.shape)
-
-        sel = bc(sel, in_batched[0])
-        values = bc(values, in_batched[1])
+        sel = broadcast_unbatched(sel, in_batched[0], axis_size)
+        values = broadcast_unbatched(values, in_batched[1], axis_size)
         b, r, s = sel.shape
         d = values.shape[2]
         out = f(sel.reshape(b * r, s), values.reshape(b * r, d, s))
@@ -223,9 +224,6 @@ def _compact_rows_impl(sel, values, limit, interpret, s_tile=_S_T,
     r, s = sel.shape
     d = values.shape[1]
     assert values.shape == (r, d, s), (values.shape, (r, d, s))
-    # vmapped calls fold the batch into r first (custom_vmap rule), so
-    # this sees the true on-chip row count
-    _check_fault_envelope(r, s, interpret)
     # Pad S / limit up to tile multiples (padding is unselected / sliced
     # off), so arbitrary geometries work — the lift derives NU/K from the
     # point-cloud size, which need not hit the production multiples.
@@ -234,11 +232,18 @@ def _compact_rows_impl(sel, values, limit, interpret, s_tile=_S_T,
     # Mosaic-legal when 128-aligned; round the chunk up — the padding
     # below absorbs the difference (static offsets like l0 may stay odd)
     s_t = -(-s_t // 128) * 128
-    if s % s_t:
-        pad = s_t - s % s_t
+    # vmapped calls fold the batch into r first (custom_vmap rule), so
+    # this sees the true on-chip row count; the envelope is checked on
+    # the PADDED source count — the kernel runs at the padded shape, and
+    # a pre-padding check would let e.g. s=32000 pad up to the measured
+    # 32768-source worker-kill frontier undetected
+    s_padded = -(-s // s_t) * s_t
+    _check_fault_envelope(r, s_padded, interpret)
+    if s_padded != s:
+        pad = s_padded - s
         sel = jnp.pad(sel, ((0, 0), (0, pad)))
         values = jnp.pad(values, ((0, 0), (0, 0), (0, pad)))
-        s += pad
+        s = s_padded
     out_limit = limit
     l_t = min(l_tile, limit)
     if limit % l_t:

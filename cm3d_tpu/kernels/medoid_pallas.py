@@ -21,14 +21,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cm3d_tpu.kernels.compact_pallas import broadcast_unbatched as _bc
+
 _TILE = 256  # row tile; [TILE, K] fp32 working set stays well under VMEM
-
-
-def _bc(x, batched, axis_size):
-    """Broadcast an operand vmap saw as unbatched (no value dependency on
-    the mapped axis — e.g. a broadcast_to validity mask) so the rules can
-    fold the batch into the row grid."""
-    return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
 
 def _medoid_sums_kernel(count_ref, row_ref, valid_ref, out_ref):

@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cm3d_tpu.kernels.compact_pallas import (
     _vmem_params,
+    broadcast_unbatched as _bc,
     check_interpret_backend,
     split3_bf16,
 )
@@ -60,7 +61,10 @@ def _segment_kernel(lo_ref, hi_ref, cell_ref, vals_ref, *rest,
             lr = l0 + jax.lax.broadcasted_iota(jnp.int32, (1, l_t), 1)
 
             def body(ci, acc, j=j, lr=lr):
-                acc_s, acc_m = acc
+                # the sum-only variant carries ONLY the sum accumulator —
+                # a dead -inf max slot in the loop carry is state Mosaic
+                # may not DCE through the fori_loop
+                acc_s, acc_m = acc if has_max else (acc, None)
                 cchunk = cell_ref[j, 0, pl.ds(ci * s_t, s_t)].reshape(s_t, 1)
                 oh = (cchunk == lr)  # [s_t, l_t] bool
                 ohb = oh.astype(jnp.bfloat16)
@@ -70,31 +74,27 @@ def _segment_kernel(lo_ref, hi_ref, cell_ref, vals_ref, *rest,
                     v3, ohb, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                if has_max:
-                    zc = mx_ref[j, 0, pl.ds(ci * s_t, s_t)].reshape(s_t, 1)
-                    masked = jnp.where(oh, zc, -jnp.inf)  # [s_t, l_t]
-                    acc_m = jnp.maximum(acc_m, jnp.max(masked, axis=0))
+                if not has_max:
+                    return acc_s
+                zc = mx_ref[j, 0, pl.ds(ci * s_t, s_t)].reshape(s_t, 1)
+                masked = jnp.where(oh, zc, -jnp.inf)  # [s_t, l_t]
+                acc_m = jnp.maximum(acc_m, jnp.max(masked, axis=0))
                 return acc_s, acc_m
 
-            acc_s, acc_m = jax.lax.fori_loop(
+            init_s = jnp.zeros((3 * d, l_t), jnp.float32)
+            acc = jax.lax.fori_loop(
                 lo_ref[(r0 + j) * n_ltiles + lt],
                 hi_ref[(r0 + j) * n_ltiles + lt],
                 body,
-                (jnp.zeros((3 * d, l_t), jnp.float32),
-                 jnp.full((l_t,), -jnp.inf, jnp.float32)),
+                (init_s, jnp.full((l_t,), -jnp.inf, jnp.float32))
+                if has_max else init_s,
             )
+            acc_s, acc_m = acc if has_max else (acc, None)
             sum_ref[j, :, pl.ds(l0, l_t)] = (
                 acc_s[:d] + acc_s[d : 2 * d] + acc_s[2 * d :]
             )
             if has_max:
                 max_ref[j, 0, pl.ds(l0, l_t)] = acc_m
-
-
-def _bc(x, batched, axis_size):
-    # broadcast operands vmap saw as unbatched (no value dependency on the
-    # mapped axis — e.g. a broadcast validity/constant stream) before
-    # folding the batch into the row grid
-    return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
 
 @functools.lru_cache(maxsize=None)

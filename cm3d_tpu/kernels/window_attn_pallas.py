@@ -37,15 +37,49 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from cm3d_tpu.kernels.compact_pallas import check_interpret_backend
-
-NEG = -1e9
-
+# ONE VMEM cap for all kernels in this package (compact_pallas owns it):
 # Mosaic's default vmem_limit_bytes is 16 MB regardless of hardware; the
 # target chip (v5e) has 128 MB of physical VMEM. Raising the cap lets the
 # SAM-scale kernels (C=1280: 13.1 MB of weights alone) tile multiple
 # windows per grid step, which is where the MXU utilization comes from.
-VMEM_LIMIT = 100 * 1024 * 1024
+from cm3d_tpu.kernels.compact_pallas import (
+    VMEM_LIMIT,
+    check_interpret_backend,
+)
+
+NEG = -1e9
+
+
+def _check_heads_vmem(name: str, C: int, heads: int, win: int, G: int,
+                      dtype, has_btil: bool) -> None:
+    """Loud trace-time checks shared by both public entry points.
+
+    C % heads: the unrolled head loop writes out_s[:, :heads*hd] only —
+    a non-divisible head count would leave the tail columns of the
+    scratch UNINITIALIZED and the projection would fold VMEM garbage
+    into every output channel (silently on hardware; interpret mode
+    zero-fills so tests can't catch it).
+
+    VMEM: a conservative per-program estimate (weights + bias tile +
+    f32 scratch) so a too-big tiling fails with actionable advice
+    instead of Mosaic's opaque allocation error (same contract as
+    compact_pallas._vmem_params)."""
+    if C % heads:
+        raise ValueError(
+            f"{name}: channels {C} not divisible by heads {heads} — the "
+            "head loop would leave uninitialized scratch columns"
+        )
+    T = win * win * G
+    dsize = jnp.dtype(dtype).itemsize
+    prog_bytes = 4 * C * C * dsize + 6 * T * C * 4
+    if has_btil:
+        prog_bytes += heads * T * T * 4
+    if prog_bytes > VMEM_LIMIT:
+        raise ValueError(
+            f"{name}: one grid program needs ~{prog_bytes >> 20} MB VMEM "
+            f"(> {VMEM_LIMIT >> 20} MB cap) — reduce the window group G "
+            "(pick_group), the window size, or the channel width"
+        )
 
 
 def _compiler_params(interpret: bool):
@@ -294,6 +328,8 @@ def fused_window_attn(
     caller). See module docstring for layout/masking semantics.
     """
     check_interpret_backend(interpret)
+    _check_heads_vmem("fused_window_attn", int(x.shape[-1]), int(heads),
+                      int(win), int(G), dtype, has_btil=True)
     f = _vmappable(
         int(win), int(G), int(heads), jnp.dtype(dtype).name, float(eps),
         mtil is not None, bool(interpret),
@@ -504,6 +540,8 @@ def fused_window_attn_relpos(
     attention + proj). Same contract as fused_window_attn, with the
     q-dependent decomposed bias computed in-kernel (Toeplitz slices)."""
     check_interpret_backend(interpret)
+    _check_heads_vmem("fused_window_attn_relpos", int(x.shape[-1]),
+                      int(heads), int(win), int(G), dtype, has_btil=False)
     f = _vmappable_relpos(
         int(win), int(G), int(heads), jnp.dtype(dtype).name, float(eps),
         bool(interpret),

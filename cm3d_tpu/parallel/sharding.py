@@ -32,7 +32,11 @@ _RULES = [
 def param_spec(path: str, ndim: int) -> P:
     for pattern, spec in _RULES:
         if re.search(pattern, path):
-            if len([a for a in spec if a is not None]) <= ndim:
+            # the FULL spec length must fit the array rank (a 2-axis spec
+            # on a 1-D leaf makes device_put raise), not just the count of
+            # sharded axes — P(None, 'model') has one sharded axis but
+            # still needs a rank-2 array
+            if len(spec) <= ndim:
                 return spec
     return P()  # replicated
 
@@ -62,8 +66,6 @@ def make_sequence_sharded_encode(mesh: Mesh, model, params,
     Returns encode(image [S,S,3]) -> embedding [S/p, S/p, C] with the
     token-row axis still sharded (np.asarray / downstream ops gather).
     """
-    import jax
-
     rep = NamedSharding(mesh, P())
     img_sh = NamedSharding(mesh, P(axis))
     # replicate ONCE at closure build: without this, every encode() call

@@ -189,3 +189,11 @@ def test_fault_envelope_guard():
     vals = jnp.zeros((96, 1, 32768), jnp.float32)
     with pytest.raises(ValueError, match="validated envelope"):
         compact_rows_pallas(sel, vals, 256, interpret=False)
+
+    # the envelope is enforced on the PADDED source count: s=32000 pads
+    # up to the 1024-multiple 32768 — exactly the measured fault frontier
+    # — so a pre-padding check would let the worker-killing shape through
+    sel = jnp.zeros((96, 32000), bool)
+    vals = jnp.zeros((96, 1, 32000), jnp.float32)
+    with pytest.raises(ValueError, match="validated envelope"):
+        compact_rows_pallas(sel, vals, 256, interpret=False)

@@ -18,6 +18,12 @@ def test_param_spec_rules():
     assert param_spec("block1/mlp/lin2/kernel", 2) == P("model", None)
     assert param_spec("pos_embed", 4) == P()
     assert param_spec("neck_conv1/kernel", 4) == P()
+    # a rule match whose FULL spec outranks the leaf replicates: the
+    # column-parallel P(None, 'model') needs a rank-2 array even though
+    # only one axis is sharded (a 2-axis spec on a 1-D leaf makes
+    # device_put raise)
+    assert param_spec("odd/fc1/kernel", 1) == P()
+    assert param_spec("block0/attn/qkv/bias", 1) == P("model")
 
 
 def test_sharded_sam_matches_unsharded():

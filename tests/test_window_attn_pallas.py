@@ -232,3 +232,29 @@ def test_sam_encoder_fused_full_parity():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4
     )
+
+
+def test_heads_and_vmem_guards():
+    """Trace-time guards: a non-divisible head count would leave scratch
+    columns UNINITIALIZED (silent corruption on hardware; interpret mode
+    zero-fills, so only the guard can catch it), and an over-VMEM tiling
+    must fail with actionable advice, not Mosaic's opaque alloc error."""
+    import pytest
+
+    x, g, b, wqkv, bqkv, wproj, bproj, bias = _mk(4, 2, 2, 2, 32, 4)
+    btil = expand_bias_interleaved(jnp.asarray(bias), 4, 2)
+    with pytest.raises(ValueError, match="not divisible by heads"):
+        fused_window_attn(
+            jnp.asarray(x), g, b, wqkv, bqkv, wproj, bproj, btil, None,
+            win=4, G=2, heads=5, dtype="float32", interpret=True,
+        )
+
+    from cm3d_tpu.kernels.window_attn_pallas import _check_heads_vmem
+
+    with pytest.raises(ValueError, match="VMEM"):
+        # SAM-scale channels with an absurd group: heads*T*T f32 alone
+        # blows the 100 MB cap
+        _check_heads_vmem("x", 1280, 16, 14, 64, "bfloat16", has_btil=True)
+    # production configs pass: SwinB deepest stage and SAM ViT-H windows
+    _check_heads_vmem("x", 1024, 32, 7, 10, "bfloat16", has_btil=True)
+    _check_heads_vmem("x", 1280, 16, 14, 2, "bfloat16", has_btil=False)
