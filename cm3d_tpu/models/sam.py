@@ -45,18 +45,13 @@ class SamConfig:
     decoder_mlp_dim: int = 2048
     num_multimask_outputs: int = 3
     dtype: str = "float32"  # compute dtype ("bfloat16" for TPU MXU speed)
-    # Pallas flash attention for the global (non-windowed) encoder blocks
-    # (kernels/flash_attention.py): logits/softmax stream through VMEM
-    # instead of materializing [heads, N, N] in HBM. The kernel itself is
-    # 3x faster than the XLA attention (1.6 vs 5.3 ms/block in-graph,
-    # identical outputs), but the FULL encode is slower with it (105 vs 86
-    # ms at batch-1/N=4096 on v5e): the custom-call boundary breaks XLA's
-    # elementwise fusions around every block (converts/pads that fused into
-    # the attention consumers reappear as ~+18 ms of standalone kernels) —
-    # verified across three operand/layout formulations. Off by default;
-    # it remains the enabler for batched global attention (the XLA path
-    # OOMs at batch 6) and for longer grids.
-    flash_global_attn: bool = False
+    # NOTE: a Pallas flash-attention path for the global (non-windowed)
+    # blocks was built and CLOSED as net-negative on v5e (kernel 3x faster
+    # in isolation, full encode 105 vs 86 ms at batch-1: the custom-call
+    # boundary breaks XLA's elementwise fusions around every block; verified
+    # across three operand/layout formulations). Removed after the fused
+    # window-attention study also closed — see git history
+    # (kernels/flash_attention.py) and README "Closed performance studies".
     # Encode non-square images without padding to the full square. The
     # official SamPredictor pads to img_size x img_size and the padding
     # tokens participate in global attention; skipping them saves ~44% of
@@ -137,7 +132,6 @@ class ViTAttention(nn.Module):
     heads: int
     input_hw: Tuple[int, int]  # token grid this block sees
     dtype: jnp.dtype = jnp.float32
-    flash: bool = False  # Pallas flash path for large (global) grids
     quant: bool = False  # int8 w8a8 qkv/proj (common.QuantDense)
 
     @nn.compact
@@ -163,51 +157,20 @@ class ViTAttention(nn.Module):
             "rel_pos_w", nn.initializers.zeros, (2 * self.input_hw[1] - 1, head_dim)
         )
 
-        n = h * w
-        use_flash = (
-            self.flash
-            and n >= 1024 and n % 128 == 0
-            and jax.default_backend() == "tpu"
+        attn = jnp.einsum(
+            "bqhc,bkhc->bhqk", q * (head_dim ** -0.5), k
+        )  # [b, heads, n, n]
+        attn = add_decomposed_rel_pos_bnhc(
+            attn, q, rel_h.astype(self.dtype), rel_w.astype(self.dtype),
+            (h, w), (h, w),
         )
-        if use_flash:
-            from cm3d_tpu.kernels.flash_attention import flash_attention_qkv
-            from cm3d_tpu.models.common import get_rel_pos
-
-            rh = get_rel_pos(h, h, rel_h).astype(self.dtype)
-            rw = get_rel_pos(w, w, rel_w).astype(self.dtype)
-            # Layout firewall: the bias einsums below have a batch dim on
-            # the token-grid row axis; without the barrier XLA propagates
-            # their x-major layout preference back through qkv into the
-            # whole residual stream (degenerate T(1,128) tilings on every
-            # block, +18 ms/encode measured).
-            qkv_f = jax.lax.optimization_barrier(qkv)
-            q_f = qkv_f[:, :, 0]
-            # bias einsums on the raw (unscaled) q, all reshapes merge/split
-            # adjacent axes only — nothing here forces a layout copy
-            r_q5 = q_f.reshape(b, h, w, self.heads, head_dim)
-            bias_h = jnp.einsum("bxyhc,xkc->bhxyk", r_q5, rh).reshape(
-                b, self.heads, n, h
-            )
-            bias_w = jnp.einsum("bxyhc,ykc->bhxyk", r_q5, rw).reshape(
-                b, self.heads, n, w
-            )
-            out = flash_attention_qkv(qkv_f, bias_h, bias_w)  # [b, n, heads, hd]
-            x = out.reshape(b, h, w, self.dim)
-        else:
-            attn = jnp.einsum(
-                "bqhc,bkhc->bhqk", q * (head_dim ** -0.5), k
-            )  # [b, heads, n, n]
-            attn = add_decomposed_rel_pos_bnhc(
-                attn, q, rel_h.astype(self.dtype), rel_w.astype(self.dtype),
-                (h, w), (h, w),
-            )
-            # softmax reduction in f32 regardless of compute dtype
-            attn = jax.nn.softmax(
-                attn.astype(jnp.float32), axis=-1
-            ).astype(self.dtype)
-            x = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(
-                b, h, w, self.dim
-            )
+        # softmax reduction in f32 regardless of compute dtype
+        attn = jax.nn.softmax(
+            attn.astype(jnp.float32), axis=-1
+        ).astype(self.dtype)
+        x = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(
+            b, h, w, self.dim
+        )
         return dense(self.dim, dtype=self.dtype, name="proj")(x)
 
 
@@ -241,7 +204,6 @@ class ViTBlock(nn.Module):
     window_size: int  # 0 = global attention
     grid_hw: Tuple[int, int]
     dtype: jnp.dtype = jnp.float32
-    flash: bool = False
     fused_mode: str = "off"  # windowed blocks: "on" | "off" | "interpret"
     fused_group_tokens: int = 392
     quant: bool = False  # int8 w8a8 Dense layers (qkv/proj/MLP)
@@ -269,7 +231,6 @@ class ViTBlock(nn.Module):
             attn_hw = self.grid_hw
         x = ViTAttention(
             self.dim, self.heads, attn_hw, self.dtype,
-            flash=self.flash and self.window_size == 0,
             quant=self.quant, name="attn",
         )(x)
         if self.window_size > 0:
@@ -347,7 +308,6 @@ class ImageEncoderViT(nn.Module):
                 wsz,
                 (hw, hw),
                 dt,
-                flash=cfg.flash_global_attn,
                 fused_mode=fused,
                 fused_group_tokens=cfg.fused_group_tokens,
                 quant=cfg.quant_int8,
