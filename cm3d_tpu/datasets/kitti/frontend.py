@@ -211,11 +211,22 @@ def boxes_to_kitti_objects(
     labels: np.ndarray,
     keep: np.ndarray,
     classes=NUSCENES_CLASSES,
+    project_box2d: bool = True,
 ) -> List[Object3d]:
     """Device outputs -> KITTI label objects (reference :1524-1536 intent).
 
     Extents come from the shape prior written (h, w, l); the rect-frame y is
-    shifted to the box bottom (+h/2, camera Y points down)."""
+    shifted to the box bottom (+h/2, camera Y points down).
+
+    project_box2d: fill the 2D bbox columns by projecting the 3D box corners
+    through P2. DEVIATION from the reference, which writes ltrb=[0,0,0,0]
+    (kitti/2d_to_3d.py:1535) — zero-height boxes make the txts unevaluable
+    under the official devkit protocol (every detection falls below
+    MIN_HEIGHT), which is consistent with the reference never scoring its
+    KITTI output. Real 2D boxes make the preds consumable by
+    cm3d_tpu.eval.kitti; boxes with corners behind the camera keep zeros."""
+    from cm3d_tpu.datasets.kitti.calib import compute_box_3d
+
     out = []
     for i in np.flatnonzero(np.asarray(keep)):
         name = classes[int(labels[i])]
@@ -224,19 +235,26 @@ def boxes_to_kitti_objects(
             continue
         w, l, h = SHAPE_PRIORS_CHATGPT[name]
         rect = calib.project_velo_to_rect(centroids_velo[i][None])[0]
-        out.append(
-            Object3d(
-                type=kitti_name,
-                truncation=-1,
-                occlusion=-1,
-                alpha=-10,
-                box2d=np.zeros(4),
-                h=h,
-                w=w,
-                l=l,
-                t=(float(rect[0]), float(rect[1] + h / 2), float(rect[2])),
-                ry=velo_yaw_to_kitti_ry(float(yaws_velo[i])),
-                score=float(scores[i]),
-            )
+        obj = Object3d(
+            type=kitti_name,
+            truncation=-1,
+            occlusion=-1,
+            alpha=-10,
+            box2d=np.zeros(4),
+            h=h,
+            w=w,
+            l=l,
+            t=(float(rect[0]), float(rect[1] + h / 2), float(rect[2])),
+            ry=velo_yaw_to_kitti_ry(float(yaws_velo[i])),
+            score=float(scores[i]),
         )
+        if project_box2d:
+            corners = compute_box_3d(obj)  # [8, 3] rect frame
+            if (corners[:, 2] > 0.1).all():
+                uv = calib.project_rect_to_image(corners)
+                obj.box2d = np.array(
+                    [uv[:, 0].min(), uv[:, 1].min(),
+                     uv[:, 0].max(), uv[:, 1].max()]
+                )
+        out.append(obj)
     return out

@@ -113,6 +113,33 @@ def test_fused_kitti_matches_two_stage(tmp_path):
             assert (tmp_path / "dp" / kind / f"{idx:06d}.txt").read_text() \
                 == (tmp_path / "two" / kind / f"{idx:06d}.txt").read_text()
 
+    # The pred txts carry PROJECTED 2D boxes (documented deviation from the
+    # reference's ltrb=[0,0,0,0], kitti/2d_to_3d.py:1535) and score cleanly
+    # through the in-framework devkit-protocol evaluator: with GT := the
+    # predictions themselves, every detection is a perfect match.
+    import dataclasses as _dc
+
+    from cm3d_tpu.eval.kitti import eval_class
+
+    gt_frames, det_frames = [], []
+    for idx in (0, 1):
+        preds = read_label(tmp_path / "two" / "pred" / f"{idx:06d}.txt")
+        for o in preds:
+            assert (o.box2d[3] - o.box2d[1]) > 0, "2D bbox not projected"
+        det_frames.append(preds)
+        gt_frames.append(
+            [_dc.replace(o, truncation=0.0, occlusion=0,
+                         score=float("nan")) for o in preds]
+        )
+    scored_any = False
+    for cls in {o.type for f in det_frames for o in f}:
+        for metric in ("bbox", "bev", "3d"):
+            r = eval_class(gt_frames, det_frames, cls, 2, metric, 0.7)
+            if r["n_gt"]:
+                assert abs(r["precision"][0] - 1.0) < 1e-9, (cls, metric)
+                scored_any = True
+    assert scored_any
+
 
 def test_fused_kitti_mixed_image_sizes(tmp_path):
     """KITTI native image sizes vary per frame (1242x375, 1224x370, ...):
