@@ -203,6 +203,55 @@ def velo_yaw_to_kitti_ry(yaw_velo: float) -> float:
     return float((ry + np.pi) % (2 * np.pi) - np.pi)
 
 
+# Box-corner edge list for compute_box_3d's ordering: bottom ring 0-3,
+# top ring 4-7, verticals pairing them.
+_BOX_EDGES = (
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    (4, 5), (5, 6), (6, 7), (7, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+)
+_Z_NEAR = 0.1
+
+
+def kitti_image_wh(dataset, idx: int):
+    """(W, H) of a KITTI frame from the PNG header (no pixel decode), or
+    None when the root carries no images (mask-only synthetic roots): the
+    2D boxes then stay unclipped."""
+    from PIL import Image
+
+    path = dataset.get_image_path(idx)
+    if not path.exists():
+        return None
+    with Image.open(path) as im:
+        return im.size
+
+
+def _project_clipped_box2d(calib: Calibration, corners: np.ndarray,
+                           image_wh) -> np.ndarray:
+    """2D ltrb of a 3D box: near-plane-clip the 12 box edges at z=0.1
+    (corners straddling the camera plane contribute their visible segment
+    instead of zeroing the whole box), project, then clip to the image
+    rectangle like KITTI GT boxes are. Returns zeros when nothing of the
+    box is in front of the camera or the clipped box is degenerate."""
+    z = corners[:, 2]
+    pts = [corners[k] for k in range(8) if z[k] > _Z_NEAR]
+    for a, b in _BOX_EDGES:
+        if (z[a] > _Z_NEAR) != (z[b] > _Z_NEAR):
+            t = (_Z_NEAR - z[a]) / (z[b] - z[a])
+            pts.append(corners[a] + t * (corners[b] - corners[a]))
+    if not pts:
+        return np.zeros(4)
+    uv = calib.project_rect_to_image(np.asarray(pts))
+    box = np.array([uv[:, 0].min(), uv[:, 1].min(),
+                    uv[:, 0].max(), uv[:, 1].max()])
+    if image_wh is not None:
+        wi, hi = image_wh
+        box = np.clip(box, 0.0, [wi - 1.0, hi - 1.0, wi - 1.0, hi - 1.0])
+        if box[2] <= box[0] or box[3] <= box[1]:
+            return np.zeros(4)
+    return box
+
+
 def boxes_to_kitti_objects(
     calib: Calibration,
     centroids_velo: np.ndarray,  # [M, 3]
@@ -212,6 +261,7 @@ def boxes_to_kitti_objects(
     keep: np.ndarray,
     classes=NUSCENES_CLASSES,
     project_box2d: bool = True,
+    image_wh=None,
 ) -> List[Object3d]:
     """Device outputs -> KITTI label objects (reference :1524-1536 intent).
 
@@ -219,12 +269,16 @@ def boxes_to_kitti_objects(
     shifted to the box bottom (+h/2, camera Y points down).
 
     project_box2d: fill the 2D bbox columns by projecting the 3D box corners
-    through P2. DEVIATION from the reference, which writes ltrb=[0,0,0,0]
-    (kitti/2d_to_3d.py:1535) — zero-height boxes make the txts unevaluable
-    under the official devkit protocol (every detection falls below
-    MIN_HEIGHT), which is consistent with the reference never scoring its
-    KITTI output. Real 2D boxes make the preds consumable by
-    cm3d_tpu.eval.kitti; boxes with corners behind the camera keep zeros."""
+    through P2, with near-plane clipping and (when image_wh=(W, H) is given)
+    clipping to the image rectangle like KITTI GT. DEVIATION from the
+    reference, which writes ltrb=[0,0,0,0] (kitti/2d_to_3d.py:1535) —
+    zero-height boxes make the txts unevaluable under the official devkit
+    protocol (every detection falls below MIN_HEIGHT), which is consistent
+    with the reference never scoring its KITTI output. Real 2D boxes make
+    the preds consumable by cm3d_tpu.eval.kitti.
+
+    alpha is the real observation angle ry - atan2(x, z) (the reference
+    writes the -10 sentinel, which the devkit treats as 'AOS unavailable')."""
     from cm3d_tpu.datasets.kitti.calib import compute_box_3d
 
     out = []
@@ -235,26 +289,25 @@ def boxes_to_kitti_objects(
             continue
         w, l, h = SHAPE_PRIORS_CHATGPT[name]
         rect = calib.project_velo_to_rect(centroids_velo[i][None])[0]
+        ry = velo_yaw_to_kitti_ry(float(yaws_velo[i]))
+        alpha = ry - float(np.arctan2(rect[0], rect[2]))
+        alpha = float((alpha + np.pi) % (2 * np.pi) - np.pi)
         obj = Object3d(
             type=kitti_name,
             truncation=-1,
             occlusion=-1,
-            alpha=-10,
+            alpha=alpha,
             box2d=np.zeros(4),
             h=h,
             w=w,
             l=l,
             t=(float(rect[0]), float(rect[1] + h / 2), float(rect[2])),
-            ry=velo_yaw_to_kitti_ry(float(yaws_velo[i])),
+            ry=ry,
             score=float(scores[i]),
         )
         if project_box2d:
-            corners = compute_box_3d(obj)  # [8, 3] rect frame
-            if (corners[:, 2] > 0.1).all():
-                uv = calib.project_rect_to_image(corners)
-                obj.box2d = np.array(
-                    [uv[:, 0].min(), uv[:, 1].min(),
-                     uv[:, 0].max(), uv[:, 1].max()]
-                )
+            obj.box2d = _project_clipped_box2d(
+                calib, compute_box_3d(obj), image_wh
+            )
         out.append(obj)
     return out

@@ -5,7 +5,11 @@ torch graph from source on every host. cm3d-tpu's serving artifact is the
 TPU-native equivalent: ``cm3d-export`` serializes a flagship jitted program
 (the pseudo-label lift step, or the trained-detector inference step from
 pipelines/detect.make_detect_fn) to a versioned StableHLO blob that a serving
-host loads and calls WITHOUT the framework's Python graph-building code.
+host loads and calls without re-tracing or re-compiling any framework code —
+deserialize + ``.call``. (The ``cm3d_tpu`` package must still be importable
+on the serving host: ``load_artifact`` imports the NamedTuple definitions to
+register their pytree serialization. No flax model building, Pallas
+lowering, or jit tracing runs at load time.)
 Checkpointed parameters stay runtime ARGUMENTS of the artifact (the repo's
 house rule: params must be jit arguments, never baked constants), so one
 artifact serves every checkpoint of the same shape.

@@ -429,17 +429,27 @@ def eval_class(
     metric: str,
     min_overlap: float,
     compute_aos: bool = False,
+    frame_overlaps: Sequence[np.ndarray] | None = None,
 ) -> Dict[str, object]:
-    """AP|R40 (and AOS for bbox) for one (class, difficulty, metric)."""
+    """AP|R40 (and AOS for bbox) for one (class, difficulty, metric).
+
+    frame_overlaps: precomputed per-frame [n_det, n_gt] overlap matrices for
+    this metric (they depend only on (metric, frame), so evaluate_kitti
+    hoists them across the class x difficulty grid instead of re-running the
+    rotated-BEV clipper 9x)."""
     assert len(gt_frames) == len(det_frames)
     per_frame = []
     total_gt = 0
     all_tp_scores: List[float] = []
-    for gts, dets in zip(gt_frames, det_frames):
+    for f, (gts, dets) in enumerate(zip(gt_frames, det_frames)):
         ignored_gt, ignored_det, dc, n_valid = clean_data(
             gts, dets, current_class, difficulty
         )
-        overlaps = _overlap_matrix(dets, gts, metric)
+        overlaps = (
+            frame_overlaps[f]
+            if frame_overlaps is not None
+            else _overlap_matrix(dets, gts, metric)
+        )
         total_gt += n_valid
         _, _, _, _, tp_scores = compute_statistics(
             overlaps, gts, dets, ignored_gt, ignored_det, dc,
@@ -499,6 +509,22 @@ def evaluate_kitti(
     ov = dict(DEFAULT_MIN_OVERLAP)
     if min_overlaps:
         ov.update(min_overlaps)
+    # Devkit behavior: a detection carrying the alpha == -10 sentinel means
+    # "orientation unavailable" and disables AOS for the whole run (the
+    # reference's own txts carry it, kitti/2d_to_3d.py:1535).
+    if compute_aos and any(
+        d.alpha == -10 for frame in det_frames for d in frame
+    ):
+        compute_aos = False
+    # Overlap matrices depend only on (metric, frame); hoist them across the
+    # class x difficulty grid (the rotated clipper dominates eval wall time).
+    overlaps_by_metric = {
+        m: [
+            _overlap_matrix(dets, gts, m)
+            for gts, dets in zip(gt_frames, det_frames)
+        ]
+        for m in metrics
+    }
     results: Dict[str, Dict[str, Dict[str, float]]] = {}
     for cls in classes:
         mo = ov.get(cls, 0.5)
@@ -510,6 +536,7 @@ def evaluate_kitti(
                 r = eval_class(
                     gt_frames, det_frames, cls, d, metric, mo,
                     compute_aos=compute_aos and metric == "bbox",
+                    frame_overlaps=overlaps_by_metric[metric],
                 )
                 row[dname] = r["ap"]
                 if "aos" in r:
@@ -528,11 +555,28 @@ def evaluate_kitti(
 def load_frames(
     gt_dir: str | Path, pred_dir: str | Path, ids: Sequence[int] | None = None
 ):
-    """Read matched GT/pred label files. ids defaults to every pred txt
-    present (a missing pred for a listed id = zero detections)."""
+    """Read matched GT/pred label files. ids defaults to every GT txt
+    present (a missing pred for a listed id = zero detections — so a
+    partial lift run still pays its false negatives; deriving ids from
+    pred_dir would silently drop GT-only frames and inflate AP). Pred txts
+    with no GT counterpart mean the dirs are mismatched and fail loud."""
     gt_dir, pred_dir = Path(gt_dir), Path(pred_dir)
     if ids is None:
-        ids = sorted(int(p.stem) for p in pred_dir.glob("*.txt"))
+        ids = sorted(int(p.stem) for p in gt_dir.glob("*.txt"))
+        if not ids:
+            raise FileNotFoundError(f"no GT label txts under {gt_dir}")
+        id_set = set(ids)
+        orphans = sorted(
+            int(p.stem)
+            for p in pred_dir.glob("*.txt")
+            if int(p.stem) not in id_set
+        )
+        if orphans:
+            raise ValueError(
+                f"{len(orphans)} prediction txts have no GT counterpart "
+                f"(first: {orphans[:5]}) — wrong --gt_dir/--pred_dir "
+                "pairing? Pass --ids explicitly to evaluate a subset."
+            )
     gt_frames, det_frames = [], []
     for i in ids:
         gt_path = gt_dir / f"{i:06d}.txt"
@@ -609,6 +653,9 @@ def main(argv=None) -> Dict[str, Dict[str, Dict[str, float]]]:
         min_overlaps=ov,
     )
     print(f"evaluated {len(ids)} frames")
+    if "bbox" in metrics and not any("aos" in r for r in results.values()):
+        print("AOS skipped: detections carry the alpha=-10 sentinel "
+              "(orientation unavailable)")
     print(format_results(results))
     if args.out:
         with open(args.out, "w") as f:

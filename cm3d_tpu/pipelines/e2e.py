@@ -434,6 +434,7 @@ def run_e2e_kitti(
     from cm3d_tpu.datasets.kitti.frontend import (
         KittiFrontend,
         boxes_to_kitti_objects,
+        kitti_image_wh,
     )
     from cm3d_tpu.pipelines.lift_kitti import make_kitti_step_fn
     import os
@@ -504,6 +505,7 @@ def run_e2e_kitti(
         calib = frontend.dataset.get_calibration(idx)
         objs = boxes_to_kitti_objects(
             calib, lift.centroids, lift.pca_yaws, scores, labels, keep,
+            image_wh=kitti_image_wh(frontend.dataset, idx),
         )
         n_boxes += len(objs)
         write_label(f"{out_dir}/pred/{idx:06d}.txt", objs)

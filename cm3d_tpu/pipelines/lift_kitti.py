@@ -22,7 +22,11 @@ import numpy as np
 from cm3d_tpu.config import KITTI_LIFT, LiftStageConfig, class_arrays
 from cm3d_tpu.datasets.artifacts import MaskArtifactStore
 from cm3d_tpu.datasets.kitti.calib import write_label
-from cm3d_tpu.datasets.kitti.frontend import KittiFrontend, boxes_to_kitti_objects
+from cm3d_tpu.datasets.kitti.frontend import (
+    KittiFrontend,
+    boxes_to_kitti_objects,
+    kitti_image_wh,
+)
 from cm3d_tpu.datasets.types import stack_keyframes
 
 
@@ -111,6 +115,7 @@ def run_lift_kitti(
                 np.asarray(batch.frames.mask_score)[i],
                 np.asarray(batch.frames.mask_label)[i],
                 keep_np[i],
+                image_wh=kitti_image_wh(frontend.dataset, idx),
             )
             n_boxes += len(objs)
             write_label(f"{out_dir}/pred/{idx:06d}.txt", objs)

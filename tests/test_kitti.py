@@ -111,6 +111,48 @@ def test_velo_yaw_to_ry():
     assert -np.pi <= velo_yaw_to_kitti_ry(3.0) <= np.pi
 
 
+def test_boxes_to_kitti_objects_box2d_and_alpha(kitti_root):
+    from cm3d_tpu.datasets.kitti.frontend import boxes_to_kitti_objects
+
+    calib = Calibration(kitti_root / "training" / "calib" / "000000.txt")
+
+    def build(center_velo, image_wh=None):
+        return boxes_to_kitti_objects(
+            calib,
+            np.asarray([center_velo], np.float64),
+            np.zeros(1),
+            np.array([0.9]),
+            np.array([0]),
+            np.array([True]),
+            classes=["car"],
+            image_wh=image_wh,
+        )
+
+    # fully visible object: finite bbox, real observation angle
+    objs = build([20.0, 0.0, -0.5])
+    (o,) = objs
+    assert o.box2d[2] > o.box2d[0] and o.box2d[3] > o.box2d[1]
+    want_alpha = o.ry - np.arctan2(o.t[0], o.t[2])
+    want_alpha = (want_alpha + np.pi) % (2 * np.pi) - np.pi
+    assert abs(o.alpha - want_alpha) < 1e-9
+    assert o.alpha != -10
+
+    # same object clipped to a tiny image: box shrinks to the image rect
+    (oc,) = build([20.0, 0.0, -0.5], image_wh=(640, 200))
+    assert oc.box2d[0] >= 0 and oc.box2d[1] >= 0
+    assert oc.box2d[2] <= 639 and oc.box2d[3] <= 199
+    assert oc.box2d[2] > oc.box2d[0]
+
+    # object straddling the camera near plane (corners behind AND in front):
+    # previously zeroed (ignored by eval forever); now near-plane clipped
+    (on,) = build([1.2, 0.0, -0.5], image_wh=(1242, 375))
+    assert on.box2d[3] > on.box2d[1], "straddling box must keep a 2D bbox"
+
+    # fully behind the camera: no 2D box
+    (ob,) = build([-10.0, 0.0, -0.5])
+    np.testing.assert_array_equal(ob.box2d, np.zeros(4))
+
+
 def test_kitti_lift_end_to_end(kitti_root, tmp_path):
     """Planted objects -> masks -> lift CLI -> KITTI label txts."""
     from cm3d_tpu.pipelines.lift_kitti import run_lift_kitti

@@ -324,6 +324,37 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert res["Pedestrian"]["3d"]["easy"] == 0.0
 
 
+def test_aos_sentinel_disables_aos():
+    # devkit: any detection with the alpha == -10 sentinel (the reference's
+    # own txts) means orientation is unavailable — AOS must be skipped, not
+    # computed from garbage.
+    gt, det = _frames_perfect(41)
+    for d in det[0]:
+        d.alpha = -10
+    res = evaluate_kitti(gt, det)
+    assert "aos" not in res["Car"]
+    assert res["Car"]["bbox"]["easy"] == pytest.approx(1.0)  # AP unaffected
+
+
+def test_load_frames_default_ids_from_gt_and_orphan_preds(tmp_path):
+    gt_dir = tmp_path / "label_2"
+    pred_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pred_dir.mkdir()
+    write_label(gt_dir / "000000.txt", [make_obj()])
+    write_label(gt_dir / "000001.txt", [make_obj()])
+    write_label(pred_dir / "000000.txt", [make_obj(score=0.5)])
+    # default ids come from the GT dir: frame 1 (no pred file) must still be
+    # evaluated as zero detections (its GT are false negatives)
+    gt, det, ids = load_frames(gt_dir, pred_dir)
+    assert ids == [0, 1]
+    assert len(det[1]) == 0 and len(gt[1]) == 1
+    # a pred txt with no GT counterpart = mismatched dirs, fail loud
+    write_label(pred_dir / "000005.txt", [make_obj(score=0.5)])
+    with pytest.raises(ValueError, match="no GT counterpart"):
+        load_frames(gt_dir, pred_dir)
+
+
 def test_load_frames_missing_pred_and_nan_score(tmp_path):
     gt_dir = tmp_path / "label_2"
     pred_dir = tmp_path / "pred"
