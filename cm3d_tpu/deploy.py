@@ -84,14 +84,17 @@ def export_lift_step(
 
     _register_serializations()
     lift_cfg = lift_cfg or LiftStageConfig()
-    rng = np.random.default_rng(0)
-    frames = [
-        make_keyframe(SyntheticConfig(), lift_cfg, rng)
-        for _ in range(batch_size)
-    ]
-    batch = stack_keyframes(frames)
+    # One synthetic frame fixes the per-frame shapes; the batch avals are
+    # shape-only (values never reach the tracer), so don't pay for
+    # batch_size full production-scale keyframes.
+    frame = make_keyframe(SyntheticConfig(), lift_cfg, np.random.default_rng(0))
+    batch = stack_keyframes([frame])
+    batched_avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct((batch_size,) + x.shape[1:], x.dtype),
+        batch.frames,
+    )
     step = jax.jit(make_keyframe_step_fn(lift_cfg))
-    return export.export(step, platforms=platforms)(_shape_only(batch.frames))
+    return export.export(step, platforms=platforms)(batched_avals)
 
 
 def export_detect_step(
@@ -180,6 +183,8 @@ def load_artifact(path: str | Path):
 
 
 def main(argv=None):
+    from cm3d_tpu.config import DATASET_LIFT_PRESETS
+
     p = argparse.ArgumentParser(
         description="Export a jitted cm3d-tpu program as a StableHLO artifact"
     )
@@ -188,6 +193,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--platform", default="",
                    help="comma list (cpu,tpu); default = current backend")
+    p.add_argument("--dataset", default="nuscenes",
+                   choices=tuple(sorted(DATASET_LIFT_PRESETS)),
+                   help="lift: which dataset's LiftStageConfig preset to trace")
     p.add_argument("--use_camera", action="store_true",
                    help="detect: export the BEVFusion-lite variant")
     p.add_argument("--camera_backbone", default="conv",
@@ -198,9 +206,24 @@ def main(argv=None):
 
     platforms = [s for s in args.platform.split(",") if s] or None
     if args.what == "lift":
-        exported = export_lift_step(batch_size=args.batch,
-                                    platforms=platforms)
+        # Fail loud on flags the lift artifact would silently ignore.
+        ignored = [
+            name for name, on in (
+                ("--use_camera", args.use_camera),
+                ("--camera_backbone", args.camera_backbone != "conv"),
+                ("--top_k", args.top_k != 128),
+                ("--max_points", args.max_points != 32768),
+            ) if on
+        ]
+        if ignored:
+            p.error(f"{', '.join(ignored)} only apply to --what detect")
+        exported = export_lift_step(
+            lift_cfg=DATASET_LIFT_PRESETS[args.dataset],
+            batch_size=args.batch, platforms=platforms,
+        )
     else:
+        if args.dataset != "nuscenes":
+            p.error("--dataset only applies to --what lift")
         exported = export_detect_step(
             batch_size=args.batch, top_k=args.top_k,
             max_points=args.max_points, use_camera=args.use_camera,

@@ -634,7 +634,9 @@ def main(argv=None) -> Dict[str, Dict[str, Dict[str, float]]]:
     p.add_argument("--pred_dir", required=True,
                    help="directory of scored prediction txts (lift_kitti pred/)")
     p.add_argument("--ids", default="",
-                   help="comma-separated frame ids (default: every pred txt)")
+                   help="comma-separated frame ids (default: every GT txt, so "
+                        "frames missing a prediction file count their false "
+                        "negatives; orphan pred txts fail loud)")
     p.add_argument("--classes", default="Car,Pedestrian,Cyclist")
     p.add_argument("--metrics", default="bbox,bev,3d")
     p.add_argument("--car_overlap", type=float, default=0.7)

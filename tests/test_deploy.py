@@ -103,3 +103,37 @@ def test_export_cli(tmp_path, capsys):
     assert "wrote" in capsys.readouterr().out
     loaded = load_artifact(out)
     assert len(loaded.in_avals) >= 4
+
+
+def test_export_cli_rejects_inapplicable_flags(tmp_path):
+    """Flags the selected artifact would silently ignore fail loud."""
+    import pytest
+
+    from cm3d_tpu.deploy import main
+
+    out = str(tmp_path / "a.stablehlo")
+    with pytest.raises(SystemExit):
+        main(["--what", "lift", "--use_camera", "--out", out])
+    with pytest.raises(SystemExit):
+        main(["--what", "lift", "--max_points", "1024", "--out", out])
+    with pytest.raises(SystemExit):
+        main(["--what", "detect", "--dataset", "kitti", "--out", out])
+
+
+def test_lift_export_dataset_preset():
+    """export_lift_step traces the preset it is handed: the KITTI preset
+    (num_sweeps=1) changes the padded point capacity vs the nuScenes
+    default, so the artifact input avals must differ."""
+    import dataclasses
+
+    from cm3d_tpu.deploy import export_lift_step
+
+    small_kitti = dataclasses.replace(
+        SMALL, image_ratio=0.8366, sqrt_min_dist_load_filter=False)
+    a = export_lift_step(SMALL, batch_size=1)
+    b = export_lift_step(small_kitti, batch_size=1)
+    assert [str(x) for x in a.in_avals] == [str(x) for x in b.in_avals]
+    # differing capacity flows into the avals
+    import dataclasses as dc
+    c = export_lift_step(dc.replace(SMALL, max_points=1024), batch_size=1)
+    assert [str(x) for x in a.in_avals] != [str(x) for x in c.in_avals]
