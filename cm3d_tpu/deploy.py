@@ -205,6 +205,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     platforms = [s for s in args.platform.split(",") if s] or None
+    if platforms and "tpu" not in platforms:
+        # Trace on the host: a CPU-only export must not pay (or hang on)
+        # the tunneled TPU backend — lowering needs no device anyway.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.what == "lift":
         # Fail loud on flags the lift artifact would silently ignore.
         ignored = [
