@@ -205,7 +205,9 @@ def _parse_points(body: bytes, content_type: str) -> np.ndarray:
             raise RequestError(f"bad JSON request: {e}") from e
     try:
         return np.load(io.BytesIO(body), allow_pickle=False)
-    except ValueError as e:
+    except (ValueError, EOFError, OSError) as e:
+        # np.load raises ValueError on bad magic, EOFError/OSError on
+        # truncated or otherwise unreadable bodies — all client errors.
         raise RequestError(f"bad .npy request body: {e}") from e
 
 
@@ -241,6 +243,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(400, {"error": str(e)})
         except TimeoutError as e:
             return self._reply(503, {"error": str(e)})
+        except Exception as e:
+            # Device/dispatch failure: the client still deserves a JSON
+            # error, not a dropped connection with no status line.
+            return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
         self._reply(200, {
             "boxes": out["boxes"].tolist(),
             "scores": out["scores"].tolist(),

@@ -185,6 +185,34 @@ def test_oversized_and_misshapen_clouds_are_400(served):
     assert e.value.code == 400
 
 
+def test_truncated_npy_body_is_400(served):
+    buf = io.BytesIO()
+    np.save(buf, _cloud(4))
+    body = buf.getvalue()[:20]  # valid magic, cut mid-header
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(served["url"], body, "application/octet-stream")
+    assert e.value.code == 400
+
+
+def test_dispatch_failure_is_500(served):
+    """A server-side failure must come back as a JSON 500, not a dropped
+    connection with no status line."""
+    detect = served["server"].detect
+    orig = detect.submit
+
+    def boom(points, timeout=60.0):
+        raise RuntimeError("device fell over")
+
+    detect.submit = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_json(served["url"], _cloud(5))
+        assert e.value.code == 500
+        assert "device fell over" in json.loads(e.value.read())["error"]
+    finally:
+        detect.submit = orig
+
+
 def test_unknown_route_is_404(served):
     req = urllib.request.Request(served["url"] + "/v1/nope", data=b"{}")
     with pytest.raises(urllib.error.HTTPError) as e:
