@@ -38,17 +38,26 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def stage_mesh(n_stages: int, devices=None) -> Mesh:
-    """A 1-D pipeline mesh with a `stage` axis (the data/model mesh of
-    mesh.make_mesh composes with it at pod scale; a dedicated helper keeps
-    the dryrun/test plumbing one line)."""
+def stage_mesh(n_stages: int, devices=None, n_data: int = 1) -> Mesh:
+    """A pipeline mesh with a `stage` axis; ``n_data > 1`` returns the
+    composed 2-D ``(data, stage)`` mesh for dp x pp training — stages sit
+    adjacent within each data row so the per-tick ppermute rides
+    neighboring ICI links while the data axis only carries the (rare)
+    gradient all-reduce."""
     if devices is None:
         devices = jax.devices()
-    if not 0 < n_stages <= len(devices):
+    need = n_stages * n_data
+    if n_stages < 1 or n_data < 1 or need > len(devices):
         raise ValueError(
-            f"need 1..{len(devices)} stages, got {n_stages}"
+            f"need n_stages*n_data in 1..{len(devices)}, got "
+            f"{n_stages}*{n_data}"
         )
-    return Mesh(np.array(devices[:n_stages]), axis_names=("stage",))
+    if n_data == 1:
+        return Mesh(np.array(devices[:n_stages]), axis_names=("stage",))
+    return Mesh(
+        np.array(devices[:need]).reshape(n_data, n_stages),
+        axis_names=("data", "stage"),
+    )
 
 
 def stack_layer_params(layer_params: list) -> dict:
@@ -58,7 +67,8 @@ def stack_layer_params(layer_params: list) -> dict:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
 
 
-def make_pipeline_fn(mesh: Mesh, stage_fn, axis: str = "stage"):
+def make_pipeline_fn(mesh: Mesh, stage_fn, axis: str = "stage",
+                     batch_axis: str | None = None):
     """Build `run(stage_params, x) -> y` executing S pipeline stages.
 
     stage_fn(params_slice, x_mb) -> y_mb applies ONE stage (any
@@ -71,9 +81,21 @@ def make_pipeline_fn(mesh: Mesh, stage_fn, axis: str = "stage"):
     Returns y [M, ...] with y[m] = stage_{S-1}(... stage_0(x[m])),
     computed on the GPipe fill-drain schedule in M + S - 1 ticks with
     one ppermute per tick.
+
+    ``batch_axis`` composes pipeline with data parallelism on a 2-D mesh
+    (see stage_mesh(n_data=...)): each microbatch's dim 1 shards over
+    that axis, every data row runs the same fill-drain schedule on its
+    batch shard, and params stay replicated across rows — so under
+    jax.grad the shard_map transpose all-reduces the per-row param
+    cotangents over ``batch_axis`` (the dp gradient sync), exactly the
+    composed dp x pp training layout; parity pinned in tests/test_gpipe.py.
     """
     if axis not in mesh.shape:
         raise ValueError(f"mesh has no {axis!r} axis: {dict(mesh.shape)}")
+    if batch_axis is not None and batch_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no {batch_axis!r} axis: {dict(mesh.shape)}"
+        )
     s = mesh.shape[axis]
 
     def spmd(params_local, x):  # params_local: [1, ...] slices; x: [M, ...]
@@ -109,9 +131,12 @@ def make_pipeline_fn(mesh: Mesh, stage_fn, axis: str = "stage"):
 
     # out_specs P(axis): stages concatenate on dim 0 -> [S * M, ...];
     # every stage but the last contributes zeros, the caller slices the
-    # last M rows (avoids a psum broadcast of the whole output).
+    # last M rows (avoids a psum broadcast of the whole output). With a
+    # batch_axis, dim 1 additionally shards over the data rows.
+    x_spec = P(None, batch_axis) if batch_axis else P()
     inner = jax.shard_map(
-        spmd, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
+        spmd, mesh=mesh, in_specs=(P(axis), x_spec),
+        out_specs=P(axis, batch_axis) if batch_axis else P(axis),
         check_vma=False,
     )
 

@@ -14,5 +14,6 @@ step() {
 step bench_sanity 1800 python bench.py
 step entry_compile 1800 python __graft_entry__.py
 step serve_check 1800 python -c "exec(open('scripts/serve_tpu_check.py').read())"
+step lift_profile 1800 python -c "exec(open('scripts/profile_lift3.py').read())"
 echo "QUEUE8 DONE $(date +%H:%M:%S)" | tee -a "$LOG"
 grep -h '^{' "$LOG" > /root/repo/TPU_QUEUE_r03_bench_lines.jsonl 2>/dev/null || true

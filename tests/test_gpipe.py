@@ -110,6 +110,60 @@ def test_pipeline_gradients_match_sequential():
                                    rtol=2e-4, atol=2e-5, err_msg=str(kp))
 
 
+def test_pipeline_composes_with_data_parallelism():
+    """dp x pp on one 2-D (data=2, stage=2) mesh: forward AND gradients
+    match sequential — the shard_map transpose supplies the data-axis
+    all-reduce of the (row-replicated) param cotangents."""
+    n_stages, n_layers, n_micro, n_data, batch = 2, 4, 3, 2, 4
+    block, params, mask = _blocks_and_params(n_layers, seed=5)
+    lps = n_layers // n_stages
+    stacked = stack_layer_params(
+        [stack_layer_params(params[i * lps:(i + 1) * lps])
+         for i in range(n_stages)]
+    )
+    mesh = stage_mesh(n_stages, n_data=n_data)
+    assert dict(mesh.shape) == {"data": n_data, "stage": n_stages}
+    run = make_pipeline_fn(mesh, _make_stage_fn(block, lps, mask),
+                           axis="stage", batch_axis="data")
+
+    x = jnp.asarray(np.random.default_rng(6).normal(
+        size=(n_micro, batch, CTX, WIDTH)).astype(np.float32))
+    got = jax.jit(run)(stacked, x)
+    want = jnp.stack([_sequential(block, params, xi, mask) for xi in x])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_pp(sp):
+        y = run(sp, x)
+        return jnp.sum(y * y)
+
+    def loss_seq(ps):
+        y = jnp.stack([_sequential(block, ps, xi, mask) for xi in x])
+        return jnp.sum(y * y)
+
+    lp, gp = jax.value_and_grad(loss_pp)(stacked)
+    ls, gs = jax.value_and_grad(loss_seq)(params)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
+    gs_stacked = stack_layer_params(
+        [stack_layer_params(gs[i * lps:(i + 1) * lps])
+         for i in range(n_stages)]
+    )
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gp),
+        jax.tree_util.tree_leaves_with_path(gs_stacked),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(kp))
+
+
+def test_pipeline_rejects_unknown_batch_axis():
+    block, params, mask = _blocks_and_params(2)
+    mesh = _stage_mesh(2)
+    with pytest.raises(ValueError, match="no 'data' axis"):
+        make_pipeline_fn(mesh, _make_stage_fn(block, 1, mask),
+                         batch_axis="data")
+
+
 def test_pipeline_validates_stage_count():
     block, params, mask = _blocks_and_params(2)
     mesh = _stage_mesh(2)
