@@ -79,18 +79,21 @@ def bench_lift(batch_size: int = 8, n_iters: int = 10) -> dict:
 
 def build_production_fake_models(dtype: str = "bfloat16",
                                  rect_encode: bool = False,
-                                 quant_int8: bool = False):
-    """Production-size Detic-SwinB + SAM-ViT-H with random weights behind
-    the standard batched wrappers (same FLOPs as converted checkpoints).
+                                 quant_int8: bool = False,
+                                 sam_size: str = "vit_h"):
+    """Production-size Detic-SwinB + SAM with random weights behind the
+    standard batched wrappers (same FLOPs as converted checkpoints).
     rect_encode=True benches the fast SAM encode mode (README decision);
-    quant_int8=True benches the int8 w8a8 encoder path."""
+    quant_int8=True benches the int8 w8a8 encoder path; sam_size picks the
+    SAM encoder scale (vit_h = the reference's deploy, vit_l/vit_b = the
+    released smaller checkpoints the deploy profile composes)."""
     import dataclasses as dc
 
     import jax
     import jax.numpy as jnp
 
     from cm3d_tpu.models.detic import DETIC_SWINB, Detic
-    from cm3d_tpu.models.sam import SAM_VIT_H, Sam
+    from cm3d_tpu.models.sam import Sam, sam_config_for
     from cm3d_tpu.models.swin import SWIN_B
     from cm3d_tpu.pipelines.masks import _batched_model_fns
     from cm3d_tpu.vocab import CUSTOM_VOCABULARY_NUSCENES as VOCAB
@@ -100,8 +103,8 @@ def build_production_fake_models(dtype: str = "bfloat16",
         DETIC_SWINB, dtype=dtype,
         swin=dc.replace(SWIN_B, dtype=dtype, quant_int8=quant_int8),
     )
-    sam_cfg = dc.replace(SAM_VIT_H, dtype=dtype, rect_encode=rect_encode,
-                         quant_int8=quant_int8)
+    sam_cfg = dc.replace(sam_config_for(sam_size), dtype=dtype,
+                         rect_encode=rect_encode, quant_int8=quant_int8)
     detic_model, sam_model = Detic(detic_cfg), Sam(sam_cfg)
     clf = jnp.asarray(
         rng.standard_normal((detic_cfg.embed_dim, len(VOCAB))).astype(

@@ -49,32 +49,33 @@ _RB = 8      # rows per program
 # when even that can't fit (see _vmem_params).
 VMEM_LIMIT = 100 * 1024 * 1024
 
-# Measured TPU-worker fault envelope (r03 sessions 10-11 bisection,
+# Measured TPU-worker fault frontier (r03 sessions 10-11 bisection,
 # TPU_QUEUE_r03.log): the folded camera/union compactions at >= 96 rows
-# over >= 32768 sources reproducibly KILL the TPU worker ("kernel fault",
-# a Mosaic/XLA codegen bug — the same shapes pass in interpret mode and
-# on the XLA fallback path), while 48-row (batch-8) runs of the same
-# kernels and 2048-row/8192-source mask compactions pass bit-exact.
-# Raise at trace time instead of killing the worker at run time; the
-# bound is the measured fault frontier, not a proof — shapes between the
-# validated batch-8 envelope and this line are untested.
-_FAULT_ROWS = 96
-_FAULT_SRC = 32768
+# over >= 32768 sources reproducibly KILLED the TPU worker ("kernel
+# fault", a Mosaic/XLA codegen bug — the same shapes pass in interpret
+# mode and on the XLA fallback path), while 48-row (batch-8) runs of the
+# same kernels and 2048-row/8192-source mask compactions pass bit-exact.
+# Mitigation (r04): calls whose row count exceeds the validated
+# _SAFE_ROWS at a faulting source extent are AUTO-CHUNKED along the row
+# grid into _SAFE_ROWS-row kernel launches — every launch then runs at a
+# shape on-chip-validated bit-exact, removing the old batch-8 cap
+# (previously a trace-time ValueError pointing at
+# ops.lift._FOLD_CAMERA_UNION).
+_FAULT_ROWS = 96    # bisected worker-kill frontier (rows)
+_FAULT_SRC = 32768  # bisected worker-kill frontier (padded sources)
+_SAFE_ROWS = 48     # largest on-chip-validated row count at >= _FAULT_SRC
 
 
-def _check_fault_envelope(rows: int, s: int, interpret: bool) -> None:
+def _row_chunks(rows: int, s_padded: int, interpret: bool) -> int | None:
+    """Rows-per-launch when the call must be chunked below the fault
+    frontier; None = single launch is safe. Chunking triggers strictly
+    below _FAULT_ROWS (anything > _SAFE_ROWS) because shapes between the
+    validated 48-row envelope and the 96-row kill frontier are untested."""
     if interpret:
-        return  # the interpreter executes the same shapes safely
-    if rows >= _FAULT_ROWS and s >= _FAULT_SRC:
-        raise ValueError(
-            f"compact_rows_pallas: {rows} rows x {s} sources is outside "
-            "the validated envelope — on-chip runs at >= "
-            f"{_FAULT_ROWS} rows x >= {_FAULT_SRC} sources reproducibly "
-            "kill the TPU worker (Mosaic codegen fault, TPU_QUEUE_r03.log)."
-            " Reduce the keyframe batch (8 is the measured throughput "
-            "optimum) or force the XLA path "
-            "(cm3d_tpu.ops.lift._FOLD_CAMERA_UNION = False)"
-        )
+        return None  # the interpreter executes the same shapes safely
+    if rows > _SAFE_ROWS and s_padded >= _FAULT_SRC:
+        return _SAFE_ROWS
+    return None
 
 
 def _vmem_params(interpret: bool, prog_bytes: int, name: str):
@@ -233,12 +234,22 @@ def _compact_rows_impl(sel, values, limit, interpret, s_tile=_S_T,
     # below absorbs the difference (static offsets like l0 may stay odd)
     s_t = -(-s_t // 128) * 128
     # vmapped calls fold the batch into r first (custom_vmap rule), so
-    # this sees the true on-chip row count; the envelope is checked on
+    # this sees the true on-chip row count; the frontier is checked on
     # the PADDED source count — the kernel runs at the padded shape, and
     # a pre-padding check would let e.g. s=32000 pad up to the measured
     # 32768-source worker-kill frontier undetected
     s_padded = -(-s // s_t) * s_t
-    _check_fault_envelope(r, s_padded, interpret)
+    chunk = _row_chunks(r, s_padded, interpret)
+    if chunk is not None:
+        # auto-chunk the row grid below the Mosaic fault frontier: each
+        # launch re-runs this impl at <= _SAFE_ROWS rows (bit-exact — the
+        # kernel is row-independent), restoring batch 16/32 lift folds
+        outs = [
+            _compact_rows_impl(sel[r0:r0 + chunk], values[r0:r0 + chunk],
+                               limit, interpret, s_tile, l_tile)
+            for r0 in range(0, r, chunk)
+        ]
+        return jnp.concatenate(outs, axis=0)
     if s_padded != s:
         pad = s_padded - s
         sel = jnp.pad(sel, ((0, 0), (0, pad)))

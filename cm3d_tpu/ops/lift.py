@@ -74,17 +74,16 @@ _USE_PALLAS_COMPACT = None
 # None = follow _USE_PALLAS_COMPACT's resolution (ON on TPU); False forces
 # the top_k+gather stages even when the per-mask kernel is on.
 #
-# Validated batch envelope (r03 session-10/11 bisection, TPU_QUEUE_r03.log):
-# batch 4/8 pass bit-exact; batch 16/32 reproducibly FAULT the TPU worker
-# in THIS fold path specifically — at batch 16 the XLA path runs (72 kf/s),
+# Batch envelope (r03 session-10/11 bisection, TPU_QUEUE_r03.log): batch
+# 4/8 pass bit-exact; batch 16/32 reproducibly FAULTED the TPU worker in
+# THIS fold path specifically — at batch 16 the XLA path runs (72 kf/s),
 # the unfolded Pallas mask-stage kernel runs at 2048 folded rows
 # (112.7 kf/s), and the medoid kernel is exonerated by both, so the fault
 # is a Mosaic/XLA codegen bug in the folded camera/union compactions at
-# >= 96 folded rows x 131072 sources. Batch 8 is also the throughput
-# optimum (213 vs 112 kf/s), so production stays inside the envelope; for
-# larger batches force _FOLD_CAMERA_UNION = False. The envelope is
-# ENFORCED: compact_pallas._check_fault_envelope raises a clear
-# trace-time error (naming this flag) instead of killing the worker.
+# >= 96 folded rows x >= 32768 sources. Since r04 the kernel AUTO-CHUNKS
+# such calls into 48-row launches (compact_pallas._row_chunks), so batch
+# 16/32 run correctly with the fold ON; batch 8 remains the measured
+# throughput optimum (scripts/sweep_lift_batch.py).
 _FOLD_CAMERA_UNION = None
 
 

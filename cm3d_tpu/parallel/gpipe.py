@@ -148,6 +148,20 @@ def make_pipeline_fn(mesh: Mesh, stage_fn, axis: str = "stage",
                 f"stage_params leading dims {lead} != mesh {axis}={s} — "
                 "every leaf needs a stacked stage axis (stack_layer_params)"
             )
+        if batch_axis:
+            # x shards dim 1 over the data axis; catch violations here
+            # instead of as opaque shard_map/GSPMD errors
+            n_data = mesh.shape[batch_axis]
+            if x.ndim < 2:
+                raise ValueError(
+                    f"batch_axis={batch_axis!r} needs x of rank >= 2 "
+                    f"([microbatch, data_rows, ...]); got shape {x.shape}"
+                )
+            if x.shape[1] % n_data:
+                raise ValueError(
+                    f"x dim 1 ({x.shape[1]}) must divide evenly over mesh "
+                    f"{batch_axis!r}={n_data}"
+                )
         return inner(stage_params, x)[-x.shape[0]:]
 
     return run

@@ -21,7 +21,19 @@ Request formats (POST /v1/detect):
   (``np.save`` — the fast path; no JSON float printing).
 Response: ``{"boxes": [[x,y,z,w,l,h,yaw]...], "scores": [...],
 "classes": [...], "n_kept": k}`` — kept detections only, ego frame.
-``GET /healthz`` reports the artifact geometry and serving counters.
+
+``--artifact`` may also be a *lift* artifact from ``cm3d-export --what
+lift`` (auto-detected from the artifact's own input pytree): the server
+then hosts the flagship pseudo-label lift step at POST /v1/lift. One
+request = ONE keyframe, sent as an ``.npz`` body (``np.savez``) whose
+keys are Keyframe fields (camera calibration as ``cameras.<field>``);
+missing keys zero-fill (validity masks default False), ``points`` /
+``lane_points`` may be sent partial ([n <= N, ...]) with their valid
+masks derived. Response: the same boxes/scores/classes contract plus
+lift diagnostics (mask/truncation counts). Requests micro-batch into
+the artifact's static keyframe batch exactly like detect.
+
+``GET /healthz`` reports the artifact kind/geometry and serving counters.
 """
 
 from __future__ import annotations
@@ -31,6 +43,7 @@ import io
 import json
 import queue
 import threading
+import zipfile
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -45,49 +58,27 @@ class RequestError(ValueError):
 
 @dataclass
 class _Pending:
-    points: np.ndarray  # [n, 4] float32, n <= max_points
+    payload: Any  # validated per-request payload (kind-specific)
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     error: Optional[BaseException] = None
 
 
-class DetectServer:
-    """Micro-batching executor over a detect artifact.
+class _MicroBatchServer:
+    """Micro-batching executor over one static-batch AOT artifact.
 
     Owns the single dispatcher thread that talks to the device; any number
     of request threads call :meth:`submit` concurrently. ``flush_ms`` is
     the max time the dispatcher waits to fill a batch after the first
-    request of a group arrives (latency/occupancy knob).
-    """
+    request of a group arrives (latency/occupancy knob). Subclasses
+    implement :meth:`validate` (request thread, raises RequestError) and
+    :meth:`_execute` (dispatcher thread: one device call for the group,
+    fills each pending.result)."""
 
-    def __init__(self, artifact_path: str | Path, params: Any,
-                 batch_stats: Any = None, flush_ms: float = 5.0):
-        import jax
+    route: str  # HTTP route this executor serves
 
-        from cm3d_tpu.deploy import load_artifact
-
-        self._exported = load_artifact(artifact_path)
-        # Locate the batch geometry from the artifact's own avals: the
-        # validity mask is the unique bool input, shaped [B, max_points].
-        bool_avals = [a for a in self._exported.in_avals
-                      if a.dtype == np.bool_]
-        if len(bool_avals) != 1 or len(bool_avals[0].shape) != 2:
-            raise ValueError(
-                "not a detect artifact: expected exactly one [B, N] bool "
-                f"valid-mask input, got avals {self._exported.in_avals}"
-            )
-        self.batch_size, self.max_points = map(int, bool_avals[0].shape)
-        # Camera-fusion artifacts take 3 extra operands; serving those
-        # needs per-request images, which this host does not accept.
-        n_leaves = len(jax.tree.leaves((params, batch_stats or {})))
-        if len(self._exported.in_avals) != n_leaves + 2:
-            raise ValueError(
-                "artifact expects operands beyond (params, batch_stats, "
-                "points, valid) — camera-fusion artifacts are not servable "
-                "by this host"
-            )
-        self._params = jax.device_put(params)
-        self._batch_stats = jax.device_put(batch_stats or {})
+    def __init__(self, batch_size: int, flush_ms: float):
+        self.batch_size = int(batch_size)
         self.flush_ms = float(flush_ms)
         self.stats = {"requests": 0, "batches": 0, "slots_used": 0,
                       "last_batch_ms": 0.0}
@@ -100,29 +91,18 @@ class DetectServer:
 
     # ---- request side -------------------------------------------------
 
-    def validate(self, points: np.ndarray) -> np.ndarray:
-        points = np.asarray(points, np.float32)
-        if points.ndim != 2 or points.shape[1] != 4:
-            raise RequestError(
-                f"points must be [n, 4] (x, y, z, intensity); got "
-                f"{points.shape}"
-            )
-        if len(points) > self.max_points:
-            raise RequestError(
-                f"{len(points)} points exceeds the artifact capacity "
-                f"{self.max_points}; re-export with a larger --max_points"
-            )
-        return points
+    def validate(self, payload):  # pragma: no cover - abstract
+        raise NotImplementedError
 
-    def submit(self, points: np.ndarray, timeout: float = 60.0) -> dict:
+    def submit(self, payload, timeout: float = 60.0) -> dict:
         """Block until the batched device call returns this request's
-        detections: dict(boxes [k,7], scores [k], classes [k])."""
+        result dict."""
         if self._closed:
             raise RuntimeError("server is closed")
-        pending = _Pending(self.validate(points))
+        pending = _Pending(self.validate(payload))
         self._queue.put(pending)
         if not pending.done.wait(timeout):
-            raise TimeoutError("detect call did not return in time")
+            raise TimeoutError("device call did not return in time")
         if pending.error is not None:
             raise pending.error
         assert pending.result is not None
@@ -134,6 +114,9 @@ class DetectServer:
         self._thread.join(timeout=10)
 
     # ---- device side (single thread) ----------------------------------
+
+    def _execute(self, group: list) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def _dispatch_loop(self) -> None:
         while True:
@@ -157,24 +140,7 @@ class DetectServer:
     def _run_group(self, group: list) -> None:
         t0 = _now()
         try:
-            pts = np.zeros((self.batch_size, self.max_points, 4), np.float32)
-            val = np.zeros((self.batch_size, self.max_points), bool)
-            for j, pending in enumerate(group):
-                n = len(pending.points)
-                pts[j, :n] = pending.points
-                val[j, :n] = True
-            boxes, scores, classes, keep = (
-                np.asarray(a) for a in self._exported.call(
-                    self._params, self._batch_stats, pts, val
-                )
-            )
-            for j, pending in enumerate(group):
-                k = keep[j]
-                pending.result = {
-                    "boxes": boxes[j][k],
-                    "scores": scores[j][k],
-                    "classes": classes[j][k],
-                }
+            self._execute(group)
         except BaseException as e:  # propagate to every waiter
             for pending in group:
                 pending.error = e
@@ -185,6 +151,226 @@ class DetectServer:
             self.stats["last_batch_ms"] = round((_now() - t0) * 1e3, 3)
             for pending in group:
                 pending.done.set()
+
+
+class DetectServer(_MicroBatchServer):
+    """Micro-batching executor over a detect artifact."""
+
+    route = "/v1/detect"
+
+    def __init__(self, artifact_path: str | Path, params: Any,
+                 batch_stats: Any = None, flush_ms: float = 5.0):
+        import jax
+
+        from cm3d_tpu.deploy import load_artifact
+
+        self._exported = load_artifact(artifact_path)
+        # Locate the batch geometry from the artifact's own avals: the
+        # validity mask is the unique bool input, shaped [B, max_points].
+        bool_avals = [a for a in self._exported.in_avals
+                      if a.dtype == np.bool_]
+        if len(bool_avals) != 1 or len(bool_avals[0].shape) != 2:
+            raise ValueError(
+                "not a detect artifact: expected exactly one [B, N] bool "
+                f"valid-mask input, got avals {self._exported.in_avals}"
+            )
+        batch_size, self.max_points = map(int, bool_avals[0].shape)
+        # Camera-fusion artifacts take 3 extra operands; serving those
+        # needs per-request images, which this host does not accept.
+        n_leaves = len(jax.tree.leaves((params, batch_stats or {})))
+        if len(self._exported.in_avals) != n_leaves + 2:
+            raise ValueError(
+                "artifact expects operands beyond (params, batch_stats, "
+                "points, valid) — camera-fusion artifacts are not servable "
+                "by this host"
+            )
+        self._params = jax.device_put(params)
+        self._batch_stats = jax.device_put(batch_stats or {})
+        super().__init__(batch_size, flush_ms)
+
+    def validate(self, points: np.ndarray) -> np.ndarray:
+        points = np.asarray(points, np.float32)
+        if points.ndim != 2 or points.shape[1] != 4:
+            raise RequestError(
+                f"points must be [n, 4] (x, y, z, intensity); got "
+                f"{points.shape}"
+            )
+        if len(points) > self.max_points:
+            raise RequestError(
+                f"{len(points)} points exceeds the artifact capacity "
+                f"{self.max_points}; re-export with a larger --max_points"
+            )
+        return points
+
+    def _execute(self, group: list) -> None:
+        pts = np.zeros((self.batch_size, self.max_points, 4), np.float32)
+        val = np.zeros((self.batch_size, self.max_points), bool)
+        for j, pending in enumerate(group):
+            n = len(pending.payload)
+            pts[j, :n] = pending.payload
+            val[j, :n] = True
+        boxes, scores, classes, keep = (
+            np.asarray(a) for a in self._exported.call(
+                self._params, self._batch_stats, pts, val
+            )
+        )
+        for j, pending in enumerate(group):
+            k = keep[j]
+            pending.result = {
+                "boxes": boxes[j][k],
+                "scores": scores[j][k],
+                "classes": classes[j][k],
+            }
+
+
+def _keyframe_fields(frames) -> dict:
+    """Flatten a Keyframe(-of-avals or -of-arrays) into the wire naming:
+    top-level fields by name, camera calibration as ``cameras.<field>``."""
+    out = {}
+    for name, v in frames._asdict().items():
+        if hasattr(v, "_asdict"):  # CameraParams
+            for cn, cv in v._asdict().items():
+                out[f"{name}.{cn}"] = cv
+        else:
+            out[name] = v
+    return out
+
+
+# Fields a client may send partial ([n <= N, ...]); each maps to the valid
+# mask derived (first n rows True) when the mask itself is not sent.
+_PARTIAL_FIELDS = {"points": "point_valid", "lane_points": "lane_valid"}
+
+
+class LiftServer(_MicroBatchServer):
+    """Micro-batching executor over the flagship lift artifact
+    (cm3d-export --what lift): keyframes in, pseudo-label boxes out.
+
+    The artifact's single input is a batched Keyframe pytree; its slot
+    geometry (and the wire field inventory) is recovered from the
+    artifact's own avals, so one host serves any per-dataset preset.
+    Empty batch slots stay all-zero (validity masks False -> no boxes),
+    and the step is slot-independent, so padding never changes a
+    request's result. No parameters: the lift step is pure geometry.
+    """
+
+    route = "/v1/lift"
+
+    def __init__(self, artifact_path: str | Path, flush_ms: float = 5.0):
+        from jax import tree_util
+
+        from cm3d_tpu.datasets.types import Keyframe
+        from cm3d_tpu.deploy import load_artifact
+
+        self._exported = load_artifact(artifact_path)
+        args, kwargs = tree_util.tree_unflatten(
+            self._exported.in_tree, list(self._exported.in_avals)
+        )
+        if kwargs or len(args) != 1 or not isinstance(args[0], Keyframe):
+            raise ValueError(
+                "not a lift artifact: expected one batched Keyframe input, "
+                f"got tree {self._exported.in_tree}"
+            )
+        self._frame_avals = args[0]
+        self._fields = _keyframe_fields(self._frame_avals)
+        batch_sizes = {int(a.shape[0]) for a in self._fields.values()}
+        if len(batch_sizes) != 1:
+            raise ValueError(
+                f"inconsistent batch dims in lift artifact: {batch_sizes}"
+            )
+        super().__init__(batch_sizes.pop(), flush_ms)
+
+    @property
+    def field_specs(self) -> dict:
+        """Wire contract for /healthz: per-field slot shape + dtype."""
+        return {
+            name: {"shape": list(a.shape[1:]), "dtype": str(a.dtype)}
+            for name, a in self._fields.items()
+        }
+
+    def validate(self, payload: dict) -> dict:
+        if not isinstance(payload, dict):
+            raise RequestError(
+                f"lift request must be a mapping of Keyframe fields, got "
+                f"{type(payload).__name__}"
+            )
+        unknown = sorted(set(payload) - set(self._fields))
+        if unknown:
+            raise RequestError(
+                f"unknown Keyframe fields {unknown}; valid fields: "
+                f"{sorted(self._fields)}"
+            )
+        out = {}
+        for name, raw in payload.items():
+            aval = self._fields[name]
+            slot_shape = aval.shape[1:]
+            try:
+                arr = np.asarray(raw, aval.dtype)
+            except (TypeError, ValueError) as e:
+                raise RequestError(
+                    f"field {name}: cannot cast to {aval.dtype}: {e}"
+                ) from e
+            if name in _PARTIAL_FIELDS:
+                if (arr.ndim != len(slot_shape)
+                        or arr.shape[1:] != slot_shape[1:]
+                        or arr.shape[0] > slot_shape[0]):
+                    raise RequestError(
+                        f"field {name}: expected [n <= {slot_shape[0]}"
+                        f", {', '.join(map(str, slot_shape[1:]))}], got "
+                        f"{list(arr.shape)}"
+                    )
+            elif arr.shape != slot_shape:
+                raise RequestError(
+                    f"field {name}: expected shape {list(slot_shape)} "
+                    f"({aval.dtype}), got {list(arr.shape)}"
+                )
+            out[name] = arr
+        # derive validity for partial streams whose mask was not sent
+        for name, valid_name in _PARTIAL_FIELDS.items():
+            if name in out and valid_name not in out:
+                n_slot = self._fields[name].shape[1]
+                mask = np.zeros(n_slot, bool)
+                mask[: len(out[name])] = True
+                out[valid_name] = mask
+        return out
+
+    def _build_batch(self, group: list):
+        from cm3d_tpu.datasets.types import CameraParams, Keyframe
+
+        batch = {
+            name: np.zeros(a.shape, a.dtype)
+            for name, a in self._fields.items()
+        }
+        for j, pending in enumerate(group):
+            for name, arr in pending.payload.items():
+                if name in _PARTIAL_FIELDS:
+                    batch[name][j, : len(arr)] = arr
+                else:
+                    batch[name][j] = arr
+        cams = CameraParams(**{
+            n.split(".", 1)[1]: batch.pop(n)
+            for n in [k for k in batch if k.startswith("cameras.")]
+        })
+        return Keyframe(cameras=cams, **batch)
+
+    def _execute(self, group: list) -> None:
+        lift, boxes = self._exported.call(self._build_batch(group))
+        centers, sizes, yaws, scores, labels, keep = (
+            np.asarray(a) for a in (boxes.centers, boxes.sizes, boxes.yaws,
+                                    boxes.scores, boxes.labels, boxes.keep)
+        )
+        has_points = np.asarray(lift.has_points)
+        truncated = np.asarray(lift.truncated)
+        for j, pending in enumerate(group):
+            k = keep[j]
+            pending.result = {
+                "boxes": np.concatenate(
+                    [centers[j][k], sizes[j][k], yaws[j][k][:, None]], axis=1
+                ),
+                "scores": scores[j][k],
+                "classes": labels[j][k],
+                "n_masks_with_points": int(has_points[j].sum()),
+                "n_truncated": int(truncated[j].sum()),
+            }
 
 
 def _now() -> float:
@@ -204,11 +390,43 @@ def _parse_points(body: bytes, content_type: str) -> np.ndarray:
         except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
             raise RequestError(f"bad JSON request: {e}") from e
     try:
-        return np.load(io.BytesIO(body), allow_pickle=False)
-    except (ValueError, EOFError, OSError) as e:
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+    except (ValueError, EOFError, OSError, zipfile.BadZipFile) as e:
         # np.load raises ValueError on bad magic, EOFError/OSError on
-        # truncated or otherwise unreadable bodies — all client errors.
+        # truncated or otherwise unreadable bodies, BadZipFile on corrupt
+        # zip-format (.npz) bodies — all client errors.
         raise RequestError(f"bad .npy request body: {e}") from e
+    if not isinstance(arr, np.ndarray):
+        # an .npz body deserializes to an NpzFile, not an array
+        raise RequestError(
+            "body must be a single .npy array (got an .npz archive — "
+            "that is the /v1/lift wire format)"
+        )
+    return arr
+
+
+def _parse_frame(body: bytes, content_type: str) -> dict:
+    """Lift wire formats: JSON mapping of Keyframe fields, or an .npz
+    archive (np.savez) — one keyframe per request."""
+    if content_type.startswith("application/json"):
+        try:
+            payload = json.loads(body)
+        except json.JSONDecodeError as e:
+            raise RequestError(f"bad JSON request: {e}") from e
+        if not isinstance(payload, dict):
+            raise RequestError("lift JSON body must be a field mapping")
+        return payload
+    try:
+        npz = np.load(io.BytesIO(body), allow_pickle=False)
+    except (ValueError, EOFError, OSError, zipfile.BadZipFile) as e:
+        raise RequestError(f"bad .npz request body: {e}") from e
+    if isinstance(npz, np.ndarray):
+        raise RequestError(
+            "lift request body must be an .npz archive of Keyframe "
+            "fields (np.savez), not a bare .npy array"
+        )
+    with npz:
+        return {k: npz[k] for k in npz.files}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -225,34 +443,55 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         if self.path != "/healthz":
             return self._reply(404, {"error": f"no route {self.path}"})
-        d = self.server.detect
-        self._reply(200, {
-            "ok": True, "batch_size": d.batch_size,
-            "max_points": d.max_points, "flush_ms": d.flush_ms,
-            "stats": dict(d.stats),
-        })
+        b = self.server.backend
+        info = {
+            "ok": True, "route": b.route, "batch_size": b.batch_size,
+            "flush_ms": b.flush_ms, "stats": dict(b.stats),
+        }
+        if isinstance(b, DetectServer):
+            info["max_points"] = b.max_points
+        else:
+            info["fields"] = b.field_specs
+        self._reply(200, info)
 
     def do_POST(self) -> None:  # noqa: N802
-        if self.path != "/v1/detect":
+        backend = self.server.backend
+        if self.path != backend.route:
             return self._reply(404, {"error": f"no route {self.path}"})
         try:
-            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
-            points = _parse_points(body, self.headers.get("Content-Type", ""))
-            out = self.server.detect.submit(points)
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            return self._reply(400, {"error": "bad Content-Length header"})
+        try:
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if isinstance(backend, DetectServer):
+                out = backend.submit(_parse_points(body, ctype))
+            else:
+                out = backend.submit(_parse_frame(body, ctype))
         except RequestError as e:
             return self._reply(400, {"error": str(e)})
         except TimeoutError as e:
             return self._reply(503, {"error": str(e)})
         except Exception as e:
             # Device/dispatch failure: the client still deserves a JSON
-            # error, not a dropped connection with no status line.
-            return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
-        self._reply(200, {
+            # error, not a dropped connection — but internal exception
+            # text stays out of the response (path/state leak); log it
+            # server-side instead.
+            self.log_error("dispatch failure: %r", e)
+            return self._reply(
+                500, {"error": f"internal serving error "
+                               f"({type(e).__name__})"})
+        resp = {
             "boxes": out["boxes"].tolist(),
             "scores": out["scores"].tolist(),
             "classes": out["classes"].tolist(),
             "n_kept": int(len(out["scores"])),
-        })
+        }
+        for key in ("n_masks_with_points", "n_truncated"):
+            if key in out:
+                resp[key] = out[key]
+        self._reply(200, resp)
 
     def log_message(self, fmt: str, *args: Any) -> None:
         if self.server.verbose:
@@ -262,30 +501,63 @@ class _Handler(BaseHTTPRequestHandler):
 class ServingHTTPServer(ThreadingHTTPServer):
     daemon_threads = True
 
-    def __init__(self, address, detect: DetectServer, verbose: bool = True):
-        self.detect = detect
+    def __init__(self, address, backend: _MicroBatchServer,
+                 verbose: bool = True):
+        self.backend = backend
         self.verbose = verbose
         super().__init__(address, _Handler)
+
+    @property
+    def detect(self) -> _MicroBatchServer:
+        """Back-compat alias (the host predates the lift backend)."""
+        return self.backend
 
 
 def make_server(artifact: str | Path, params: Any, batch_stats: Any = None,
                 host: str = "127.0.0.1", port: int = 0,
                 flush_ms: float = 5.0, verbose: bool = True
                 ) -> ServingHTTPServer:
-    """Build the HTTP server (unstarted). ``port=0`` binds an ephemeral
-    port — read it back from ``server.server_address``."""
+    """Build the detect HTTP server (unstarted). ``port=0`` binds an
+    ephemeral port — read it back from ``server.server_address``."""
     detect = DetectServer(artifact, params, batch_stats, flush_ms=flush_ms)
     return ServingHTTPServer((host, port), detect, verbose=verbose)
 
 
+def make_lift_server(artifact: str | Path, host: str = "127.0.0.1",
+                     port: int = 0, flush_ms: float = 5.0,
+                     verbose: bool = True) -> ServingHTTPServer:
+    """Build the lift HTTP server (unstarted) over a cm3d-export
+    ``--what lift`` artifact. No checkpoint: the lift step is pure
+    geometry."""
+    lift = LiftServer(artifact, flush_ms=flush_ms)
+    return ServingHTTPServer((host, port), lift, verbose=verbose)
+
+
+def artifact_kind(artifact: str | Path) -> str:
+    """'lift' if the artifact's input pytree is a batched Keyframe,
+    else 'detect'."""
+    from jax import tree_util
+
+    from cm3d_tpu.datasets.types import Keyframe
+    from cm3d_tpu.deploy import load_artifact
+
+    ex = load_artifact(artifact)
+    args, kwargs = tree_util.tree_unflatten(ex.in_tree, list(ex.in_avals))
+    if not kwargs and len(args) == 1 and isinstance(args[0], Keyframe):
+        return "lift"
+    return "detect"
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
-        description="serve a cm3d-export detect artifact over HTTP"
+        description="serve a cm3d-export artifact (detect or lift, "
+        "auto-detected) over HTTP"
     )
     p.add_argument("--artifact", required=True,
-                   help="StableHLO blob from cm3d-export --what detect")
-    p.add_argument("--ckpt", required=True,
-                   help="orbax checkpoint dir (pretrain's {out}/centerpoint)")
+                   help="StableHLO blob from cm3d-export")
+    p.add_argument("--ckpt", default=None,
+                   help="orbax checkpoint dir (pretrain's {out}/centerpoint;"
+                   " required for detect artifacts, unused for lift)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8712)
     p.add_argument("--flush_ms", type=float, default=5.0,
@@ -293,18 +565,26 @@ def main(argv=None):
                    "request of a group arrives")
     args = p.parse_args(argv)
 
-    from cm3d_tpu.models.checkpoints import load_params
+    kind = artifact_kind(args.artifact)
+    if kind == "lift":
+        server = make_lift_server(args.artifact, host=args.host,
+                                  port=args.port, flush_ms=args.flush_ms)
+    else:
+        if not args.ckpt:
+            p.error("--ckpt is required for detect artifacts")
 
-    restored = load_params(args.ckpt)
-    params = restored["params"] if "params" in restored else restored
-    batch_stats = restored.get("batch_stats", {})
-    server = make_server(args.artifact, params, batch_stats,
-                         host=args.host, port=args.port,
-                         flush_ms=args.flush_ms)
+        from cm3d_tpu.models.checkpoints import load_params
+
+        restored = load_params(args.ckpt)
+        params = restored["params"] if "params" in restored else restored
+        batch_stats = restored.get("batch_stats", {})
+        server = make_server(args.artifact, params, batch_stats,
+                             host=args.host, port=args.port,
+                             flush_ms=args.flush_ms)
     host, port = server.server_address[:2]
-    d = server.detect
-    print(f"cm3d-serve on http://{host}:{port}  batch={d.batch_size} "
-          f"max_points={d.max_points} flush_ms={d.flush_ms}")
+    d = server.backend
+    print(f"cm3d-serve [{kind}] on http://{host}:{port}  "
+          f"batch={d.batch_size} flush_ms={d.flush_ms}")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -5,9 +5,10 @@ Session-10 finding: bench_lift(batch_size=16) kills the TPU worker
 ("kernel fault") on the default Pallas path; batch 4/8 are fine. Arms,
 selected by CM3D_DIAG_ARM:
 
-  pallas      — default path (known crash; since the envelope guard
-                landed — compact_pallas._check_fault_envelope — this arm
-                raises a trace-time ValueError instead of reaching chip)
+  pallas      — default path (crashed in r03; since the r04 row-grid
+                auto-chunking — compact_pallas._row_chunks — this arm
+                runs 48-row launches and should PASS; see
+                scripts/ab_fold_chunk.py for the bit-exact A/B)
   xla_compact — _USE_PALLAS_COMPACT=False (compaction via topk+gather;
                 Pallas medoid still on)
   nofold      — Pallas mask-stage compaction only (_FOLD_CAMERA_UNION=False)

@@ -57,15 +57,12 @@ if SMOKE:
 else:
     from cm3d_tpu import benchmarks
 
-    # batch 16/32 are EXCLUDED: the folded camera/union Pallas compaction
-    # reproducibly kills the TPU worker above the validated batch-8
-    # envelope (bisected in TPU_QUEUE_r03.log; see ops/lift.py
-    # _FOLD_CAMERA_UNION), and a worker kill mid-queue poisons every
-    # later step. Batch 8 is also the measured throughput optimum
-    # (213 vs 112 kf/s at b16 on the unfolded path). To probe beyond the
-    # envelope, run a dedicated LAST-in-queue step with
-    # lift._FOLD_CAMERA_UNION = False (scripts/diag_b16.py arms).
-    for bs in (4, 8):
+    # batch 16/32 run the folded path through compact_pallas's r04
+    # row-grid auto-chunking (48-row launches below the bisected Mosaic
+    # fault frontier — TPU_QUEUE_r03.log; see ops/lift.py
+    # _FOLD_CAMERA_UNION). Keep them LAST so a regression can't poison
+    # the in-envelope points.
+    for bs in (4, 8, 16, 32):
         try:
             r = benchmarks.bench_lift(batch_size=bs)
             print(f"batch {bs:3d}: {r['value']:8.2f} kf/s "

@@ -165,35 +165,43 @@ def test_vmem_params_loud_overflow():
     assert _vmem_params(True, 1024, "x") is None  # interpret: no params
 
 
-def test_fault_envelope_guard():
+def test_fault_frontier_autochunk(monkeypatch):
     """Shapes inside the measured TPU-worker fault region (>= 96 folded
-    rows x >= 32768 sources, TPU_QUEUE_r03.log bisection) raise a clear
-    trace-time ValueError on the compiled path instead of killing the
-    worker at run time; interpret mode (which executes the same shapes
-    safely) and the validated batch-8 / mask-stage shapes pass."""
-    import pytest
+    rows x >= 32768 sources, TPU_QUEUE_r03.log bisection) are auto-chunked
+    into _SAFE_ROWS-row kernel launches (the on-chip-validated envelope)
+    instead of raising; interpret mode (which executes the same shapes
+    safely) and the validated batch-8 / mask-stage shapes stay single
+    launches. The chunked path is bit-exact vs the numpy reference,
+    including an uneven remainder block."""
+    from cm3d_tpu.kernels import compact_pallas as cp
 
-    from cm3d_tpu.kernels.compact_pallas import _check_fault_envelope
+    # dispatch decision at the bisected frontier
+    assert cp._row_chunks(96, 32768, interpret=False) == cp._SAFE_ROWS
+    assert cp._row_chunks(192, 131072, interpret=False) == cp._SAFE_ROWS
+    # the envelope is judged on the PADDED source count: s=32000 pads up
+    # to the 1024-multiple 32768 — exactly the measured fault frontier —
+    # callers must pass the padded extent (as _compact_rows_impl does)
+    assert cp._row_chunks(96, 32768, interpret=False) is not None
+    assert cp._row_chunks(96, 131072, interpret=True) is None  # interpreter
+    assert cp._row_chunks(48, 131072, interpret=False) is None  # batch-8 fold
+    assert cp._row_chunks(2048, 8192, interpret=False) is None  # mask stage
+    # between the validated 48-row envelope and the 96-row kill frontier
+    # is untested on chip -> chunk conservatively
+    assert cp._row_chunks(64, 32768, interpret=False) == cp._SAFE_ROWS
 
-    with pytest.raises(ValueError, match="validated envelope"):
-        _check_fault_envelope(96, 32768, interpret=False)
-    with pytest.raises(ValueError, match="_FOLD_CAMERA_UNION"):
-        _check_fault_envelope(96, 131072, interpret=False)
-    _check_fault_envelope(96, 131072, interpret=True)   # interpreter: safe
-    _check_fault_envelope(48, 131072, interpret=False)  # batch-8 camera fold
-    _check_fault_envelope(2048, 8192, interpret=False)  # mask compaction
-
-    # and through the public entry (batch folded into rows by the vmap
-    # rule): the batch-16 camera-fold shape must raise, not lower
-    sel = jnp.zeros((96, 32768), bool)
-    vals = jnp.zeros((96, 1, 32768), jnp.float32)
-    with pytest.raises(ValueError, match="validated envelope"):
-        compact_rows_pallas(sel, vals, 256, interpret=False)
-
-    # the envelope is enforced on the PADDED source count: s=32000 pads
-    # up to the 1024-multiple 32768 — exactly the measured fault frontier
-    # — so a pre-padding check would let the worker-killing shape through
-    sel = jnp.zeros((96, 32000), bool)
-    vals = jnp.zeros((96, 1, 32000), jnp.float32)
-    with pytest.raises(ValueError, match="validated envelope"):
-        compact_rows_pallas(sel, vals, 256, interpret=False)
+    # numeric parity of the chunked code path: force chunking under the
+    # interpreter (rows > 4 -> 4-row launches; r=10 leaves a 2-row tail)
+    monkeypatch.setattr(
+        cp, "_row_chunks",
+        lambda rows, s, interpret: 4 if rows > 4 else None,
+    )
+    rng = np.random.default_rng(3)
+    r, s, limit = 10, 640, 96
+    sel = rng.random((r, s)) < 0.2
+    vals = rng.normal(size=(r, 2, s)).astype(np.float32)
+    out = np.asarray(
+        compact_rows_pallas(
+            jnp.asarray(sel), jnp.asarray(vals), limit, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(out, _reference(sel, vals, limit))

@@ -164,6 +164,25 @@ def test_pipeline_rejects_unknown_batch_axis():
                          batch_axis="data")
 
 
+def test_pipeline_validates_data_sharding_preconditions():
+    """With batch_axis set, x must be rank >= 2 with dim 1 divisible by
+    the data-axis size — friendly ValueErrors, not opaque GSPMD
+    failures."""
+    n_stages, n_layers, n_data = 2, 2, 2
+    block, params, mask = _blocks_and_params(n_layers, seed=7)
+    stacked = stack_layer_params(
+        [stack_layer_params(params[i:i + 1]) for i in range(n_stages)]
+    )
+    mesh = stage_mesh(n_stages, n_data=n_data)
+    run = make_pipeline_fn(mesh, _make_stage_fn(block, 1, mask),
+                           axis="stage", batch_axis="data")
+
+    with pytest.raises(ValueError, match="rank >= 2"):
+        run(stacked, jnp.zeros((4,)))
+    with pytest.raises(ValueError, match="divide evenly"):
+        run(stacked, jnp.zeros((2, 3, CTX, WIDTH)))
+
+
 def test_pipeline_validates_stage_count():
     block, params, mask = _blocks_and_params(2)
     mesh = _stage_mesh(2)

@@ -208,7 +208,11 @@ def test_dispatch_failure_is_500(served):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post_json(served["url"], _cloud(5))
         assert e.value.code == 500
-        assert "device fell over" in json.loads(e.value.read())["error"]
+        msg = json.loads(e.value.read())["error"]
+        # the exception TYPE is reported; the message text (possible
+        # path/state leak) stays server-side
+        assert "RuntimeError" in msg
+        assert "device fell over" not in msg
     finally:
         detect.submit = orig
 
@@ -218,3 +222,199 @@ def test_unknown_route_is_404(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 404
+
+
+def test_bad_content_length_is_400(served):
+    req = urllib.request.Request(
+        served["url"] + "/v1/detect", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    # urllib would set a correct header; force a malformed one
+    req.add_unredirected_header("Content-Length", "banana")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert "Content-Length" in json.loads(e.value.read())["error"]
+
+
+def test_npz_body_on_detect_route_is_400(served):
+    buf = io.BytesIO()
+    np.savez(buf, points=_cloud(6))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(served["url"], buf.getvalue(), "application/octet-stream")
+    assert e.value.code == 400
+    assert "npz" in json.loads(e.value.read())["error"]
+
+
+# ---- lift serving ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def served_lift():
+    """Tiny lift artifact + in-process jit oracle + running HTTP server.
+
+    Uses the same SMALL preset as tests/test_deploy.py so the artifact is
+    cheap; batch 2 exercises micro-batching and padding invariance."""
+    import tempfile
+
+    import jax
+
+    from cm3d_tpu.deploy import export_lift_step, save_artifact
+    from cm3d_tpu.parallel import make_keyframe_step_fn
+    from cm3d_tpu.serve import artifact_kind, make_lift_server
+    from tests.test_deploy import SMALL, _small_batch
+
+    tmp = tempfile.TemporaryDirectory()
+    path = f"{tmp.name}/lift_b2.stablehlo"
+    save_artifact(export_lift_step(SMALL, batch_size=2), path)
+    assert artifact_kind(path) == "lift"
+
+    server = make_lift_server(path, port=0, flush_ms=1000.0, verbose=False)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+
+    step = jax.jit(make_keyframe_step_fn(SMALL))
+
+    def oracle_single(frame_idx, seed=0):
+        """In-process jit on the full batch — per-slot truth."""
+        batch = _small_batch(batch=2, seed=seed)
+        lift, boxes = step(batch.frames)
+        k = np.asarray(boxes.keep)[frame_idx]
+        out = np.concatenate(
+            [np.asarray(boxes.centers)[frame_idx][k],
+             np.asarray(boxes.sizes)[frame_idx][k],
+             np.asarray(boxes.yaws)[frame_idx][k][:, None]], axis=1,
+        )
+        return (out, np.asarray(boxes.scores)[frame_idx][k],
+                np.asarray(boxes.labels)[frame_idx][k])
+
+    yield {"server": server, "url": url, "oracle_single": oracle_single,
+           "cfg": SMALL, "tmp": tmp}
+    server.shutdown()
+    server.backend.close()
+    server.server_close()
+    tmp.cleanup()
+
+
+def _frame_npz_body(frame) -> bytes:
+    from cm3d_tpu.serve import _keyframe_fields
+
+    buf = io.BytesIO()
+    np.savez(buf, **_keyframe_fields(frame))
+    return buf.getvalue()
+
+
+def _post_lift(url, body, content_type="application/octet-stream"):
+    req = urllib.request.Request(
+        url + "/v1/lift", data=body,
+        headers={"Content-Type": content_type},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def test_lift_request_matches_in_process_jit(served_lift):
+    """A served keyframe (npz wire format) returns exactly the boxes the
+    in-process jit produces for that slot, padding slot ignored."""
+    from tests.test_deploy import _small_batch
+
+    batch = _small_batch(batch=2, seed=0)
+    frame0 = type(batch.frames)(*[
+        np.asarray(x)[0] if not hasattr(x, "_asdict")
+        else type(x)(*[np.asarray(c)[0] for c in x])
+        for x in batch.frames
+    ])
+    resp = _post_lift(served_lift["url"], _frame_npz_body(frame0))
+
+    # oracle slot 0 of a batch whose OTHER slot differs from the server's
+    # zero padding — per-slot independence makes both match
+    boxes, scores, classes = served_lift["oracle_single"](0, seed=0)
+    got = np.asarray(resp["boxes"], np.float32).reshape(-1, 7)
+    np.testing.assert_array_equal(got, boxes.astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(resp["scores"], np.float32), scores.astype(np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(resp["classes"]), classes)
+    assert resp["n_kept"] == len(scores)
+    assert resp["n_masks_with_points"] >= resp["n_kept"]
+    assert resp["n_kept"] > 0  # the artifact does real work
+
+
+def test_lift_healthz_reports_fields(served_lift):
+    with urllib.request.urlopen(served_lift["url"] + "/healthz",
+                                timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["route"] == "/v1/lift" and h["batch_size"] == 2
+    cfg = served_lift["cfg"]
+    assert h["fields"]["points"]["shape"] == [cfg.max_points, 4]
+    assert h["fields"]["cameras.intrinsics"]["shape"][-2:] == [3, 3]
+
+
+def test_lift_unknown_field_is_400(served_lift):
+    buf = io.BytesIO()
+    np.savez(buf, pointz=np.zeros((4, 4), np.float32))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_lift(served_lift["url"], buf.getvalue())
+    assert e.value.code == 400
+    assert "pointz" in json.loads(e.value.read())["error"]
+
+
+def test_lift_bad_shape_is_400(served_lift):
+    cfg = served_lift["cfg"]
+    buf = io.BytesIO()
+    np.savez(buf, points=np.zeros((cfg.max_points + 1, 4), np.float32))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_lift(served_lift["url"], buf.getvalue())
+    assert e.value.code == 400
+
+    buf = io.BytesIO()
+    np.savez(buf, ego_translation=np.zeros(4, np.float32))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_lift(served_lift["url"], buf.getvalue())
+    assert e.value.code == 400
+    assert "ego_translation" in json.loads(e.value.read())["error"]
+
+
+def test_lift_npy_body_is_400(served_lift):
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((4, 4), np.float32))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_lift(served_lift["url"], buf.getvalue())
+    assert e.value.code == 400
+    assert "npz" in json.loads(e.value.read())["error"]
+
+
+def test_lift_partial_points_derive_validity(served_lift):
+    """points sent [n <= N] with no point_valid: the server pads and
+    marks exactly the sent rows valid — same result as explicit mask."""
+    from tests.test_deploy import _small_batch
+
+    from cm3d_tpu.serve import _keyframe_fields
+
+    cfg = served_lift["cfg"]
+    batch = _small_batch(batch=1, seed=1)
+    fields = {
+        k: np.asarray(v)[0]
+        for k, v in _keyframe_fields(batch.frames).items()
+    }
+    # truncate to n points: the explicit request zeroes the tail and
+    # masks it invalid; the partial request just sends the first n rows
+    # — the server must reconstruct the identical device input
+    n = cfg.max_points // 2
+    explicit = dict(fields)
+    explicit["points"] = fields["points"].copy()
+    explicit["points"][n:] = 0
+    explicit["point_valid"] = np.zeros(cfg.max_points, bool)
+    explicit["point_valid"][:n] = True
+    partial = dict(fields)
+    partial["points"] = explicit["points"][:n]
+    del partial["point_valid"]
+
+    def post(d):
+        buf = io.BytesIO()
+        np.savez(buf, **d)
+        return _post_lift(served_lift["url"], buf.getvalue())
+
+    a, b = post(explicit), post(partial)
+    assert a == b
