@@ -8,7 +8,11 @@ full-size weights — see cm3d_tpu/benchmarks.py for the protocol and its
 content-swap caveat) whose measured numbers are recorded in
 MASK_BENCH_r0*.json.
 
-Modes: --stage lift | masks | e2e | train | fusion_train (single metric each).
+Modes: --stage lift | masks | e2e | train | fusion_train (single metric
+each). `--stage e2e --profile fast` sweeps the composed opt-in speed modes
+(sam_size x rect_encode x int8) in one process and prints ONE JSON line
+whose points list carries per-mode ms/kf + accuracy envelopes (VERDICT r03
+item 3 — the max-throughput deploy profile).
 """
 
 from __future__ import annotations
@@ -45,12 +49,33 @@ def main() -> None:
 
     rect_encode = "--rect_encode" in sys.argv
     quant_int8 = "--quant_int8" in sys.argv
-    if (rect_encode or quant_int8) and stage not in ("masks", "e2e"):
+    sam_size = "vit_h"
+    if "--sam_size" in sys.argv:
+        i = sys.argv.index("--sam_size") + 1
+        if i >= len(sys.argv) or sys.argv[i] not in ("vit_h", "vit_l",
+                                                     "vit_b"):
+            raise SystemExit("--sam_size needs vit_h | vit_l | vit_b")
+        sam_size = sys.argv[i]
+    profile = None
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile") + 1
+        if i >= len(sys.argv) or sys.argv[i] != "fast":
+            raise SystemExit("--profile supports: fast")
+        profile = sys.argv[i]
+    if (rect_encode or quant_int8 or sam_size != "vit_h") and \
+            stage not in ("masks", "e2e"):
         # same silent-mismeasurement class as the strict --stage check:
         # a run asking for the fast-mode models must not record float
         # numbers as if they were the fast mode's.
         raise SystemExit(
-            "--rect_encode/--quant_int8 only apply to --stage masks|e2e"
+            "--rect_encode/--quant_int8/--sam_size only apply to "
+            "--stage masks|e2e"
+        )
+    if profile and (stage != "e2e" or rect_encode or quant_int8
+                    or sam_size != "vit_h"):
+        raise SystemExit(
+            "--profile fast is an e2e sweep of the speed modes; use it "
+            "alone with --stage e2e"
         )
     swin_camera = "--swin_camera" in sys.argv
     camera_bf16 = "--camera_bf16" in sys.argv
@@ -70,11 +95,16 @@ def main() -> None:
     if stage == "masks":
         _emit(benchmarks.bench_mask_stage(
             rect_encode=rect_encode, quant_int8=quant_int8,
+            sam_size=sam_size,
         ))
         return
     if stage == "e2e":
+        if profile == "fast":
+            _emit(benchmarks.bench_e2e_fast_profile())
+            return
         _emit(benchmarks.bench_e2e(
             rect_encode=rect_encode, quant_int8=quant_int8,
+            sam_size=sam_size,
         ))
         return
     if stage == "train":

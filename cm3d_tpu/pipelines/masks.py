@@ -820,16 +820,19 @@ def attach_zoedepth(
 def attach_gdino(
     models: MaskModels, ckpt_path: str = "", vocab_path: str = "",
     test: bool = False, box_threshold: float = 0.15, seed: int = 0,
-    quant_int8: bool = False,
+    quant_int8: bool = False, fake_scale: str = "test",
 ) -> MaskModels:
     """Swap the detector for GroundingDINO (the reference's commented-out
     alternative, kitti/gen_2d_masks_detic.py:115-117,633,697-704): boxes
     come from grounding the class-list caption instead of Detic, then flow
-    into the same SAM prompt path. test=True builds the tiny random-weight
-    GDINO_TEST model with a synthetic WordPiece vocab over the class list
-    (hermetic CI); the real path needs the checkpoint + bert-base-uncased
-    vocab.txt. quant_int8 mirrors the Detic boundary: the Swin backbone's
-    MLPs go int8 w8a8 (BERT / fusion / decoder stay float)."""
+    into the same SAM prompt path. test=True builds a random-weight model
+    with a synthetic WordPiece vocab over the class list — fake_scale
+    picks its size: "test" = the tiny GDINO_TEST (hermetic CI), "swint" =
+    the full GDINO_SWINT geometry (production-FLOPs benching,
+    scripts/bench_gdino.py); the real path needs the checkpoint +
+    bert-base-uncased vocab.txt. quant_int8 mirrors the Detic boundary:
+    the Swin backbone's MLPs go int8 w8a8 (BERT / fusion / decoder stay
+    float)."""
     import dataclasses as _dc
 
     import jax
@@ -842,6 +845,9 @@ def attach_gdino(
 
     vocabulary = models.vocabulary
     if test:
+        if fake_scale not in ("test", "swint"):
+            raise ValueError(f"fake_scale must be test|swint: {fake_scale}")
+        base = GDINO_TEST if fake_scale == "test" else GDINO_SWINT
         words = sorted({
             w for cls in vocabulary for w in cls.lower().split()
         })
@@ -849,10 +855,10 @@ def attach_gdino(
         for w in words:
             vocab[w] = len(vocab)
         bert = _dc.replace(
-            GDINO_TEST.bert, vocab_size=max(64, len(vocab) + 8),
+            base.bert, vocab_size=max(64, len(vocab) + 8),
             pad_id=0, unk_id=1, cls_id=2, sep_id=3,
         )
-        cfg = _dc.replace(GDINO_TEST, bert=bert)
+        cfg = _dc.replace(base, bert=bert)
         tok = WordPieceTokenizer(vocab, bert)
         model = GroundingDino(cfg)
         h, w = cfg.img_hw

@@ -139,6 +139,109 @@ def main():
         server.detect.close()
         server.server_close()
 
+        # ---- lift artifact (the flagship workload as a service) -------
+        import dataclasses as dc
+
+        from cm3d_tpu.config import LiftStageConfig
+        from cm3d_tpu.datasets.synthetic import SyntheticConfig, make_keyframe
+        from cm3d_tpu.datasets.types import stack_keyframes
+        from cm3d_tpu.deploy import export_lift_step
+        from cm3d_tpu.parallel import make_keyframe_step_fn
+        from cm3d_tpu.serve import _keyframe_fields, make_lift_server
+
+        if SMOKE:
+            lift_cfg = dc.replace(
+                LiftStageConfig(), max_points=2048, max_masks=16,
+                max_points_per_mask=256, max_points_per_camera=1024,
+                max_points_in_masks=512, max_lane_points=256,
+            )
+            # frame geometry (camera ring, mask canvas) must match
+            # export_lift_step's aval frame, which is built from the
+            # DEFAULT SyntheticConfig — only the lift capacities shrink
+            syn = SyntheticConfig()
+        else:
+            lift_cfg, syn = LiftStageConfig(), SyntheticConfig()
+        lift_batch = 2 if SMOKE else 4
+
+        t0 = time.monotonic()
+        lpath = f"{tmp}/lift.stablehlo"
+        save_artifact(export_lift_step(lift_cfg, batch_size=lift_batch),
+                      lpath)
+        lift_export_s = time.monotonic() - t0
+
+        lserver = make_lift_server(lpath, port=0, flush_ms=2.0,
+                                   verbose=False)
+        threading.Thread(target=lserver.serve_forever, daemon=True).start()
+        lurl = "http://127.0.0.1:%d" % lserver.server_address[1]
+
+        rng2 = np.random.default_rng(1)
+        frames = [make_keyframe(syn, lift_cfg, rng2)
+                  for _ in range(lift_batch)]
+        kb = stack_keyframes(frames)
+        all_fields = _keyframe_fields(kb.frames)
+
+        def frame_npz(i):
+            return {k: np.asarray(v)[i] for k, v in all_fields.items()}
+
+        def post_lift(fields):
+            buf = io.BytesIO()
+            np.savez(buf, **fields)
+            req = urllib.request.Request(
+                lurl + "/v1/lift", data=buf.getvalue(),
+                headers={"Content-Type": "application/octet-stream"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.loads(r.read())
+
+        lresp = post_lift(frame_npz(0))  # compile/warmup
+
+        # in-process oracle on the SAME device batch the server built:
+        # frame 0 in slot 0, zero padding elsewhere
+        def zero_tail(x):
+            x = np.asarray(x)
+            out = np.zeros_like(x)
+            out[0] = x[0]
+            return out
+
+        step = jax.jit(make_keyframe_step_fn(lift_cfg))
+        lift_out, box_out = step(jax.tree.map(zero_tail, kb.frames))
+        keep0 = np.asarray(box_out.keep)[0]
+        want = np.concatenate(
+            [np.asarray(box_out.centers)[0][keep0],
+             np.asarray(box_out.sizes)[0][keep0],
+             np.asarray(box_out.yaws)[0][keep0][:, None]], axis=1,
+        )
+        got_l = np.asarray(lresp["boxes"], np.float32).reshape(-1, 7)
+        np.testing.assert_array_equal(got_l, want.astype(np.float32))
+        assert lresp["n_masks_with_points"] == int(
+            np.asarray(lift_out.has_points)[0].sum()
+        )
+
+        lat_l = []
+        for _ in range(reps):
+            t = time.monotonic()
+            post_lift(frame_npz(0))
+            lat_l.append((time.monotonic() - t) * 1e3)
+        lp50 = float(np.percentile(lat_l, 50))
+        lp90 = float(np.percentile(lat_l, 90))
+
+        lb0 = lserver.backend.stats["batches"]
+        threads = [
+            threading.Thread(target=post_lift, args=(frame_npz(i),))
+            for i in range(lift_batch)
+        ]
+        t = time.monotonic()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        lgroup_ms = (time.monotonic() - t) * 1e3
+        lbatches_used = lserver.backend.stats["batches"] - lb0
+
+        lserver.shutdown()
+        lserver.backend.close()
+        lserver.server_close()
+
     print(json.dumps({
         "metric": "serve_detect_latency_ms_p50",
         "value": round(p50, 2), "unit": "ms/request (HTTP round trip)",
@@ -148,6 +251,15 @@ def main():
         "concurrent_device_batches": int(batches_used),
         "export_s": round(export_s, 1), "backend": backend,
         "parity": "exact", "smoke": SMOKE,
+        "lift": {
+            "p50_ms": round(lp50, 2), "p90_ms": round(lp90, 2),
+            "batch": lift_batch,
+            "concurrent_batch_ms": round(lgroup_ms, 2),
+            "concurrent_device_batches": int(lbatches_used),
+            "export_s": round(lift_export_s, 1),
+            "n_boxes": int(lresp["n_kept"]),
+            "parity": "exact",
+        },
     }))
 
 
