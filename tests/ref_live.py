@@ -28,7 +28,8 @@ import sys
 import types
 from pathlib import Path
 
-REF_DIR = Path("/root/reference/src/nuscenes")
+REF_ROOT = Path("/root/reference/src")
+REF_DIR = REF_ROOT / "nuscenes"
 
 # dotted module names the reference imports that this image lacks; each
 # becomes an attribute-permissive stub (module-level `from x import y`
@@ -38,9 +39,26 @@ _STUB_MODULES = [
     "pyquaternion",
     "numba",
     "pycocotools",
+    "pycocotools.mask",
     "hdbscan",
     "shapely",
     "shapely.geometry",
+    "trimesh",          # waymo fork
+    "open3d",           # kitti fork
+    "kitti_object",     # kitti fork (sibling module, heavy deps)
+    "cfg",              # per-fork cfg package (prompt tables)
+    "cfg.prompt_cfg",
+    "tensorflow",       # waymo fork
+    "tensorflow.compat",
+    "tensorflow.compat.v1",
+    "waymo_open_dataset",
+    "waymo_open_dataset.utils",
+    "waymo_open_dataset.utils.range_image_utils",
+    "waymo_open_dataset.utils.transform_utils",
+    "waymo_open_dataset.utils.frame_utils",
+    "waymo_open_dataset.dataset_pb2",
+    "waymo_open_dataset.protos",
+    "waymo_open_dataset.protos.metrics_pb2",
     "groundingdino",
     "groundingdino.datasets",
     "groundingdino.datasets.transforms",
@@ -63,25 +81,37 @@ _STUB_MODULES = [
 
 
 class _Placeholder:
-    """Inert stand-in for a symbol from a stubbed dependency: importable
-    and attributable, but loud if actually exercised."""
+    """Inert stand-in for a symbol from a stubbed dependency: importable,
+    attributable, and callable (the waymo fork calls
+    tf.enable_eager_execution() at module scope) — calls/attrs chain to
+    further placeholders; any VALUE use (iteration, conversion,
+    arithmetic) raises loudly."""
 
     def __init__(self, name: str):
         self._name = name
 
     def __call__(self, *a, **k):
-        raise RuntimeError(f"stubbed reference dependency used: {self._name}")
+        return _Placeholder(f"{self._name}()")
 
     def __getattr__(self, item):
         if item.startswith("__"):
             raise AttributeError(item)
         return _Placeholder(f"{self._name}.{item}")
 
-    def __iter__(self):
-        # `from nuscenes.utils.splits import mini_val, ...` produces
-        # placeholders that the module body never iterates; support
-        # nothing else.
+    def _used(self):
         raise RuntimeError(f"stubbed reference dependency used: {self._name}")
+
+    def __iter__(self):
+        self._used()
+
+    def __int__(self):
+        self._used()
+
+    def __float__(self):
+        self._used()
+
+    def __array__(self, *a, **k):
+        self._used()
 
 
 class _StubModule(types.ModuleType):
@@ -129,27 +159,33 @@ def reference_available() -> bool:
     return (REF_DIR / "2d_to_3d.py").is_file()
 
 
-def load_pcd():
-    """The reference's utils/pcd.py (LidarPointCloud, view_points)."""
-    if "pcd" not in _CACHE:
-        _CACHE["pcd"] = _load(REF_DIR / "utils" / "pcd.py", "ref_pcd")
-    return _CACHE["pcd"]
+def load_pcd(dataset: str = "nuscenes"):
+    """The reference's <dataset>/utils/pcd.py (LidarPointCloud,
+    view_points)."""
+    key = f"pcd_{dataset}"
+    if key not in _CACHE:
+        _CACHE[key] = _load(
+            REF_ROOT / dataset / "utils" / "pcd.py", f"ref_pcd_{dataset}"
+        )
+    return _CACHE[key]
 
 
-def load_2d_to_3d():
-    """The reference's nuscenes/2d_to_3d.py, with its `utils.pcd` import
-    bound to the live-loaded module above and the per-run `timer` global
-    (normally created inside its main loop) pre-seeded so the timed
-    helpers are callable."""
-    if "lift" not in _CACHE:
-        pcd = load_pcd()
+def load_2d_to_3d(dataset: str = "nuscenes"):
+    """The reference's <dataset>/2d_to_3d.py (the nuScenes original or
+    the Waymo/KITTI forks), with its `utils.pcd` import bound to the
+    live-loaded module above and the per-run `timer` global (normally
+    created inside its main loop) pre-seeded so the timed helpers are
+    callable."""
+    key = f"lift_{dataset}"
+    if key not in _CACHE:
+        pcd = load_pcd(dataset)
         utils_pkg = types.ModuleType("utils")
         utils_pkg.pcd = pcd
         mod = _load(
-            REF_DIR / "2d_to_3d.py",
-            "ref_2d_to_3d",
+            REF_ROOT / dataset / "2d_to_3d.py",
+            f"ref_2d_to_3d_{dataset}",
             extra_modules={"utils": utils_pkg, "utils.pcd": pcd},
         )
         mod.timer = {"closest lane": 0.0}
-        _CACHE["lift"] = mod
-    return _CACHE["lift"]
+        _CACHE[key] = mod
+    return _CACHE[key]

@@ -212,6 +212,92 @@ def test_detection_name_and_shape_prior_live(ref):
     assert ref.get_shape_prior({"dog": (1, 2, 3)}, "dog") == (1, 2, 3)
 
 
+def test_push_centroid_live_vs_jax(ref):
+    """Reference push_centroid executed vs ops/pushback.py directly —
+    including the documented equivalence: the reference's
+    wxyz-into-scipy-xyzw euler round trip yields theta = yaw - pi, which
+    our direct-yaw form matches because only |sin|/|cos| are used."""
+    import jax.numpy as jnp
+
+    from cm3d_tpu.ops.pushback import push_centroid
+
+    rng = np.random.default_rng(11)
+    m = 24
+    centroids = np.zeros((m, 3))
+    centroids[:, :2] = rng.uniform(-60, 60, (m, 2))
+    centroids[:, 2] = rng.uniform(-1, 2, m)
+    wlh = rng.uniform([1.5, 3.5, 1.2], [3.0, 12.0, 4.0], (m, 3))
+    yaws = rng.uniform(-np.pi, np.pi, m)
+    av = np.array([2.0, -1.0, 0.0])
+
+    ours = np.asarray(push_centroid(
+        jnp.asarray(centroids, jnp.float32), jnp.asarray(wlh, jnp.float32),
+        jnp.asarray(yaws, jnp.float32), jnp.asarray(av, jnp.float32),
+    ))
+    for i in range(m):
+        quat = [np.cos(yaws[i] / 2), 0.0, 0.0, np.sin(yaws[i] / 2)]
+        want = ref.push_centroid(centroids[i].copy(), wlh[i], quat,
+                                 {"translation": av})
+        np.testing.assert_allclose(ours[i], want, rtol=2e-4, atol=5e-4,
+                                   err_msg=f"i={i} yaw={yaws[i]}")
+
+
+@pytest.mark.parametrize("dataset", ["waymo", "kitti"])
+def test_fork_functions_live(dataset):
+    """The Waymo/KITTI forks' hot functions, executed: our ONE shared
+    implementation must agree with every fork (the reference triplicates
+    these per dataset; the forks' push_centroid adds an ego_frame=True
+    mode — boxes already in the ego frame — which equals our
+    push_centroid with ego_translation = 0)."""
+    import jax.numpy as jnp
+
+    from cm3d_tpu.ops.medoid import masked_medoid
+    from cm3d_tpu.ops.nms import circle_nms_keep
+    from cm3d_tpu.ops.pushback import push_centroid
+
+    fork = ref_live.load_2d_to_3d(dataset)
+    rng = np.random.default_rng(13)
+
+    # medoid (the fork drops the explicit p=2 — cdist's default; same op)
+    pts = rng.normal(scale=3.0, size=(3, 80)).astype(np.float32)
+    ref_idx = int(fork.get_medoid(torch.from_numpy(pts)))
+    ours_idx = int(np.asarray(masked_medoid(
+        pts.T[None], np.ones((1, 80), bool)
+    ))[0])
+    assert ours_idx == ref_idx
+
+    # circle NMS (identical body across forks; pin it anyway)
+    n = 30
+    dets = np.zeros((n, 3))
+    dets[:, :2] = rng.uniform(-20, 20, (n, 2))
+    dets[:, 2] = rng.permutation(n) / n
+    labels = rng.integers(0, 3, n)
+    threshs = np.array([16.0, 4.0, 1.0])
+    ref_keep = sorted(int(i) for i in fork.circle_nms(dets, labels, threshs))
+    ours = np.asarray(circle_nms_keep(
+        jnp.asarray(dets[:, :2]), jnp.asarray(dets[:, 2]),
+        jnp.asarray(labels, jnp.int32), jnp.ones(n, bool),
+        jnp.asarray(threshs),
+    ))
+    assert sorted(np.flatnonzero(ours).tolist()) == ref_keep
+
+    # push_centroid ego_frame=True == ours with ego_translation = 0
+    m = 12
+    centroids = np.zeros((m, 3))
+    centroids[:, :2] = rng.uniform(-50, 50, (m, 2))
+    wlh = rng.uniform([1.5, 3.5, 1.2], [3.0, 12.0, 4.0], (m, 3))
+    yaws = rng.uniform(-np.pi, np.pi, m)
+    ours_p = np.asarray(push_centroid(
+        jnp.asarray(centroids, jnp.float32), jnp.asarray(wlh, jnp.float32),
+        jnp.asarray(yaws, jnp.float32), jnp.zeros(3, jnp.float32),
+    ))
+    for i in range(m):
+        quat = [np.cos(yaws[i] / 2), 0.0, 0.0, np.sin(yaws[i] / 2)]
+        want = fork.push_centroid(centroids[i].copy(), wlh[i], quat,
+                                  ego_frame=True)
+        np.testing.assert_allclose(ours_p[i], want, rtol=2e-4, atol=5e-4)
+
+
 # ---- composite A/B: the full per-mask lift -----------------------------
 
 
