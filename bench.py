@@ -49,6 +49,9 @@ def main() -> None:
 
     rect_encode = "--rect_encode" in sys.argv
     quant_int8 = "--quant_int8" in sys.argv
+    quant_static = "--quant_static" in sys.argv
+    if quant_static and not quant_int8:
+        raise SystemExit("--quant_static requires --quant_int8")
     sam_size = "vit_h"
     if "--sam_size" in sys.argv:
         i = sys.argv.index("--sam_size") + 1
@@ -95,7 +98,7 @@ def main() -> None:
     if stage == "masks":
         _emit(benchmarks.bench_mask_stage(
             rect_encode=rect_encode, quant_int8=quant_int8,
-            sam_size=sam_size,
+            quant_static=quant_static, sam_size=sam_size,
         ))
         return
     if stage == "e2e":

@@ -80,6 +80,7 @@ def bench_lift(batch_size: int = 8, n_iters: int = 10) -> dict:
 def build_production_fake_models(dtype: str = "bfloat16",
                                  rect_encode: bool = False,
                                  quant_int8: bool = False,
+                                 quant_static: bool = False,
                                  sam_size: str = "vit_h"):
     """Production-size Detic-SwinB + SAM with random weights behind the
     standard batched wrappers (same FLOPs as converted checkpoints).
@@ -104,7 +105,8 @@ def build_production_fake_models(dtype: str = "bfloat16",
         swin=dc.replace(SWIN_B, dtype=dtype, quant_int8=quant_int8),
     )
     sam_cfg = dc.replace(sam_config_for(sam_size), dtype=dtype,
-                         rect_encode=rect_encode, quant_int8=quant_int8)
+                         rect_encode=rect_encode, quant_int8=quant_int8,
+                         quant_static=quant_static)
     detic_model, sam_model = Detic(detic_cfg), Sam(sam_cfg)
     clf = jnp.asarray(
         rng.standard_normal((detic_cfg.embed_dim, len(VOCAB))).astype(
@@ -242,7 +244,8 @@ def _realistic_load(models, boxes_per_cam: int = 25, seed: int = 0):
 def bench_mask_stage(
     dtype: str = "bfloat16", n_frames: int = 8, models=None,
     io_sleep: float = 0.15, rect_encode: bool = False,
-    quant_int8: bool = False, sam_size: str = "vit_h",
+    quant_int8: bool = False, quant_static: bool = False,
+    sam_size: str = "vit_h",
 ) -> dict:
     """Pipelined 2D-stage throughput: run_mask_stage (IO prefetch + device
     pipeline + host RLE writes) at production geometry."""
@@ -256,7 +259,7 @@ def bench_mask_stage(
     if models is None:
         models = _realistic_load(build_production_fake_models(
             dtype, rect_encode=rect_encode, quant_int8=quant_int8,
-            sam_size=sam_size,
+            quant_static=quant_static, sam_size=sam_size,
         ))
     frames = [
         [rng.integers(0, 255, (IMG_H, IMG_W, 3)).astype(np.uint8)
@@ -306,6 +309,8 @@ def bench_mask_stage(
         "warmup_masks": n_warm,
         "rect_encode": rect_encode,
         "quant_int8": quant_int8,
+        "quant_static": quant_static,
+        "sam_size": sam_size,
     }
 
 

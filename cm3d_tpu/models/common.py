@@ -41,10 +41,19 @@ class QuantDense(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     use_bias: bool = True
+    # static (calibrated) activation scale instead of the per-token amax
+    # reduce — the extra `act_scale` param leaf comes from
+    # ops.quant.bake_act_scales after a calibration pass of the DYNAMIC
+    # model (which this module supports by always sowing its input absmax
+    # below; a plain apply drops the sow at zero cost)
+    static_scale: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from cm3d_tpu.ops.quant import dynamic_int8_matmul
+        from cm3d_tpu.ops.quant import (
+            dynamic_int8_matmul,
+            static_int8_matmul,
+        )
 
         din = x.shape[-1]
         w_q = self.param(
@@ -58,6 +67,21 @@ class QuantDense(nn.Module):
             if self.use_bias
             else None
         )
+        # calibration capture: recorded only when apply() makes
+        # "intermediates" mutable (ops.quant.bake_act_scales reads it)
+        self.sow(
+            "intermediates", "act_absmax",
+            jnp.max(jnp.abs(x.astype(jnp.float32))),
+            init_fn=lambda: jnp.zeros((), jnp.float32),
+            reduce_fn=jnp.maximum,
+        )
+        if self.static_scale:
+            act_scale = self.param(
+                "act_scale", nn.initializers.ones, (), jnp.float32
+            )
+            return static_int8_matmul(
+                x, w_q, w_scale, act_scale, bias, out_dtype=self.dtype
+            )
         return dynamic_int8_matmul(x, w_q, w_scale, bias, out_dtype=self.dtype)
 
 
@@ -66,11 +90,21 @@ class MLPBlock(nn.Module):
     out_dim: int
     act: str = "gelu"
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
-    quant: bool = False  # int8 w8a8 Dense layers (see QuantDense)
+    # int8 w8a8 Dense layers (see QuantDense): False | True (dynamic
+    # scales) | "static" (calibrated scales)
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        dense = QuantDense if self.quant else nn.Dense
+        import functools
+
+        dense = (
+            functools.partial(
+                QuantDense, static_scale=self.quant == "static"
+            )
+            if self.quant
+            else nn.Dense
+        )
         x = dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
         x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.relu(x)
         return dense(self.out_dim, dtype=self.dtype, name="lin2")(x)

@@ -877,7 +877,7 @@ def caption_from_vocabulary(
 def make_gdino_detector(
     model: GroundingDino, params, tok: WordPieceTokenizer,
     vocabulary: Sequence[str], max_detections: int = 128,
-    box_threshold: float = 0.15,
+    box_threshold: float = 0.15, max_batch: int = 3,
 ):
     """Adapt GroundingDINO to the mask-stage detector contract
     (pipelines.masks.MaskModels.detic): frame dict -> (boxes xyxy image
@@ -911,6 +911,18 @@ def make_gdino_detector(
         return (jnp.take_along_axis(boxes, top_i[..., None], axis=1),
                 top_s, sel(cids))
 
+    # max_batch: ONE device call never carries more than this many
+    # images. The full 6-camera ring in one fused-Swin dispatch at
+    # GDINO_SWINT geometry reproducibly faults the TPU worker (r04
+    # bisection, TPU_QUEUE_r04.log: full_fused B=1/2/3 pass, B=6 faults,
+    # B=6 unfused passes — the same scale-dependent XLA:TPU codegen fault
+    # family as train/bevfusion.py SWIN_T_CAMERA); chunks of <= 3 stay in
+    # the validated envelope. The tail chunk pads to max_batch so every
+    # call shares one compiled shape.
+    tile = lambda a, n: jnp.asarray(  # noqa: E731
+        np.broadcast_to(a[None], (n,) + a.shape)
+    )
+
     def detect(frame):
         images = frame["images"]
         B = len(images)
@@ -921,10 +933,23 @@ def make_gdino_detector(
             [min(gh / im.shape[0], gw / im.shape[1]) for im in images],
             np.float32,
         )
-        tile = lambda a: jnp.asarray(np.broadcast_to(a[None], (B,) + a.shape))
-        nboxes, scores, cids = fwd(
-            params, jnp.asarray(imgs), tile(arr), tile(pos_ids.astype(np.int32)),
-            tile(attn), tile(token_mask),
+        nb = min(max_batch, B)
+        outs = []
+        for i in range(0, B, nb):
+            chunk = imgs[i : i + nb]
+            pad = nb - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            outs.append(fwd(
+                params, jnp.asarray(chunk), tile(arr, nb),
+                tile(pos_ids.astype(np.int32), nb), tile(attn, nb),
+                tile(token_mask, nb),
+            ))
+        nboxes, scores, cids = (
+            np.concatenate([np.asarray(o[j]) for o in outs])[:B]
+            for j in range(3)
         )
         nboxes = np.asarray(nboxes, np.float32)
         cx, cy = nboxes[..., 0] * gw, nboxes[..., 1] * gh

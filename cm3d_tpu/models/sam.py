@@ -82,6 +82,11 @@ class SamConfig:
     # at test scale (tests/test_quant.py) and A/B'd at production scale
     # (scripts/ab_sam_int8.py).
     quant_int8: bool = False
+    # calibrated static activation scales (requires quant_int8): drops
+    # the per-token amax reduce — measured 13.9% of the int8 chain time
+    # at MLP shapes on-chip (scripts/ab_int8_scales.py). Param tree gains
+    # act_scale leaves via calibrate_sam_act_scales after quantization.
+    quant_static: bool = False
 
     def __post_init__(self):
         if self.quant_int8 and self.fused_window_attn:
@@ -89,6 +94,14 @@ class SamConfig:
                 "quant_int8 and fused_window_attn are mutually exclusive: "
                 "the fused kernel consumes float qkv/proj params"
             )
+        if self.quant_static and not self.quant_int8:
+            raise ValueError("quant_static requires quant_int8")
+
+    def quant_mode(self) -> bool | str:
+        """The MLPBlock/ViTAttention quant= value: False | True | 'static'."""
+        if self.quant_int8 and self.quant_static:
+            return "static"
+        return self.quant_int8
 
     def fused_mode(self) -> str:
         v = self.fused_window_attn
@@ -132,13 +145,22 @@ class ViTAttention(nn.Module):
     heads: int
     input_hw: Tuple[int, int]  # token grid this block sees
     dtype: jnp.dtype = jnp.float32
-    quant: bool = False  # int8 w8a8 qkv/proj (common.QuantDense)
+    # int8 w8a8 qkv/proj (common.QuantDense): False | True | "static"
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import functools
+
         from cm3d_tpu.models.common import QuantDense
 
-        dense = QuantDense if self.quant else nn.Dense
+        dense = (
+            functools.partial(
+                QuantDense, static_scale=self.quant == "static"
+            )
+            if self.quant
+            else nn.Dense
+        )
         b, h, w, _ = x.shape
         head_dim = self.dim // self.heads
         qkv = dense(self.dim * 3, dtype=self.dtype, name="qkv")(
@@ -206,7 +228,8 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_mode: str = "off"  # windowed blocks: "on" | "off" | "interpret"
     fused_group_tokens: int = 392
-    quant: bool = False  # int8 w8a8 Dense layers (qkv/proj/MLP)
+    # int8 w8a8 Dense layers (qkv/proj/MLP): False | True | "static"
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -310,7 +333,7 @@ class ImageEncoderViT(nn.Module):
                 dt,
                 fused_mode=fused,
                 fused_group_tokens=cfg.fused_group_tokens,
-                quant=cfg.quant_int8,
+                quant=cfg.quant_mode(),
                 name=f"block{i}",
             )(x)
         # neck
@@ -655,6 +678,30 @@ def quantize_sam_params(params):
     out = dict(params)
     out["image_encoder"] = enc
     return out
+
+
+def calibrate_sam_act_scales(cfg: SamConfig, params, images,
+                             margin: float = 1.0):
+    """Calibrate static activation scales for a quantized SAM encoder
+    (SamConfig.quant_static — see ops/quant.py).
+
+    Runs ONE encode of the DYNAMIC twin (quant_static=False) so every
+    layer computes correct outputs while each QuantDense sows its input
+    absmax, then bakes ``act_scale`` leaves into the param tree
+    (ops.quant.bake_act_scales). ``params``: a quantize_sam_params
+    output; ``images``: [B, H, W, 3] preprocessed (normalized f32)
+    calibration batch from the DEPLOY distribution — out-of-envelope
+    activations clip at inference. Returns the calibrated tree for the
+    quant_static=True model.
+    """
+    from cm3d_tpu.ops.quant import bake_act_scales
+
+    dyn = Sam(dataclasses.replace(cfg, quant_static=False))
+    _, state = dyn.apply(
+        {"params": params}, images, method=dyn.encode_image,
+        mutable=["intermediates"],
+    )
+    return bake_act_scales(params, state["intermediates"], margin=margin)
 
 
 SAM_PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)

@@ -18,11 +18,21 @@ symmetric quantization):
                  into the producing/consuming elementwise kernels;
   - accumulate in int32 on the MXU, dequantize by (row_scale x col_scale).
 
-No calibration data is needed (dynamic activation scales), which matters
-here: real checkpoints are not reachable in this environment, so a static
-(calibrated) scheme could not be validated. Accuracy is pinned by
-tests/test_quant.py at test scale and measured at production scale by
-scripts/ab_sam_int8.py (on-chip A/B vs the bf16 encode).
+No calibration data is needed for the DEFAULT dynamic scheme, which
+matters here: real checkpoints are not reachable in this environment.
+Accuracy is pinned by tests/test_quant.py at test scale and measured at
+production scale by scripts/ab_sam_int8.py (on-chip A/B vs bf16).
+
+STATIC (calibrated) activation scales are the opt-in deploy mode
+(r04 VERDICT stretch item 8, activated on evidence): the per-token
+amax reduce costs a measured 13.9% of the int8 chain time at SAM MLP
+shapes on-chip (scripts/ab_int8_scales.py, TPU_QUEUE_r04.log).
+`static_int8_matmul` replaces the reduce with one calibrated per-tensor
+scale (a param leaf, so recalibration never recompiles): run the DYNAMIC
+model once over calibration batches with mutable=["intermediates"]
+(QuantDense sows its input absmax), then `bake_act_scales` writes the
+`act_scale` leaves the static modules consume. Out-of-envelope
+activations clip to +-127 — calibrate on deploy-distribution data.
 """
 
 from __future__ import annotations
@@ -93,6 +103,78 @@ def reconcile_quantization(params, transform, want: bool, name: str):
             " — pass --quant_int8, or convert a float checkpoint"
         )
     return params
+
+
+def static_int8_matmul(
+    x: jax.Array,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    act_scale: jax.Array,
+    bias: jax.Array | None = None,
+    out_dtype=None,
+) -> jax.Array:
+    """x @ dequant(w_q) with a CALIBRATED per-tensor activation scale.
+
+    Same s8 x s8 -> s32 MXU contraction as dynamic_int8_matmul but the
+    per-token amax reduce is gone: `act_scale` is a calibrated scalar
+    (bake_act_scales). Activations beyond the calibration envelope clip
+    to +-127.
+    """
+    if out_dtype is None:
+        out_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(act_scale.astype(jnp.float32), _EPS)
+    x_q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q,
+        w_q,
+        dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s * w_scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def _copy_tree(d):
+    return {
+        k: _copy_tree(v) if isinstance(v, dict) else v for k, v in d.items()
+    }
+
+
+def bake_act_scales(params: dict, intermediates: dict,
+                    margin: float = 1.0) -> dict:
+    """Write calibrated ``act_scale`` leaves into a quantized param tree.
+
+    ``intermediates``: the mutable-collection output of one or more
+    calibration runs of the DYNAMIC model (QuantDense sows its input
+    absmax under its own module path as ``act_absmax``). Every recorded
+    absmax becomes ``params[<same path>]["act_scale"] = absmax * margin
+    / 127`` — the leaf the static_scale=True module declares. margin > 1
+    adds clipping headroom. Returns a new tree (input unmodified).
+    """
+    import numpy as np
+
+    out = _copy_tree(params)
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "act_absmax":
+                    vals = v if isinstance(v, (tuple, list)) else (v,)
+                    amax = max(float(np.max(np.asarray(x))) for x in vals)
+                    sub = out
+                    for p in path:
+                        sub = sub[p]
+                    sub["act_scale"] = np.float32(
+                        max(amax * margin, _EPS) / 127.0
+                    )
+                else:
+                    walk(v, path + [k])
+
+    walk(intermediates, [])
+    return out
 
 
 def dynamic_int8_matmul(

@@ -622,6 +622,10 @@ def main(argv=None):
                    "under --detector gdino; 2x MXU peak; documented "
                    "deviation for both models) — same flag as the masks "
                    "CLI")
+    p.add_argument("--quant_static", action="store_true",
+                   help="with --quant_int8: calibrated static SAM "
+                   "activation scales, first-ring calibration (same flag "
+                   "as the masks CLI)")
     p.add_argument("--sam_size", default="vit_h",
                    choices=["vit_h", "vit_l", "vit_b"],
                    help="SAM encoder scale matching --sam_ckpt (same flag "
@@ -686,13 +690,15 @@ def main(argv=None):
                                    rect_encode=args.rect_encode, mesh=mesh,
                                    encode_chunk=args.encode_chunk,
                                    quant_int8=args.quant_int8,
+                                   quant_static=args.quant_static,
                                    detic_used=detic_used)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
             encode_chunk=args.encode_chunk, sam_size=args.sam_size,
-            quant_int8=args.quant_int8, detic_used=detic_used,
+            quant_int8=args.quant_int8, quant_static=args.quant_static,
+            detic_used=detic_used,
         )
     if args.detector == "gdino":
         models = attach_gdino(

@@ -628,7 +628,47 @@ def _batched_model_fns(detic_model, detic_params, classifier, sam_model,
             xs,
         )
 
+    # quant_static (calibrated int8 activation scales, ops/quant.py):
+    # the static encoder needs act_scale leaves that depend on the deploy
+    # data distribution, so the FIRST ring calibrates lazily — one jitted
+    # dynamic-twin encode sows per-layer absmax, bake_act_scales fills
+    # the leaves, and every later ring runs the reduce-free static path.
+    _needs_cal = bool(getattr(sam_model.cfg, "quant_static", False))
+
+    def _calibrate_first_ring(frame):
+        import dataclasses as _dc
+
+        from cm3d_tpu.models.sam import Sam
+        from cm3d_tpu.ops.quant import bake_act_scales
+
+        nonlocal sam_params
+        dyn = Sam(_dc.replace(sam_model.cfg, quant_static=False))
+
+        @jax.jit
+        def cal_run(p, xs):
+            def body(c, x):
+                _, st = dyn.apply(
+                    {"params": p}, x[None], method=dyn.encode_image,
+                    mutable=["intermediates"],
+                )
+                return c, st["intermediates"]
+
+            _, sts = jax.lax.scan(body, 0, xs)
+            # max over the ring (scan stacked a leading camera axis)
+            return jax.tree.map(lambda a: jnp.max(a, axis=0), sts)
+
+        xs = np.stack(
+            [preprocess_image(im, img_size) for im in frame["images"]]
+        )
+        inter = jax.device_get(cal_run(sam_params, jax.device_put(xs)))
+        sam_params = jax.device_put(
+            bake_act_scales(sam_params, inter), repl
+        )
+
     def sam_encode(frame):
+        if _needs_cal and not getattr(sam_encode, "_calibrated", False):
+            _calibrate_first_ring(frame)
+            sam_encode._calibrated = True
         enc_u8 = enc_group_u8 if data_size > 1 else enc_scan_u8
         if frame["scale1"]:
             return enc_u8(sam_params, frame["dev"], frame["hw"])
@@ -712,6 +752,7 @@ def build_real_models(
     encode_chunk: int = 1,
     sam_size: str = "vit_h",
     quant_int8: bool = False,
+    quant_static: bool = False,
     detic_used: bool = True,
 ) -> MaskModels:
     """Full-size models from released torch checkpoints, jitted batched.
@@ -777,7 +818,8 @@ def build_real_models(
     )
     sam_cfg = dataclasses.replace(sam_base, dtype=dtype,
                                   rect_encode=rect_encode,
-                                  quant_int8=quant_int8)
+                                  quant_int8=quant_int8,
+                                  quant_static=quant_static)
     return _batched_model_fns(
         Detic(detic_cfg), detic_params, classifier, Sam(sam_cfg), sam_params,
         vocabulary, mesh=mesh, encode_chunk=encode_chunk,
@@ -1003,6 +1045,12 @@ def main(argv=None):
                    "under --detector gdino; 2x MXU peak; documented "
                    "deviation for both models — see scripts/ab_sam_int8.py"
                    " and scripts/ab_detic_int8.py)")
+    p.add_argument("--quant_static", action="store_true",
+                   help="with --quant_int8: calibrated static activation "
+                   "scales for the SAM encoder — the FIRST keyframe ring "
+                   "calibrates (one dynamic-twin encode), later rings "
+                   "skip the per-token amax reduce (measured 13.9%% of "
+                   "the int8 chain, scripts/ab_int8_scales.py)")
     p.add_argument("--use_zoedepth", action="store_true",
                    help="store per-mask masked metric depth instead of RLE "
                    "masks (reference gen_2d_masks_detic.py:408-451)")
@@ -1052,13 +1100,15 @@ def main(argv=None):
                                    rect_encode=args.rect_encode, mesh=mesh,
                                    encode_chunk=args.encode_chunk,
                                    quant_int8=args.quant_int8,
+                                   quant_static=args.quant_static,
                                    detic_used=detic_used)
     else:
         models = build_real_models(
             args.detic_ckpt, args.sam_ckpt, args.clip_ckpt, args.bpe_path,
             vocabulary=vocab, rect_encode=args.rect_encode, mesh=mesh,
             encode_chunk=args.encode_chunk, sam_size=args.sam_size,
-            quant_int8=args.quant_int8, detic_used=detic_used,
+            quant_int8=args.quant_int8, quant_static=args.quant_static,
+            detic_used=detic_used,
         )
 
     if args.use_zoedepth:
@@ -1084,6 +1134,7 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
                       rect_encode: bool = False, mesh=None,
                       encode_chunk: int = 1,
                       quant_int8: bool = False,
+                      quant_static: bool = False,
                       detic_used: bool = True) -> MaskModels:
     """Tiny random-weight models (hermetic smoke tests / CI) behind the same
     batched wrappers as the real checkpoints."""
@@ -1112,7 +1163,8 @@ def build_fake_models(seed: int = 0, vocabulary=CUSTOM_VOCABULARY_NUSCENES,
         from cm3d_tpu.models.sam import quantize_sam_params
 
         sam_model = Sam(dataclasses.replace(
-            SAM_TEST, rect_encode=rect_encode, quant_int8=True
+            SAM_TEST, rect_encode=rect_encode, quant_int8=True,
+            quant_static=quant_static,
         ))
         sam_params = quantize_sam_params(sam_params)
     if quant_int8 and detic_used:

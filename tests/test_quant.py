@@ -461,3 +461,141 @@ def test_quant_sequence_sharded_encode_matches(sam_pair):
         rtol=2e-4,
         atol=2e-4,
     )
+
+
+# ---- static (calibrated) activation scales -----------------------------
+
+
+def test_static_int8_matmul_matches_dynamic_in_envelope():
+    """With act_scale set to the batch's true amax/127, the static path
+    is as accurate as the dynamic path (same float reference, similar
+    error); out-of-envelope activations clip instead of overflowing."""
+    from cm3d_tpu.ops.quant import (
+        dynamic_int8_matmul,
+        quantize_weight,
+        static_int8_matmul,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 24)).astype(np.float32))
+    w_q, w_s = quantize_weight(w)
+    ref = np.asarray(x @ w)
+    act_scale = jnp.max(jnp.abs(x)) / 127.0
+
+    stat = np.asarray(static_int8_matmul(x, w_q, w_s, act_scale))
+    dyn = np.asarray(dynamic_int8_matmul(x, w_q, w_s))
+    err_s = np.linalg.norm(stat - ref) / np.linalg.norm(ref)
+    err_d = np.linalg.norm(dyn - ref) / np.linalg.norm(ref)
+    assert err_s < 0.05, err_s
+    # per-tensor static cannot beat per-token dynamic, but must be the
+    # same order of accuracy on in-envelope data
+    assert err_s < 4 * err_d + 1e-3, (err_s, err_d)
+
+    # 100x out-of-envelope rows clip to the envelope (finite output)
+    x_big = x.at[0].mul(100.0)
+    out = np.asarray(static_int8_matmul(x_big, w_q, w_s, act_scale))
+    assert np.isfinite(out).all()
+    assert np.abs(out[0]).max() <= np.abs(ref).max() * 40  # clipped, not 100x
+
+
+def test_bake_act_scales_from_sow():
+    """QuantDense sows its input absmax under mutable intermediates; the
+    bake writes matching act_scale leaves the static module consumes."""
+    from cm3d_tpu.models.common import QuantDense
+    from cm3d_tpu.ops.quant import bake_act_scales, quantize_dense_params
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 12)).astype(np.float32))
+    float_params = {
+        "kernel": rng.normal(size=(12, 6)).astype(np.float32),
+        "bias": rng.normal(size=(6,)).astype(np.float32),
+    }
+    qp = quantize_dense_params(float_params)
+
+    dyn = QuantDense(6)
+    y_dyn, state = dyn.apply(
+        {"params": qp}, x, mutable=["intermediates"]
+    )
+    baked = bake_act_scales({"qd": qp}, {"qd": state["intermediates"]})
+    assert "act_scale" in baked["qd"]
+    np.testing.assert_allclose(
+        baked["qd"]["act_scale"], float(jnp.max(jnp.abs(x))) / 127.0,
+        rtol=1e-6,
+    )
+    # original tree untouched
+    assert "act_scale" not in qp
+
+    stat = QuantDense(6, static_scale=True)
+    y_stat = stat.apply({"params": baked["qd"]}, x)
+    rel = np.linalg.norm(np.asarray(y_stat) - np.asarray(y_dyn)) / max(
+        np.linalg.norm(np.asarray(y_dyn)), 1e-9
+    )
+    assert rel < 0.05, rel
+
+
+def test_sam_static_calibrated_encode_close(sam_pair):
+    """SAM encoder with quant_static: calibrate on one batch, encode a
+    NEARBY batch — output stays close to both the dynamic-int8 and the
+    float encodes (the deploy-mode accuracy contract)."""
+    from cm3d_tpu.models.sam import Sam, calibrate_sam_act_scales
+
+    model, params, qmodel, qparams, img, boxes = sam_pair
+    cfg_static = dataclasses.replace(qmodel.cfg, quant_static=True)
+    calibrated = calibrate_sam_act_scales(cfg_static, qparams, img[None])
+    smodel = Sam(cfg_static)
+
+    # a nearby (same-distribution) input, NOT the calibration image
+    img2 = img + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), img.shape, jnp.float32
+    )
+    ref = np.asarray(
+        model.apply({"params": params}, img2[None],
+                    method=model.encode_image), np.float32)
+    dyn = np.asarray(
+        qmodel.apply({"params": qparams}, img2[None],
+                     method=qmodel.encode_image), np.float32)
+    stat = np.asarray(
+        smodel.apply({"params": calibrated}, img2[None],
+                     method=smodel.encode_image), np.float32)
+
+    rel_sf = np.linalg.norm(stat - ref) / np.linalg.norm(ref)
+    rel_sd = np.linalg.norm(stat - dyn) / np.linalg.norm(dyn)
+    corr = np.corrcoef(ref.ravel(), stat.ravel())[0, 1]
+    assert rel_sf < 0.15, rel_sf
+    assert rel_sd < 0.1, rel_sd
+    assert corr > 0.99, corr
+
+
+def test_quant_static_requires_int8():
+    from cm3d_tpu.models.sam import SAM_TEST
+
+    with pytest.raises(ValueError, match="quant_static requires"):
+        dataclasses.replace(SAM_TEST, quant_static=True)
+    cfg = dataclasses.replace(SAM_TEST, quant_int8=True, quant_static=True)
+    assert cfg.quant_mode() == "static"
+
+
+def test_fake_models_quant_static_lazy_calibration():
+    """build_fake_models(quant_int8 + quant_static): the FIRST ring
+    calibrates (bakes act_scale into the served params), later rings run
+    the static path; embeddings stay close to the dynamic pipeline's."""
+    from cm3d_tpu.pipelines.masks import build_fake_models
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(2)]
+    imgs2 = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(2)]
+
+    dyn = build_fake_models(quant_int8=True)
+    stat = build_fake_models(quant_int8=True, quant_static=True)
+
+    e_first = np.asarray(stat.sam_encode(stat.prepare(imgs)), np.float32)
+    # second, DIFFERENT ring: static path with first-ring scales
+    e_stat = np.asarray(stat.sam_encode(stat.prepare(imgs2)), np.float32)
+    e_dyn = np.asarray(dyn.sam_encode(dyn.prepare(imgs2)), np.float32)
+
+    assert np.isfinite(e_first).all() and np.isfinite(e_stat).all()
+    rel = np.linalg.norm(e_stat - e_dyn) / np.linalg.norm(e_dyn)
+    corr = np.corrcoef(e_dyn.ravel(), e_stat.ravel())[0, 1]
+    assert rel < 0.1, rel
+    assert corr > 0.99, corr
