@@ -118,4 +118,32 @@ def _masked_medoid_xla(points: jax.Array, valid: jax.Array) -> jax.Array:
     # all_sums: [n_chunks, M, chunk] -> [M, K]
     sums = jnp.transpose(all_sums, (1, 0, 2)).reshape(m, pad_k)[:, :k]
     sums = jnp.where(valid[:, :k], sums, jnp.inf)
-    return jnp.argmin(sums, axis=-1).astype(jnp.int32)
+
+    # Refinement pass: even centered, the |a|^2+|b|^2-2ab expansion
+    # carries ~1e-3-relative cancellation noise at object scale — enough
+    # to flip the argmin between close-but-not-tied minima (observed vs
+    # the reference's difference-based torch.cdist in the live-oracle
+    # composite A/B). Recompute the top-T candidates' sums with EXACT
+    # per-dim f32 differences (the reference's own arithmetic; the
+    # Pallas path already does this for every row) and argmin over those.
+    t = min(8, k)
+    raw = points[:, :k].astype(jnp.float32)  # padding rows already zeroed
+    valid_k = valid[:, :k]
+    validf_k = valid_k.astype(jnp.float32)
+    _, cand = jax.lax.top_k(-sums, t)  # T smallest expansion sums
+    cand = jnp.sort(cand, axis=1)  # ascending -> first-index tie-break
+    cpts = jnp.take_along_axis(raw, cand[..., None], axis=1)  # [M, T, 3]
+
+    def exact_body(carry, ti):
+        diff = raw - cpts[:, ti][:, None, :]  # [M, K, 3]
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        return carry, jnp.sum(d * validf_k, axis=-1)  # [M]
+
+    _, es = jax.lax.scan(exact_body, None, jnp.arange(t))  # [T, M]
+    es = jnp.where(
+        jnp.take_along_axis(valid_k, cand, axis=1), es.T, jnp.inf
+    )
+    best = jnp.argmin(es, axis=1)
+    return jnp.take_along_axis(
+        cand, best[:, None], axis=1
+    )[:, 0].astype(jnp.int32)

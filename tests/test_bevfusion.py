@@ -16,6 +16,12 @@ from cm3d_tpu.train.bevfusion import (
 from cm3d_tpu.train.centerpoint import CenterPointConfig
 from cm3d_tpu.train.voxelize import PillarConfig
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+import pytest
+
+pytestmark = pytest.mark.slow
+
 PILLAR = PillarConfig(x_min=-8.0, x_max=8.0, y_min=-8.0, y_max=8.0,
                       resolution=1.0, z_min=-3.0, z_max=3.0)
 CFG = BevFusionConfig(

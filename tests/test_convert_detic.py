@@ -1,10 +1,15 @@
 """Detic converter: fabricated checkpoint -> structural match with init."""
 
 import numpy as np
+import pytest
 import jax
 
 from cm3d_tpu.models.detic import DETIC_TEST, Detic
 from cm3d_tpu.models.convert_detic import convert_detic_params
+
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+pytestmark = pytest.mark.slow
 
 
 def _fake_detic_sd(cfg):

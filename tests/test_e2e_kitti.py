@@ -14,6 +14,12 @@ from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
 from cm3d_tpu.datasets.artifacts import MaskArtifactStore
 from test_kitti import CALIB_TXT
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+import pytest
+
+pytestmark = pytest.mark.slow
+
 JPG_WH = (1024, 320)  # = the default KittiFrontend mask canvas
 SMALL_K = LiftStageConfig(
     num_sweeps=1, image_ratio=0.8366, sqrt_min_dist_load_filter=False,

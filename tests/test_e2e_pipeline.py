@@ -11,6 +11,10 @@ from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
 from cm3d_tpu.datasets.artifacts import MaskArtifactStore
 from nusc_fixture import VERSION, make_fake_nuscenes
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+pytestmark = pytest.mark.slow
+
 # the fixture's camera jpgs are 160x90 (nominal 1600x900 -> ratio 0.1)
 SMALL = LiftStageConfig(
     max_points=16384, max_masks=32, max_points_per_mask=512,

@@ -17,6 +17,12 @@ from cm3d_tpu.config import LiftStageConfig, MaskStageConfig
 from cm3d_tpu.datasets.artifacts import MaskArtifactStore
 from waymo_fixture import make_fake_waymo
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+import pytest
+
+pytestmark = pytest.mark.slow
+
 # full-ratio jpgs (1024x664 = the WAYMO_IMAGE_RATIO canvas) so the fused
 # plane canvas equals the two-stage frontend canvas
 JPG_WH = (1024, 664)

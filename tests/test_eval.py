@@ -1,5 +1,6 @@
 """Detection eval: hand-computed scenarios + reference quirk coverage."""
 
+import pytest
 import numpy as np
 
 from cm3d_tpu.eval import (
@@ -203,6 +204,7 @@ def test_object_only_eval():
     assert recalls[0] == 1.0
 
 
+@pytest.mark.slow
 def test_render_curves_writes_reference_plot_layout(tmp_path):
     """DetectionEval.main(render_curves=True) writes the reference's plots
     dir: summary.pdf + {class}_pr/_tp.pdf + dist_pr_{th}.pdf

@@ -18,6 +18,10 @@ from cm3d_tpu.parallel.gpipe import (
     stage_mesh,
 )
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+pytestmark = pytest.mark.slow
+
 WIDTH, HEADS, CTX = 16, 2, 8
 
 

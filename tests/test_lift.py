@@ -198,6 +198,7 @@ def test_build_boxes_pushback_and_nms():
         np.testing.assert_allclose(np.asarray(out.centers[i]), ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_lift_multi_camera_matches_oracle():
     """Masks spread over 3 cameras: per-mask counts/centroids match the
     single-camera oracle applied with each mask's own calibration."""
@@ -264,6 +265,7 @@ def test_lift_multi_camera_matches_oracle():
     assert n_checked >= 5
 
 
+@pytest.mark.slow
 def test_invalid_masks_do_not_consume_union_capacity():
     """An invalid mask's pixels must be invisible to the any-mask union:
     with a huge rejected-class mask and a tiny NU budget, the valid mask

@@ -197,6 +197,7 @@ def test_run_mask_stage_accumulates_counters(tmp_path):
     assert cnt.dropped_total == 9
 
 
+@pytest.mark.slow
 def test_rect_encode_smoke():
     """SamConfig.rect_encode: non-square encode + decode + planes run and
     produce masks roughly where the square path puts them (numerical

@@ -54,6 +54,7 @@ def test_kitti_provider_cli(tmp_path):
         assert all(c == 0 for c in fm.cam_nums)
 
 
+@pytest.mark.slow
 def test_waymo_provider_cli(tmp_path):
     from waymo_fixture import make_fake_waymo
 

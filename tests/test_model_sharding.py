@@ -10,6 +10,10 @@ from cm3d_tpu.models.sam import SAM_TEST, Sam
 from cm3d_tpu.parallel.mesh import make_mesh
 from cm3d_tpu.parallel.sharding import param_spec, shard_model_params
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+pytestmark = pytest.mark.slow
+
 
 def test_param_spec_rules():
     assert param_spec("image_encoder/block0/attn/qkv/kernel", 2) == P(None, "model")

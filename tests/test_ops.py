@@ -1,6 +1,7 @@
 """Unit tests for device ops vs cv2/torch/numpy oracles."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cm3d_tpu.ops import (
@@ -223,6 +224,7 @@ def test_nearest_lane_padding():
     np.testing.assert_allclose(float(dists[0]), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_polygon_nms_rotated_overlap():
     import jax.numpy as jnp
     from cm3d_tpu.ops.nms import polygon_nms_keep

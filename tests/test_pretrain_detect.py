@@ -14,6 +14,12 @@ import numpy as np
 from cm3d_tpu.train import CenterPointConfig, PillarConfig
 from nusc_fixture import VERSION, make_fake_nuscenes
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+import pytest
+
+pytestmark = pytest.mark.slow
+
 PILLAR = PillarConfig(x_min=-25.6, x_max=25.6, y_min=-25.6, y_max=25.6,
                       resolution=0.8)
 MODEL = CenterPointConfig(trunk_channels=(16, 16), head_channels=16)

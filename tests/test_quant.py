@@ -20,6 +20,10 @@ from cm3d_tpu.ops.quant import (
     quantize_weight,
 )
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+pytestmark = pytest.mark.slow
+
 
 def test_quantize_weight_exact_on_grid():
     """Weights already on an int8 grid round-trip exactly."""

@@ -383,9 +383,38 @@ def test_full_mask_lift_live(ref):
             assert not bool(out.has_points[i])
             continue
         n_checked += 1
-        np.testing.assert_allclose(
-            np.asarray(out.centroids[i]), centroid_ref, rtol=1e-4, atol=1e-3
-        )
-        np.testing.assert_allclose(centroid_ora, centroid_ref,
-                                   rtol=1e-5, atol=1e-4)
+        ours_c = np.asarray(out.centroids[i])
+        if not np.allclose(ours_c, centroid_ref, rtol=1e-4, atol=1e-3):
+            # Medoid disagreement: measured live, the REFERENCE's own
+            # arithmetic is the noisy side — torch.cdist on raw
+            # global-magnitude f32 coords picks a non-minimal medoid by
+            # up to ~6e-3 relative (coordinate quantization ~6e-5 at
+            # |x|~1e3, summed over the set), while our fallback refines
+            # its top candidates with exact per-dim differences
+            # (ops/medoid.py). Parity criterion: our pick's EXACT f64
+            # distance sum is never worse than the reference's, and the
+            # divergence stays inside the reference's own noise envelope.
+            sel_pts = points[sorted(sel_ref.tolist()), :3].astype(
+                np.float64
+            )
+            dsum = np.sqrt(
+                ((sel_pts[:, None] - sel_pts[None, :]) ** 2).sum(-1)
+            ).sum(0)
+            i_ref = int(np.argmin(
+                np.linalg.norm(sel_pts - centroid_ref, axis=1)
+            ))
+            i_our = int(np.argmin(np.linalg.norm(sel_pts - ours_c, axis=1)))
+            assert np.linalg.norm(sel_pts[i_our] - ours_c) < 1e-3, i
+            assert dsum[i_our] <= dsum[i_ref] * (1 + 1e-9), (
+                i, dsum[i_our], dsum[i_ref]
+            )
+            gap = (dsum[i_ref] - dsum[i_our]) / max(dsum[i_our], 1e-9)
+            assert gap < 2e-2, (i, gap, ours_c, centroid_ref)
+            # the f64 transcribed oracle computes the exact medoid too —
+            # it must side with our pick, not the reference's f32 noise
+            np.testing.assert_allclose(centroid_ora, ours_c,
+                                       rtol=1e-4, atol=1e-3)
+        else:
+            np.testing.assert_allclose(centroid_ora, centroid_ref,
+                                       rtol=1e-5, atol=1e-4)
     assert n_checked >= 3

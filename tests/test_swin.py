@@ -14,6 +14,10 @@ from cm3d_tpu.models.swin import (
     _shift_attn_mask,
 )
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(23)
 
 

@@ -116,6 +116,7 @@ def _make_batch(b=2, n=4096, m=6):
                       jnp.asarray(boxes), jnp.asarray(bvalid))
 
 
+@pytest.mark.slow
 def test_train_step_overfits_and_decodes():
     state, model, tx = init_state(jax.random.PRNGKey(0), PILLAR, MODEL,
                                   learning_rate=3e-3)
@@ -284,6 +285,7 @@ def test_ema_schedule_clip_and_augmented_step():
     )
 
 
+@pytest.mark.slow
 def test_augment_decorrelates_across_devices():
     """Under a collective step (axis_name set), each device must draw a
     DIFFERENT augmentation for the same (seed, step), and the mutated

@@ -169,6 +169,7 @@ def _npz_scene_to_tfrecord(frames_root: Path, scene: str, out: Path):
             wtr.write(frame_proto.encode_frame_lite(fe.load_frame(path)))
 
 
+@pytest.mark.slow
 def test_raw_segment_matches_npz_path(tmp_path):
     """A raw .tfrecord segment must produce byte-identical keyframes to the
     frame-lite npz cache of the same frames."""

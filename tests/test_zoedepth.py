@@ -23,6 +23,10 @@ from cm3d_tpu.models.zoedepth import (
     synth_zoedepth_state_dict,
 )
 
+# multi-minute model-family/pipeline integration file — excluded from the
+# dev tier (`-m "not slow"`); the full suite runs everything
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(7)
 
 
