@@ -638,6 +638,12 @@ def main(argv=None):
                    help="groundingdino_swint_ogc torch checkpoint")
     p.add_argument("--gdino_vocab", default="",
                    help="bert-base-uncased vocab.txt for --detector gdino")
+    p.add_argument("--gdino_bf16", action="store_true",
+                   help="run GroundingDINO in bfloat16 compute (params "
+                   "stay f32; softmax/score islands stay f32 in-module) "
+                   "— the same speed/accuracy trade the Detic/SAM "
+                   "production default makes; gdino stays f32 by "
+                   "default for reference parity")
     p.add_argument("--camera_mesh", type=int, default=0,
                    help="camera-parallel 2D stage: shard the camera ring "
                    "over an N-chip data mesh (keyframe latency / N; N must "
@@ -704,6 +710,7 @@ def main(argv=None):
         models = attach_gdino(
             models, args.gdino_ckpt, args.gdino_vocab,
             test=args.fake_weights, quant_int8=args.quant_int8,
+            dtype="bfloat16" if args.gdino_bf16 else "float32",
         )
     # same default as the masks CLI: the reference's KITTI flow runs
     # without 2D NMS ("wo_2d_nms", kitti/gen_2d_masks_detic.py:781-811)

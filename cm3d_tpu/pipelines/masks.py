@@ -863,6 +863,7 @@ def attach_gdino(
     models: MaskModels, ckpt_path: str = "", vocab_path: str = "",
     test: bool = False, box_threshold: float = 0.15, seed: int = 0,
     quant_int8: bool = False, fake_scale: str = "test",
+    dtype: str = "float32",
 ) -> MaskModels:
     """Swap the detector for GroundingDINO (the reference's commented-out
     alternative, kitti/gen_2d_masks_detic.py:115-117,633,697-704): boxes
@@ -900,7 +901,18 @@ def attach_gdino(
             base.bert, vocab_size=max(64, len(vocab) + 8),
             pad_id=0, unk_id=1, cls_id=2, sep_id=3,
         )
-        cfg = _dc.replace(base, bert=bert)
+        cfg = _dc.replace(
+            base, bert=bert, dtype=dtype,
+            # bf16 forces the UNFUSED Swin attention: the fused kernel's
+            # bf16 full-graph compile faults the TPU worker even at the
+            # chunk-3 envelope that f32 validates (fused B=1 ok / B=3
+            # faults / unfused B=6 ok — TPU_QUEUE_r04.log 17:52-18:34)
+            swin=_dc.replace(
+                base.swin, dtype=dtype,
+                fused_attn=False if dtype == "bfloat16" else
+                base.swin.fused_attn,
+            ),
+        )
         tok = WordPieceTokenizer(vocab, bert)
         model = GroundingDino(cfg)
         h, w = cfg.img_hw
@@ -912,7 +924,14 @@ def attach_gdino(
             np.ones((1, L, L), bool), np.ones((1, L), bool),
         )["params"]
     else:
-        cfg = GDINO_SWINT
+        cfg = _dc.replace(
+            GDINO_SWINT, dtype=dtype,
+            swin=_dc.replace(
+                GDINO_SWINT.swin, dtype=dtype,
+                fused_attn=False if dtype == "bfloat16" else
+                GDINO_SWINT.swin.fused_attn,
+            ),
+        )
         tok = WordPieceTokenizer.from_file(vocab_path, BertConfig())
         model = GroundingDino(cfg)
         params = load_converted(
@@ -1065,6 +1084,12 @@ def main(argv=None):
                    help="groundingdino_swint_ogc torch checkpoint")
     p.add_argument("--gdino_vocab", default="",
                    help="bert-base-uncased vocab.txt for --detector gdino")
+    p.add_argument("--gdino_bf16", action="store_true",
+                   help="run GroundingDINO in bfloat16 compute (params "
+                   "stay f32; softmax/score islands stay f32 in-module) "
+                   "— the same speed/accuracy trade the Detic/SAM "
+                   "production default makes; gdino stays f32 by "
+                   "default for reference parity")
     p.add_argument("--camera_mesh", type=int, default=0,
                    help="camera-parallel 2D stage: shard the camera ring "
                    "over an N-chip data mesh (keyframe latency / N; N must "
@@ -1119,6 +1144,7 @@ def main(argv=None):
         models = attach_gdino(
             models, args.gdino_ckpt, args.gdino_vocab,
             test=args.fake_weights, quant_int8=args.quant_int8,
+            dtype="bfloat16" if args.gdino_bf16 else "float32",
         )
 
     run_nms = (args.dataset != "kitti") if args.run_nms < 0 else bool(args.run_nms)

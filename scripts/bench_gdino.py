@@ -30,9 +30,11 @@ from cm3d_tpu.pipelines.masks import attach_gdino  # noqa: E402
 print(f"bench_gdino smoke={smoke} backend={jax.default_backend()}",
       flush=True)
 
+bf16 = os.environ.get("CM3D_GDINO_BF16") == "1"
 models = benchmarks.build_production_fake_models()
 models = attach_gdino(models, test=True,
-                      fake_scale="test" if smoke else "swint")
+                      fake_scale="test" if smoke else "swint",
+                      dtype="bfloat16" if bf16 else "float32")
 models = benchmarks._realistic_load(models)
 
 if smoke:
@@ -49,4 +51,5 @@ else:
     r = benchmarks.bench_mask_stage(models=models)
     r["metric"] = "masks_gdino_keyframes_per_sec_per_chip"
     r["detector"] = "gdino_swint_random_weights"
+    r["gdino_bf16"] = bf16
     print(json.dumps(r), flush=True)

@@ -24,6 +24,10 @@ smoke = os.environ.get("CM3D_AB_SMOKE") == "1"
 # call; all four B=1 arms passed on-chip (TPU_QUEUE_r04.log 13:07-13:43),
 # so the kill is batch-dependent — probe with CM3D_DIAG_B=6
 B = int(os.environ.get("CM3D_DIAG_B", "1"))
+# CM3D_DIAG_DTYPE=bfloat16 probes the compute-dtype axis: the bf16
+# fused arm at chunk 3 faulted the worker where f32 chunk 3 passed
+# (TPU_QUEUE_r04.log 17:46) — the fault envelope is dtype-dependent
+DTYPE = os.environ.get("CM3D_DIAG_DTYPE", "float32")
 
 import jax  # noqa: E402
 
@@ -37,11 +41,11 @@ from cm3d_tpu.models.gdino import GDINO_SWINT, GDINO_TEST  # noqa: E402
 
 base = GDINO_TEST if smoke else GDINO_SWINT
 fused = arm.endswith("fused") and not arm.endswith("unfused")
-swin = dc.replace(base.swin,
+swin = dc.replace(base.swin, dtype=DTYPE,
                   fused_attn=("interpret" if smoke and fused else fused))
-cfg = dc.replace(base, swin=swin)
+cfg = dc.replace(base, swin=swin, dtype=DTYPE)
 h, w = cfg.img_hw
-print(f"diag_gdino arm={arm} B={B} smoke={smoke} hw={h}x{w} "
+print(f"diag_gdino arm={arm} B={B} dtype={DTYPE} smoke={smoke} hw={h}x{w} "
       f"backend={jax.default_backend()}", flush=True)
 
 rng = np.random.default_rng(0)

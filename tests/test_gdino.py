@@ -380,3 +380,33 @@ def test_detector_batch_chunking_matches_unchunked():
             np.asarray(a)[3:], np.asarray(b), rtol=1e-5, atol=1e-5,
             err_msg=f"output {j}",
         )
+
+
+def test_detector_bf16_close_to_f32():
+    """attach_gdino dtype='bfloat16' (opt-in, --gdino_bf16): same kept
+    detections as f32 at test scale with close scores/boxes — the
+    compute-dtype trade the Detic/SAM production default already makes."""
+    from cm3d_tpu.pipelines.masks import attach_gdino, build_fake_models
+
+    vocab = ("car", "tree")
+    base = build_fake_models(seed=0, vocabulary=vocab)
+    imgs = [(RNG.random((48, 64, 3)) * 255).astype(np.uint8)
+            for _ in range(2)]
+    frame = {"images": imgs}
+
+    f32 = attach_gdino(base, test=True, box_threshold=0.0).detic(frame)
+    b16 = attach_gdino(base, test=True, box_threshold=0.0,
+                       dtype="bfloat16").detic(frame)
+
+    scores32, valid32 = np.asarray(f32[1]), np.asarray(f32[3])
+    scores16, valid16 = np.asarray(b16[1]), np.asarray(b16[3])
+    # random tiny weights leave many queries near-tied, so top_k rank
+    # swaps are expected — compare the SORTED score distribution
+    # (rank-agnostic), restricted to the top (high-score) detections that
+    # actually flow to SAM prompting; borderline tail queries can flip
+    # their argmax token under bf16 rounding at this toy scale
+    top = 8
+    s32 = np.sort(scores32, axis=1)[:, ::-1][:, :top]
+    s16 = np.sort(scores16, axis=1)[:, ::-1][:, :top]
+    np.testing.assert_allclose(s16, s32, rtol=0.1, atol=0.03)
+    assert abs(int(valid16.sum()) - int(valid32.sum())) <= 2

@@ -418,3 +418,24 @@ def test_lift_partial_points_derive_validity(served_lift):
 
     a, b = post(explicit), post(partial)
     assert a == b
+
+
+def test_lift_accepts_compressed_npz(served_lift):
+    """np.savez_compressed bodies work identically (np.load handles both
+    formats) — the ~12 MB keyframe payload is mostly sparse mask planes,
+    so compression is the client-side lever against upload-bound latency."""
+    from tests.test_deploy import _small_batch
+
+    from cm3d_tpu.serve import _keyframe_fields
+
+    batch = _small_batch(batch=1, seed=3)
+    fields = {k: np.asarray(v)[0]
+              for k, v in _keyframe_fields(batch.frames).items()}
+
+    raw, comp = io.BytesIO(), io.BytesIO()
+    np.savez(raw, **fields)
+    np.savez_compressed(comp, **fields)
+    assert len(comp.getvalue()) < len(raw.getvalue())
+    a = _post_lift(served_lift["url"], raw.getvalue())
+    b = _post_lift(served_lift["url"], comp.getvalue())
+    assert a == b
