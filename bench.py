@@ -107,7 +107,7 @@ def main() -> None:
             return
         _emit(benchmarks.bench_e2e(
             rect_encode=rect_encode, quant_int8=quant_int8,
-            sam_size=sam_size,
+            quant_static=quant_static, sam_size=sam_size,
         ))
         return
     if stage == "train":

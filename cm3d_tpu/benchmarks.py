@@ -317,7 +317,7 @@ def bench_mask_stage(
 def bench_e2e(
     dtype: str = "bfloat16", n_frames: int = 12, batch_size: int = 4,
     models=None, rect_encode: bool = False, quant_int8: bool = False,
-    sam_size: str = "vit_h",
+    quant_static: bool = False, sam_size: str = "vit_h",
 ) -> dict:
     """Fused end-to-end throughput: images -> Detic -> SAM -> bit-planes ->
     lift step -> boxes, through pipelines.e2e.run_fused (the production
@@ -340,7 +340,7 @@ def bench_e2e(
         models = _realistic_load(
             build_production_fake_models(
                 dtype, rect_encode=rect_encode, quant_int8=quant_int8,
-                sam_size=sam_size,
+                quant_static=quant_static, sam_size=sam_size,
             )
         )
 
@@ -413,6 +413,7 @@ def bench_e2e(
         "boxes_kept": boxes_seen[0],
         "rect_encode": rect_encode,
         "quant_int8": quant_int8,
+        "quant_static": quant_static,
         "sam_size": sam_size,
     }
 

@@ -234,14 +234,23 @@ def run_conform(args, cfg_overrides: dict | None = None) -> tuple[dict, int]:
                 e2e_argv += ["--gdino_vocab", args.gdino_vocab]
         try:
             _e2e_main(e2e_argv)
-            with open(sub_path) as f:
-                sub = json.load(f)
-            n_boxes = sum(len(v) for v in sub.get("results", {}).values())
-            report["e2e"] = {
-                "out": sub_path, "argv": e2e_argv,
-                "n_samples": len(sub.get("results", {})),
-                "n_boxes": n_boxes,
-            }
+            report["e2e"] = {"out": sub_path, "argv": e2e_argv}
+            if args.dataset == "nuscenes":
+                # only nuScenes e2e writes a submission JSON; Waymo writes
+                # a metrics_pb2.Objects .bin, KITTI a label dir — summarize
+                # those by artifact size instead of mis-parsing them
+                with open(sub_path) as f:
+                    sub = json.load(f)
+                report["e2e"].update(
+                    n_samples=len(sub.get("results", {})),
+                    n_boxes=sum(len(v)
+                                for v in sub.get("results", {}).values()),
+                )
+            else:
+                report["e2e"]["artifact_bytes"] = (
+                    os.path.getsize(sub_path)
+                    if os.path.isfile(sub_path) else None
+                )
         except Exception as e:
             rc = 1
             report["e2e"] = {"error": f"{type(e).__name__}: {e}",
@@ -252,6 +261,16 @@ def run_conform(args, cfg_overrides: dict | None = None) -> tuple[dict, int]:
     if args.skip_eval or not args.dataroot or "error" in report.get(
             "e2e", {}) or report["e2e"].get("skipped"):
         report["eval"] = {"skipped": True}
+    elif args.dataset != "nuscenes":
+        # the eval phase runs the nuScenes evaluator; Waymo bins go
+        # through the metrics CLI (eval/waymo_metrics.py) with a GT bin
+        # the runbook does not have, and KITTI has no in-repo evaluator
+        report["eval"] = {
+            "skipped": True,
+            "reason": f"no {args.dataset} eval phase in the runbook; "
+            "score the artifact with eval/waymo_metrics.py + a GT bin "
+            "(create_gt_bin) for waymo",
+        }
     else:
         eval_argv = [
             sub_path, "--output_dir", str(out / "metrics"),

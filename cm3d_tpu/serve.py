@@ -324,13 +324,27 @@ class LiftServer(_MicroBatchServer):
                     f"({aval.dtype}), got {list(arr.shape)}"
                 )
             out[name] = arr
-        # derive validity for partial streams whose mask was not sent
+        # derive validity for partial streams whose mask was not sent; an
+        # explicit mask sent ALONGSIDE a partial stream must not mark rows
+        # the client never sent (zero-filled slots would silently enter the
+        # lift as phantom points at the origin)
         for name, valid_name in _PARTIAL_FIELDS.items():
-            if name in out and valid_name not in out:
+            if name not in out:
+                continue
+            n_sent = len(out[name])
+            if valid_name not in out:
                 n_slot = self._fields[name].shape[1]
                 mask = np.zeros(n_slot, bool)
-                mask[: len(out[name])] = True
+                mask[:n_sent] = True
                 out[valid_name] = mask
+            elif out[valid_name][n_sent:].any():
+                raise RequestError(
+                    f"field {valid_name}: marks "
+                    f"{int(out[valid_name][n_sent:].sum())} rows valid "
+                    f"beyond the {n_sent} {name} rows sent — phantom "
+                    f"zero rows are rejected; send the full {name} "
+                    f"stream or trim the mask"
+                )
         return out
 
     def _build_batch(self, group: list):
@@ -462,6 +476,14 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
             return self._reply(400, {"error": "bad Content-Length header"})
+        if length < 0:
+            return self._reply(400, {"error": "bad Content-Length header"})
+        if length > self.server.max_body_bytes:
+            # the header is attacker-controlled; never allocate/read an
+            # unbounded body on its say-so
+            return self._reply(413, {
+                "error": f"request body {length} bytes exceeds the "
+                         f"{self.server.max_body_bytes}-byte limit"})
         try:
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
@@ -501,10 +523,17 @@ class _Handler(BaseHTTPRequestHandler):
 class ServingHTTPServer(ThreadingHTTPServer):
     daemon_threads = True
 
+    # hard cap on request bodies (413 beyond this): generous vs the
+    # largest legitimate wire frame (~12 MB uncompressed lift npz)
+    DEFAULT_MAX_BODY_BYTES = 64 * 1024 * 1024
+
     def __init__(self, address, backend: _MicroBatchServer,
-                 verbose: bool = True):
+                 verbose: bool = True,
+                 max_body_bytes: int | None = None):
         self.backend = backend
         self.verbose = verbose
+        self.max_body_bytes = (self.DEFAULT_MAX_BODY_BYTES
+                               if max_body_bytes is None else max_body_bytes)
         super().__init__(address, _Handler)
 
     @property

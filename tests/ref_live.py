@@ -31,6 +31,52 @@ from pathlib import Path
 REF_ROOT = Path("/root/reference/src")
 REF_DIR = REF_ROOT / "nuscenes"
 
+# SHA-256 pins of every reference file this module will exec. The mount is
+# designated PUBLIC UNTRUSTED content: executing it in the test process is
+# acceptable only for the exact revisions that were reviewed when these
+# oracles were written (ADVICE r04). On mismatch the loader refuses and
+# the tests skip — an unreviewed revision never executes.
+_CONTENT_PINS = {
+    "nuscenes/2d_to_3d.py":
+        "36aff429603c351d40b374062e21c8d7ae34bb078f468a7a75dc25d6b407340f",
+    "waymo/2d_to_3d.py":
+        "c6a9f67674eb340f4d7ae9cec4b3f710fa0fda008dd3ab7ead950fdeabc8867f",
+    "kitti/2d_to_3d.py":
+        "c06852cf1ff7079bfb2d9f46592889a3eee7aacb210c133a3aa0fbc757eba497",
+    "nuscenes/utils/pcd.py":
+        "c55f963f116e84e77c8ee2c2e6dcfe9075b05021d2680548a5d8dd6eb4ddd62b",
+    "waymo/utils/pcd.py":
+        "b37ca2afd2df64551d48b6ef8ad543c41991ee4eba80a15c1847d9210fba0b06",
+    "kitti/utils/pcd.py":
+        "c55f963f116e84e77c8ee2c2e6dcfe9075b05021d2680548a5d8dd6eb4ddd62b",
+    "nuscenes/eval_custom.py":
+        "bfa64bc2ed4d1f21c54c8dcd539af8f538a9adc2a38e34ebc3e6cc10fbd4f4f4",
+    "nuscenes/linear_matching.py":
+        "1ff290638ab629d03cef7301df65be33e168b2dc9eec5fe47ba6e8cc2608d30c",
+    "waymo/linear_matching.py":
+        "4cc37e67c74f211a0d7097fe49f1998fda00ca43ca624080e7fdf76a30d3389f",
+}
+
+
+class PinMismatch(RuntimeError):
+    pass
+
+
+def _check_pin(path: Path) -> None:
+    import hashlib
+
+    rel = str(path.relative_to(REF_ROOT))
+    pin = _CONTENT_PINS.get(rel)
+    if pin is None:
+        raise PinMismatch(f"no content pin for reference file {rel}; "
+                          f"review it and add its sha256 to _CONTENT_PINS")
+    got = hashlib.sha256(path.read_bytes()).hexdigest()
+    if got != pin:
+        raise PinMismatch(
+            f"reference file {rel} changed since its oracle review "
+            f"(sha256 {got} != pinned {pin}); re-review before executing"
+        )
+
 # dotted module names the reference imports that this image lacks; each
 # becomes an attribute-permissive stub (module-level `from x import y`
 # resolves y to an inert placeholder that raises only if USED)
@@ -132,6 +178,7 @@ def _load(path: Path, name: str, extra_modules: dict | None = None):
             injected.append(modname)
         sys.modules[modname] = mod
 
+    _check_pin(path)
     try:
         for modname in _STUB_MODULES:
             if modname not in sys.modules:
@@ -156,7 +203,18 @@ _CACHE: dict[str, types.ModuleType] = {}
 
 
 def reference_available() -> bool:
-    return (REF_DIR / "2d_to_3d.py").is_file()
+    """Skip-gate: the reference mount is present AND every pinned file
+    still matches its reviewed sha256 (see _CONTENT_PINS)."""
+    if not (REF_DIR / "2d_to_3d.py").is_file():
+        return False
+    try:
+        for rel in _CONTENT_PINS:
+            p = REF_ROOT / rel
+            if p.is_file():
+                _check_pin(p)
+    except PinMismatch:
+        return False
+    return True
 
 
 def load_pcd(dataset: str = "nuscenes"):

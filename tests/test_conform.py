@@ -181,3 +181,31 @@ def test_eval_skipped_after_e2e_failure(tmp_path, monkeypatch):
     assert rc == 1
     assert "no such scene" in report["e2e"]["error"]
     assert report["eval"]["skipped"] and not called
+
+
+def test_non_nuscenes_dataset_skips_json_summary_and_eval(tmp_path,
+                                                          monkeypatch):
+    """--dataset waymo: the e2e artifact is a .bin proto, not submission
+    JSON — the report records its size instead of mis-parsing it, the
+    nuScenes eval phase is skipped with a reason, and rc stays 0
+    (ADVICE r04)."""
+    seen = {}
+
+    def fake_e2e(argv):
+        seen["e2e"] = argv
+        Path(argv[argv.index("--out") + 1]).write_bytes(b"\x0a\x04bin!")
+
+    called = []
+    monkeypatch.setattr(conform, "_e2e_main", fake_e2e)
+    monkeypatch.setattr(conform, "_eval_main",
+                        lambda argv: called.append(argv))
+    report, rc = conform.run_conform(
+        _args(out=str(tmp_path / "c"), dataset="waymo", dataroot="/x",
+              scenes="s", fake_weights=True),
+    )
+    assert rc == 0
+    assert "--dataset" in seen["e2e"] and "waymo" in seen["e2e"]
+    assert report["e2e"]["artifact_bytes"] == 6
+    assert "n_samples" not in report["e2e"]
+    assert report["eval"]["skipped"] and "waymo" in report["eval"]["reason"]
+    assert not called

@@ -439,3 +439,62 @@ def test_lift_accepts_compressed_npz(served_lift):
     a = _post_lift(served_lift["url"], raw.getvalue())
     b = _post_lift(served_lift["url"], comp.getvalue())
     assert a == b
+
+
+def test_oversized_content_length_is_413(served):
+    """An attacker-controlled Content-Length beyond the server cap is
+    refused (413) BEFORE the body is read — no unbounded allocation."""
+    big = served["server"].max_body_bytes + 1
+    req = urllib.request.Request(
+        served["url"] + "/v1/detect", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    req.add_unredirected_header("Content-Length", str(big))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413
+    assert "limit" in json.loads(e.value.read())["error"]
+
+
+def test_negative_content_length_is_400(served):
+    req = urllib.request.Request(
+        served["url"] + "/v1/detect", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    req.add_unredirected_header("Content-Length", "-5")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+def test_lift_partial_points_with_overreaching_mask_is_400(served_lift):
+    """A partial points stream accompanied by a point_valid mask marking
+    rows beyond the sent count is rejected: zero-filled phantom points
+    must not silently enter the lift (ADVICE r04)."""
+    from tests.test_deploy import _small_batch
+
+    from cm3d_tpu.serve import _keyframe_fields
+
+    cfg = served_lift["cfg"]
+    batch = _small_batch(batch=1, seed=1)
+    fields = {k: np.asarray(v)[0]
+              for k, v in _keyframe_fields(batch.frames).items()}
+    n = cfg.max_points // 2
+    bad = dict(fields)
+    bad["points"] = fields["points"][:n]
+    bad["point_valid"] = np.ones(cfg.max_points, bool)  # over-marks
+    buf = io.BytesIO()
+    np.savez(buf, **bad)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_lift(served_lift["url"], buf.getvalue())
+    assert e.value.code == 400
+    assert "phantom" in json.loads(e.value.read())["error"]
+
+    # a consistent explicit mask alongside partial data stays accepted
+    ok = dict(fields)
+    ok["points"] = fields["points"][:n]
+    ok["point_valid"] = np.zeros(cfg.max_points, bool)
+    ok["point_valid"][:n] = True
+    buf = io.BytesIO()
+    np.savez(buf, **ok)
+    assert "boxes" in _post_lift(served_lift["url"], buf.getvalue())
