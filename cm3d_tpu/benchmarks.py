@@ -203,10 +203,14 @@ def _realistic_load(models, boxes_per_cam: int = 25, seed: int = 0):
         if nw not in blob_planes:
             m = nw * 32
             blob = np.zeros((m, IMG_W, IMG_H), np.uint8)
+            # ~120x90 px instance blobs at production canvas; clamp so the
+            # swap also works at fixture geometry (smoke modes patch
+            # IMG_W/IMG_H module globals)
+            bw, bh = min(120, IMG_W), min(90, IMG_H)
             for i in range(m):
-                x = rng.integers(0, IMG_W - 150)
-                y = rng.integers(0, IMG_H - 100)
-                blob[i, x : x + 120, y : y + 90] = 1
+                x = rng.integers(0, max(IMG_W - bw - 30, 1))
+                y = rng.integers(0, max(IMG_H - bh - 10, 1))
+                blob[i, x : x + bw, y : y + bh] = 1
             packed = pack_masks_np(blob)
             blob_planes[nw] = {
                 "xy": packed,

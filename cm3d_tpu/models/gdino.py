@@ -923,6 +923,22 @@ def make_gdino_detector(
         np.broadcast_to(a[None], (n,) + a.shape)
     )
 
+    @jax.jit
+    def post(nboxes, scores, cids, scales):
+        # cxcywh (normalized) -> xyxy in original-image px, ON DEVICE:
+        # detect stays dispatch-only (async) so the caller's SAM-encode
+        # dispatch and the batched device_fetch overlap the ~8 s gdino
+        # device time instead of blocking on a host sync here (VERDICT
+        # r05 item 7; was np post-processing behind per-chunk np.asarray)
+        nboxes = nboxes.astype(jnp.float32)
+        cx, cy = nboxes[..., 0] * gw, nboxes[..., 1] * gh
+        bw, bh = nboxes[..., 2] * gw, nboxes[..., 3] * gh
+        xyxy = jnp.stack(
+            [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
+        ) / scales[:, None, None]
+        scores = scores.astype(jnp.float32)
+        return xyxy, scores, cids, scores > box_threshold
+
     def detect(frame):
         images = frame["images"]
         B = len(images)
@@ -948,17 +964,11 @@ def make_gdino_detector(
                 tile(token_mask, nb),
             ))
         nboxes, scores, cids = (
-            np.concatenate([np.asarray(o[j]) for o in outs])[:B]
-            for j in range(3)
+            jnp.concatenate([o[j] for o in outs])[:B] for j in range(3)
         )
-        nboxes = np.asarray(nboxes, np.float32)
-        cx, cy = nboxes[..., 0] * gw, nboxes[..., 1] * gh
-        bw, bh = nboxes[..., 2] * gw, nboxes[..., 3] * gh
-        xyxy = np.stack(
-            [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
-        ) / scales[:, None, None]
-        scores = np.asarray(scores, np.float32)
-        return xyxy, scores, np.asarray(cids), scores > box_threshold
+        # returns DEVICE arrays — the mask-stage contract downloads them
+        # in one batched transfer (utils.fetch.device_fetch)
+        return post(nboxes, scores, cids, jnp.asarray(scales))
 
     return detect
 

@@ -116,7 +116,9 @@ def run_fused(
         return np.stack(xs)
 
     def _deliver(entries, boxes):
-        boxes_np = jax.tree.map(np.asarray, boxes)
+        from cm3d_tpu.utils.fetch import device_fetch
+
+        boxes_np = device_fetch(boxes)  # one batched transfer, not per-leaf
         for i, (_, token) in enumerate(entries):
             on_boxes(token, jax.tree.map(lambda x, i=i: x[i], boxes_np))
 

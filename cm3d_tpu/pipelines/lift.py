@@ -95,8 +95,9 @@ def run_lift(
         frames += [frames[-1]] * (batch_size - n_real)
         batch = stack_keyframes(frames)
         lift, boxes = step(batch.frames)
-        boxes_np = jax.tree.map(np.asarray, boxes)  # forces sync
-        lift_np = jax.tree.map(np.asarray, lift)
+        from cm3d_tpu.utils.fetch import device_fetch
+
+        boxes_np, lift_np = device_fetch((boxes, lift))  # one sync/transfer
         counters.update_from_outputs(
             np.asarray(batch.frames.mask_valid)[:n_real],
             jax.tree.map(lambda x: x[:n_real], lift_np),

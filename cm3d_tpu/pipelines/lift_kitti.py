@@ -104,8 +104,9 @@ def run_lift_kitti(
         )
         batch = stack_keyframes(frames)
         lift, keep = step(batch.frames)
-        lift_np = jax.tree.map(np.asarray, lift)
-        keep_np = np.asarray(keep)
+        from cm3d_tpu.utils.fetch import device_fetch
+
+        lift_np, keep_np = device_fetch((lift, keep))  # one transfer
         for i, (kf, idx) in enumerate(pending[:n_real]):
             calib = frontend.dataset.get_calibration(idx)
             objs = boxes_to_kitti_objects(

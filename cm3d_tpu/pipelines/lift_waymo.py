@@ -69,7 +69,9 @@ def run_lift_waymo(
         frames += [frames[-1]] * (batch_size - n_real)
         batch = stack_keyframes(frames)
         _, boxes = step(batch.frames)
-        boxes_np = jax.tree.map(np.asarray, boxes)
+        from cm3d_tpu.utils.fetch import device_fetch
+
+        boxes_np = device_fetch(boxes)  # one batched transfer
         timer["device"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         for i, (_, meta) in enumerate(pending[:n_real]):

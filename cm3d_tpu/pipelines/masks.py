@@ -135,7 +135,12 @@ def start_frame_masks(
         depth_fn = getattr(models.predict_depth, "dispatch",
                            models.predict_depth)
         depths = [depth_fn(im) for im in images]
-    boxes_b, scores_b, cids_b, valid_b = [np.asarray(x) for x in det]
+    # ONE batched transfer: per-array np.asarray paid the ~28 ms tunnel
+    # round trip per leaf (4 leaves = ~112 ms of main-thread block;
+    # scripts/ab_download_batch.py)
+    from cm3d_tpu.utils.fetch import device_fetch
+
+    boxes_b, scores_b, cids_b, valid_b = device_fetch(list(det))
     n_cams = len(cam_hw)
 
     p = cfg.max_detections

@@ -209,11 +209,11 @@ class DetectServer(_MicroBatchServer):
             n = len(pending.payload)
             pts[j, :n] = pending.payload
             val[j, :n] = True
-        boxes, scores, classes, keep = (
-            np.asarray(a) for a in self._exported.call(
-                self._params, self._batch_stats, pts, val
-            )
-        )
+        from cm3d_tpu.utils.fetch import device_fetch
+
+        boxes, scores, classes, keep = device_fetch(list(
+            self._exported.call(self._params, self._batch_stats, pts, val)
+        ))
         for j, pending in enumerate(group):
             k = keep[j]
             pending.result = {
@@ -367,13 +367,15 @@ class LiftServer(_MicroBatchServer):
         return Keyframe(cameras=cams, **batch)
 
     def _execute(self, group: list) -> None:
+        from cm3d_tpu.utils.fetch import device_fetch
+
         lift, boxes = self._exported.call(self._build_batch(group))
-        centers, sizes, yaws, scores, labels, keep = (
-            np.asarray(a) for a in (boxes.centers, boxes.sizes, boxes.yaws,
-                                    boxes.scores, boxes.labels, boxes.keep)
-        )
-        has_points = np.asarray(lift.has_points)
-        truncated = np.asarray(lift.truncated)
+        # one batched transfer (8 per-leaf np.asarray calls paid ~28 ms
+        # tunnel RTT EACH — scripts/ab_download_batch.py)
+        centers, sizes, yaws, scores, labels, keep, has_points, truncated = \
+            device_fetch([boxes.centers, boxes.sizes, boxes.yaws,
+                          boxes.scores, boxes.labels, boxes.keep,
+                          lift.has_points, lift.truncated])
         for j, pending in enumerate(group):
             k = keep[j]
             pending.result = {

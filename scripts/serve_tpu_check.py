@@ -183,9 +183,14 @@ def main():
         def frame_npz(i):
             return {k: np.asarray(v)[i] for k, v in all_fields.items()}
 
-        def post_lift(fields):
+        wire_bytes = {}
+
+        def post_lift(fields, compress=False):
             buf = io.BytesIO()
-            np.savez(buf, **fields)
+            (np.savez_compressed if compress else np.savez)(buf, **fields)
+            wire_bytes["compressed" if compress else "plain"] = len(
+                buf.getvalue()
+            )
             req = urllib.request.Request(
                 lurl + "/v1/lift", data=buf.getvalue(),
                 headers={"Content-Type": "application/octet-stream"},
@@ -225,6 +230,19 @@ def main():
         lp50 = float(np.percentile(lat_l, 50))
         lp90 = float(np.percentile(lat_l, 90))
 
+        # compressed-npz arm (VERDICT r05 item 4): the 12 MB plain wire is
+        # upload-bound over the loopback-tunneled host; savez_compressed
+        # trades client CPU (zlib) for wire bytes. Parity first, then p50.
+        lresp_c = post_lift(frame_npz(0), compress=True)
+        assert lresp_c == post_lift(frame_npz(0)), "compressed wire parity"
+        lat_c = []
+        for _ in range(reps):
+            t = time.monotonic()
+            post_lift(frame_npz(0), compress=True)
+            lat_c.append((time.monotonic() - t) * 1e3)
+        lcp50 = float(np.percentile(lat_c, 50))
+        lcp90 = float(np.percentile(lat_c, 90))
+
         lb0 = lserver.backend.stats["batches"]
         threads = [
             threading.Thread(target=post_lift, args=(frame_npz(i),))
@@ -253,6 +271,9 @@ def main():
         "parity": "exact", "smoke": SMOKE,
         "lift": {
             "p50_ms": round(lp50, 2), "p90_ms": round(lp90, 2),
+            "compressed_p50_ms": round(lcp50, 2),
+            "compressed_p90_ms": round(lcp90, 2),
+            "wire_bytes": wire_bytes,
             "batch": lift_batch,
             "concurrent_batch_ms": round(lgroup_ms, 2),
             "concurrent_device_batches": int(lbatches_used),

@@ -217,6 +217,209 @@ def reference_available() -> bool:
     return True
 
 
+# ---- whole-main live execution (VERDICT r04 item 2) --------------------
+#
+# The functions above exercise the reference's hot FUNCTIONS; the shim
+# below executes the ENTIRE nuScenes lift main (2d_to_3d.py:343-938 —
+# multi-sweep aggregation, the two-pass scene barrier, pass-2 box
+# assembly, per-sample circle-NMS grouping, and the submission writer)
+# over the tests/nusc_fixture.py dataroot, by duck-typing the handful of
+# devkit objects main touches with FUNCTIONAL stand-ins served from the
+# repo's own devkit-free readers (datasets/nuscenes/{tables,maps}.py).
+
+
+class _MiniQuaternion:
+    """Functional pyquaternion.Quaternion stand-in for exactly the ops
+    main performs: wxyz-list construction, matrix= construction,
+    .rotation_matrix, and list() iteration (which feeds the reference's
+    documented wxyz-into-scipy-xyzw push_centroid quirk — element order
+    here IS the behavior under test, so it must be pyquaternion's
+    [w, x, y, z])."""
+
+    def __init__(self, q=None, matrix=None):
+        import numpy as np
+
+        if matrix is not None:
+            from scipy.spatial.transform import Rotation as R
+
+            x, y, z, w = R.from_matrix(np.asarray(matrix, float)).as_quat()
+            self.q = np.array([w, x, y, z], float)
+        else:
+            if isinstance(q, _MiniQuaternion):
+                q = q.q
+            self.q = np.asarray(q, float)
+
+    @property
+    def rotation_matrix(self):
+        import numpy as np
+        from scipy.spatial.transform import Rotation as R
+
+        w, x, y, z = self.q / np.linalg.norm(self.q)
+        return R.from_quat([x, y, z, w]).as_matrix()
+
+    def __iter__(self):
+        return iter(self.q.tolist())
+
+
+def _point_in_ring(x: float, y: float, ring) -> bool:
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+class _MiniPoint:
+    """shapely.geometry.Point stand-in; .within accepts the polygon
+    values our NuScenesMapLite.extract_polygon returns (ext, holes)."""
+
+    def __init__(self, x, y):
+        self.x, self.y = float(x), float(y)
+
+    def within(self, polygon) -> bool:
+        ext, holes = polygon
+        return _point_in_ring(self.x, self.y, ext) and not any(
+            _point_in_ring(self.x, self.y, h) for h in holes
+        )
+
+
+def _functional_modules(fixture_root, version: str, scene_names):
+    """sys.modules entries that make the reference main RUN (vs the inert
+    placeholders): a duck-typed NuScenes/NuScenesMap over the fixture
+    tables, real splits, pyquaternion/shapely/pycocotools stand-ins."""
+    import numpy as np
+
+    from cm3d_tpu.datasets.nuscenes.maps import NuScenesMapLite
+    from cm3d_tpu.datasets.nuscenes.tables import NuScenesTables
+    from cm3d_tpu.ops import rle as _rle
+
+    class _NuScenes:
+        # reference signature: NuScenes(VER_NAME, INPUT_PATH, verbose);
+        # the fixture's version dir is authoritative, VER_NAME is the
+        # reference's hardcoded constant
+        def __init__(self, _ver, dataroot, *a, **k):
+            self._t = NuScenesTables(fixture_root, version)
+            self.dataroot = str(fixture_root)
+
+        def get(self, table, token):
+            return self._t.get(table, token)
+
+        def field2token(self, table, field, value):
+            return self._t.field2token(table, field, value)
+
+    class _NuScenesMap(NuScenesMapLite):
+        def __init__(self, dataroot=None, map_name=None):
+            super().__init__(fixture_root, map_name)
+
+    def _mk(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        return m
+
+    def _decode_many(rles):
+        if not rles:
+            return np.zeros((1, 1, 0), np.uint8)
+        return np.stack([_rle.decode(r) for r in rles], axis=-1)
+
+    nusc_pkg = _mk("nuscenes")
+    mods = {
+        "nuscenes": nusc_pkg,
+        "nuscenes.nuscenes": _mk(
+            "nuscenes.nuscenes", NuScenes=_NuScenes,
+            NuScenesExplorer=_Placeholder("NuScenesExplorer"),
+        ),
+        "nuscenes.utils": _mk("nuscenes.utils"),
+        "nuscenes.utils.data_classes": _mk(
+            "nuscenes.utils.data_classes",
+            Box=_Placeholder("Box"), Quaternion=_MiniQuaternion,
+        ),
+        "nuscenes.utils.splits": _mk(
+            "nuscenes.utils.splits", mini_val=list(scene_names),
+            mini_train=[], train_detect=[], train=[], val=[],
+        ),
+        "nuscenes.map_expansion": _mk("nuscenes.map_expansion"),
+        "nuscenes.map_expansion.map_api": _mk(
+            "nuscenes.map_expansion.map_api", NuScenesMap=_NuScenesMap,
+        ),
+        "nuscenes.map_expansion.arcline_path_utils": _mk(
+            "nuscenes.map_expansion.arcline_path_utils"
+        ),
+        "nuscenes.map_expansion.bitmap": _mk(
+            "nuscenes.map_expansion.bitmap", BitMap=_Placeholder("BitMap"),
+        ),
+        "pyquaternion": _mk("pyquaternion", Quaternion=_MiniQuaternion),
+        "shapely": _mk("shapely"),
+        "shapely.geometry": _mk(
+            "shapely.geometry", Point=_MiniPoint, box=_Placeholder("box"),
+        ),
+        "pycocotools": None,  # filled below (needs the mask submodule)
+    }
+    pyco_mask = _mk("pycocotools.mask", decode=_decode_many)
+    pyco = _mk("pycocotools")
+    pyco.mask = pyco_mask
+    mods["pycocotools"] = pyco
+    mods["pycocotools.mask"] = pyco_mask
+    return mods
+
+
+def run_nuscenes_main(fixture_root, mask_dir, scene_names,
+                      version: str = "v1.0-fake") -> dict:
+    """Execute the reference's nuScenes 2d_to_3d.py WHOLE main over the
+    fixture dataroot; returns its submission JSON. Layout is staged so the
+    reference's hardcoded relative paths (INPUT_PATH ../../data/nuScenes/,
+    INPUT_DIR ../../mask_outputs/nuscenes-detic/, OUTPUT_DIR
+    ../../outputs/nuscenes/, cfg/shape_priors_chatgpt.json) resolve from a
+    scratch cwd mirroring the repo layout the script expects."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from cm3d_tpu.config import SHAPE_PRIORS_CHATGPT
+
+    scratch = Path(tempfile.mkdtemp(prefix="refmain_"))
+    try:
+        run_dir = scratch / "src" / "nuscenes"
+        (run_dir / "cfg").mkdir(parents=True)
+        (scratch / "outputs" / "nuscenes").mkdir(parents=True)
+        (scratch / "data").mkdir()
+        os.symlink(os.path.abspath(fixture_root), scratch / "data" / "nuScenes")
+        (scratch / "mask_outputs").mkdir()
+        os.symlink(os.path.abspath(mask_dir),
+                   scratch / "mask_outputs" / "nuscenes-detic")
+        with open(run_dir / "cfg" / "shape_priors_chatgpt.json", "w") as f:
+            json.dump({k: list(v) for k, v in SHAPE_PRIORS_CHATGPT.items()},
+                      f)
+
+        pcd = load_pcd("nuscenes")
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.pcd = pcd
+        extra = _functional_modules(
+            os.path.abspath(fixture_root), version, scene_names
+        )
+        extra["utils"] = utils_pkg
+        extra["utils.pcd"] = pcd
+
+        cwd = os.getcwd()
+        os.chdir(run_dir)
+        try:
+            # module name "__main__" => the reference's
+            # `if __name__ == "__main__"` main body EXECUTES on load
+            _load(REF_DIR / "2d_to_3d.py", "__main__", extra_modules=extra)
+        finally:
+            os.chdir(cwd)
+
+        out = scratch / "outputs" / "nuscenes" / "pseudolabels_minival.json"
+        with open(out) as f:
+            return json.load(f)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def load_pcd(dataset: str = "nuscenes"):
     """The reference's <dataset>/utils/pcd.py (LidarPointCloud,
     view_points)."""

@@ -1,0 +1,293 @@
+"""Live-execute the reference's forked eval accumulation (VERDICT r05
+item 3): src/nuscenes/eval_custom.py accumulate_object_class (:542-707)
+and accumulate_with_recall (:709-863) run via ref_live._load with the
+devkit dependencies duck-typed FUNCTIONALLY, A/B'd against eval/algo.py
+on a synthetic pred/GT set (ties, NaN classes, unmatched preds, missing
+classes all represented).
+
+The injected primitives (center_distance/scale_iou/yaw_diff/velocity_l2/
+attr_acc/cummean, DetectionMetricData) are implemented HERE from the
+devkit's public definitions, independently of eval/algo.py, so the A/B
+does not compare our code against itself: the reference's matching loop
++ interpolation execute for real against independent primitives."""
+
+import types
+
+import numpy as np
+import pytest
+
+import ref_live
+from cm3d_tpu.eval.algo import MetricData, accumulate, calc_ap, calc_tp
+from cm3d_tpu.eval.boxes import DetectionBox, EvalBoxes
+
+pytestmark = pytest.mark.skipif(
+    not ref_live.reference_available(),
+    reason="reference mount absent or content pins changed",
+)
+
+NELEM = 101
+
+
+# ---- independent devkit-semantics primitives (NOT from eval/algo) ------
+
+
+def _center_distance(gt, pred):
+    d = np.asarray(pred.translation[:2]) - np.asarray(gt.translation[:2])
+    return float(np.sqrt((d ** 2).sum()))
+
+
+def _velocity_l2(gt, pred):
+    d = np.asarray(pred.velocity) - np.asarray(gt.velocity)
+    return float(np.sqrt((d ** 2).sum()))
+
+
+def _scale_iou(gt, pred):
+    sa, sb = np.asarray(gt.size, float), np.asarray(pred.size, float)
+    inter = float(min(sa[0], sb[0]) * min(sa[1], sb[1]) * min(sa[2], sb[2]))
+    return inter / (sa.prod() + sb.prod() - inter)
+
+
+def _quat_yaw(q):
+    # devkit quaternion_yaw: rotate [1,0,0], take atan2 of the xy image —
+    # via an explicit rotation matrix here (scipy path, distinct from
+    # algo.py's closed form)
+    from scipy.spatial.transform import Rotation as R
+
+    w, x, y, z = q
+    v = R.from_quat([x, y, z, w]).apply([1.0, 0.0, 0.0])
+    return float(np.arctan2(v[1], v[0]))
+
+
+def _yaw_diff(gt, pred, period=2 * np.pi):
+    a, b = _quat_yaw(gt.rotation), _quat_yaw(pred.rotation)
+    diff = (a - b + period / 2) % period - period / 2
+    if diff > np.pi:
+        diff = diff - 2 * np.pi
+    return abs(diff)
+
+
+def _attr_acc(gt, pred):
+    if gt.attribute_name == "":
+        return float("nan")
+    return float(gt.attribute_name == pred.attribute_name)
+
+
+def _cummean(x):
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    s = np.nancumsum(x.astype(float))
+    c = np.cumsum(~np.isnan(x))
+    return np.divide(s, c, out=np.zeros_like(s), where=c > 0)
+
+
+class _RefMetricData:
+    """Functional DetectionMetricData stand-in: nelem, no_predictions,
+    kwargs constructor."""
+
+    nelem = NELEM
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, np.asarray(v))
+
+    @classmethod
+    def no_predictions(cls):
+        return cls(
+            recall=np.linspace(0, 1, cls.nelem),
+            precision=np.zeros(cls.nelem),
+            confidence=np.zeros(cls.nelem),
+            trans_err=np.ones(cls.nelem),
+            vel_err=np.ones(cls.nelem),
+            scale_err=np.ones(cls.nelem),
+            orient_err=np.ones(cls.nelem),
+            attr_err=np.ones(cls.nelem),
+        )
+
+
+def _mk(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_eval():
+    inert = ref_live._StubModule
+    extra = {
+        "nuscenes": inert("nuscenes"),
+        "nuscenes.eval": inert("nuscenes.eval"),
+        "nuscenes.eval.common": inert("nuscenes.eval.common"),
+        "nuscenes.eval.common.utils": _mk(
+            "nuscenes.eval.common.utils",
+            center_distance=_center_distance, scale_iou=_scale_iou,
+            yaw_diff=_yaw_diff, velocity_l2=_velocity_l2,
+            attr_acc=_attr_acc, cummean=_cummean,
+        ),
+        "nuscenes.eval.common.config": inert("nuscenes.eval.common.config"),
+        "nuscenes.eval.common.data_classes": _mk(
+            "nuscenes.eval.common.data_classes",
+            EvalBoxes=EvalBoxes, EvalBox=DetectionBox,
+        ),
+        "nuscenes.eval.common.loaders": inert("nuscenes.eval.common.loaders"),
+        "nuscenes.eval.detection": inert("nuscenes.eval.detection"),
+        "nuscenes.eval.detection.algo": inert("nuscenes.eval.detection.algo"),
+        "nuscenes.eval.detection.constants": _mk(
+            "nuscenes.eval.detection.constants",
+            TP_METRICS=["trans_err", "scale_err", "orient_err", "vel_err",
+                        "attr_err"],
+        ),
+        "nuscenes.eval.detection.utils": inert(
+            "nuscenes.eval.detection.utils"),
+        "nuscenes.eval.detection.data_classes": _mk(
+            "nuscenes.eval.detection.data_classes",
+            DetectionConfig=ref_live._Placeholder("DetectionConfig"),
+            DetectionBox=DetectionBox,
+            DetectionMetrics=ref_live._Placeholder("DetectionMetrics"),
+            DetectionMetricDataList=ref_live._Placeholder(
+                "DetectionMetricDataList"),
+            DetectionMetricData=_RefMetricData,
+        ),
+        "nuscenes.eval.tracking": inert("nuscenes.eval.tracking"),
+        "nuscenes.eval.tracking.data_classes": inert(
+            "nuscenes.eval.tracking.data_classes"),
+        "nuscenes.eval.detection.render": inert(
+            "nuscenes.eval.detection.render"),
+        "nuscenes.utils": inert("nuscenes.utils"),
+        "nuscenes.utils.data_classes": inert("nuscenes.utils.data_classes"),
+        "nuscenes.utils.geometry_utils": inert(
+            "nuscenes.utils.geometry_utils"),
+        "nuscenes.utils.splits": _mk(
+            "nuscenes.utils.splits", train=[], val=[], test=[],
+            mini_train=[], mini_val=[], train_detect=[], train_track=[],
+        ),
+        "nuscenes.map_expansion": inert("nuscenes.map_expansion"),
+        "nuscenes.map_expansion.map_api": inert(
+            "nuscenes.map_expansion.map_api"),
+        "pyquaternion": _mk("pyquaternion",
+                            Quaternion=ref_live._MiniQuaternion),
+        "shapely": inert("shapely"),
+        "shapely.geometry": inert("shapely.geometry"),
+    }
+    return ref_live._load(
+        ref_live.REF_DIR / "eval_custom.py", "ref_eval_custom",
+        extra_modules=extra,
+    )
+
+
+def _synthetic_sets(seed=0):
+    """3 samples, 4 classes, planted matches/misses/score-ties."""
+    rng = np.random.default_rng(seed)
+    classes = ["car", "pedestrian", "traffic_cone", "barrier"]
+    attrs = {"car": "vehicle.stopped", "pedestrian": "pedestrian.standing",
+             "traffic_cone": "", "barrier": ""}
+    gt, pred = EvalBoxes(), EvalBoxes()
+    for s in range(3):
+        tok = f"tok{s}"
+        gts, preds = [], []
+        for j in range(8):
+            name = classes[j % 4]
+            t = rng.uniform(-40, 40, 3)
+            yaw = rng.uniform(-np.pi, np.pi)
+            q = (np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2))
+            size = tuple(rng.uniform(0.5, 4.0, 3))
+            gts.append(DetectionBox(
+                sample_token=tok, translation=tuple(t), size=size,
+                rotation=q, velocity=tuple(rng.normal(0, 2, 2)),
+                detection_name=name, attribute_name=attrs[name],
+            ))
+            # matched pred (offset), sometimes with wrong attribute
+            yaw2 = yaw + rng.normal(0, 0.2)
+            score = round(float(rng.random()), 2)  # rounding makes ties
+            preds.append(DetectionBox(
+                sample_token=tok,
+                translation=tuple(t + rng.normal(0, 0.8, 3)),
+                size=tuple(np.asarray(size) * rng.uniform(0.8, 1.2, 3)),
+                rotation=(np.cos(yaw2 / 2), 0.0, 0.0, np.sin(yaw2 / 2)),
+                velocity=tuple(rng.normal(0, 2, 2)),
+                detection_name=name,
+                detection_score=score,
+                attribute_name=attrs[name] if rng.random() < 0.7
+                else "vehicle.moving",
+            ))
+        # far false positives (no match at any threshold)
+        for j in range(3):
+            preds.append(DetectionBox(
+                sample_token=tok,
+                translation=tuple(rng.uniform(300, 400, 3)),
+                size=(1.0, 1.0, 1.0), rotation=(1.0, 0.0, 0.0, 0.0),
+                velocity=(0.0, 0.0), detection_name=classes[j % 4],
+                detection_score=round(float(rng.random()), 2),
+                attribute_name="",
+            ))
+        gt.add_boxes(tok, gts)
+        pred.add_boxes(tok, preds)
+    return gt, pred
+
+
+def _assert_md_equal(ref_md, our_md: MetricData):
+    for key in ("recall", "precision", "confidence", "trans_err",
+                "vel_err", "scale_err", "orient_err", "attr_err"):
+        np.testing.assert_allclose(
+            getattr(our_md, key), np.asarray(getattr(ref_md, key)),
+            atol=1e-12, rtol=0, err_msg=key,
+        )
+
+
+@pytest.mark.parametrize("dist_th", [0.5, 1.0, 2.0, 4.0])
+def test_object_class_accumulate_live(ref_eval, dist_th):
+    gt, pred = _synthetic_sets()
+    ref_md, ref_rec = ref_eval.accumulate_object_class(
+        gt, pred, _center_distance, dist_th
+    )
+    our_rec, our_md = accumulate(gt, pred, None, dist_th)
+    assert abs(our_rec - ref_rec) < 1e-12
+    _assert_md_equal(ref_md, our_md)
+
+
+@pytest.mark.parametrize("cls", ["car", "pedestrian", "traffic_cone",
+                                 "barrier"])
+def test_per_class_accumulate_live(ref_eval, cls):
+    gt, pred = _synthetic_sets(seed=1)
+    ref_rec, ref_md = ref_eval.accumulate_with_recall(
+        gt, pred, cls, _center_distance, 2.0
+    )
+    our_rec, our_md = accumulate(gt, pred, cls, 2.0)
+    assert abs(our_rec - ref_rec) < 1e-12
+    _assert_md_equal(ref_md, our_md)
+    # AP/TP over the live-produced curves: our calc_ap/calc_tp on the
+    # reference's arrays equals the devkit formulas applied directly
+    as_ours = MetricData(**{
+        k: np.asarray(getattr(ref_md, k))
+        for k in ("recall", "precision", "confidence", "trans_err",
+                  "vel_err", "scale_err", "orient_err", "attr_err")
+    })
+    prec = np.copy(as_ours.precision)[11:] - 0.1
+    prec[prec < 0] = 0
+    assert abs(calc_ap(as_ours, 0.1, 0.1) - prec.mean() / 0.9) < 1e-12
+    nz = np.nonzero(as_ours.confidence)[0]
+    last = int(nz[-1]) if len(nz) else 0
+    want_tp = (np.mean(as_ours.trans_err[11:last + 1])
+               if last >= 11 else 1.0)
+    assert abs(calc_tp(as_ours, 0.1, "trans_err") - want_tp) < 1e-12
+
+
+def test_missing_class_and_no_match_branches_live(ref_eval):
+    gt, pred = _synthetic_sets(seed=2)
+    # class absent from GT -> devkit no_predictions() on both sides
+    ref_rec, ref_md = ref_eval.accumulate_with_recall(
+        gt, pred, "bus", _center_distance, 2.0
+    )
+    our_rec, our_md = accumulate(gt, pred, "bus", 2.0)
+    assert ref_rec == 0 and our_rec == 0.0
+    _assert_md_equal(ref_md, our_md)
+    # matches impossible (tiny threshold) -> zero-match branch. Reference
+    # arity QUIRK (eval_custom.py:661): object mode returns a BARE
+    # no_predictions() here (no rec_actual tuple like :700)
+    ref_out = ref_eval.accumulate_object_class(
+        gt, pred, _center_distance, 1e-9
+    )
+    assert isinstance(ref_out, _RefMetricData), "arity quirk moved"
+    our_rec2, our_md2 = accumulate(gt, pred, None, 1e-9)
+    assert our_rec2 == 0.0
+    _assert_md_equal(ref_out, our_md2)
