@@ -63,18 +63,24 @@ VMEM_LIMIT = 100 * 1024 * 1024
 # ops.lift._FOLD_CAMERA_UNION).
 _FAULT_ROWS = 96    # bisected worker-kill frontier (rows)
 _FAULT_SRC = 32768  # bisected worker-kill frontier (padded sources)
-_SAFE_ROWS = 48     # largest on-chip-validated row count at >= _FAULT_SRC
+# Largest on-chip-validated row count at >= _FAULT_SRC sources. r05
+# probe (scripts/probe_fold_envelope.py, TPU_QUEUE_r05.log): 64 and 80
+# rows pass BIT-EXACT at 32768 sources where 96 kills the worker, so the
+# envelope rose 48 -> 80 (fewer launches at batch >= 16; re-validated
+# through the real lift step by scripts/ab_fold_chunk.py).
+_SAFE_ROWS = 80
 
 
 def _row_chunks(rows: int, s_padded: int, interpret: bool) -> int | None:
     """Rows-per-launch when the call must be chunked below the fault
-    frontier; None = single launch is safe. Chunking triggers strictly
-    below _FAULT_ROWS (anything > _SAFE_ROWS) because shapes between the
-    validated 48-row envelope and the 96-row kill frontier are untested."""
+    frontier; None = single launch is safe. Chunks are BALANCED (fewest
+    launches, then equal sizes) so e.g. 192 rows run as 3x64 — one
+    compiled shape — instead of 80+80+32."""
     if interpret:
         return None  # the interpreter executes the same shapes safely
     if rows > _SAFE_ROWS and s_padded >= _FAULT_SRC:
-        return _SAFE_ROWS
+        n_launches = -(-rows // _SAFE_ROWS)
+        return -(-rows // n_launches)
     return None
 
 

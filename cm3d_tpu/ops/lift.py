@@ -81,9 +81,10 @@ _USE_PALLAS_COMPACT = None
 # (112.7 kf/s), and the medoid kernel is exonerated by both, so the fault
 # is a Mosaic/XLA codegen bug in the folded camera/union compactions at
 # >= 96 folded rows x >= 32768 sources. Since r04 the kernel AUTO-CHUNKS
-# such calls into 48-row launches (compact_pallas._row_chunks), so batch
-# 16/32 run correctly with the fold ON; batch 8 remains the measured
-# throughput optimum (scripts/sweep_lift_batch.py).
+# such calls into launches within the validated envelope (<= 80 rows
+# since the r05 probe — compact_pallas._row_chunks), so batch 16/32 run
+# correctly with the fold ON; batch 8 remains the measured throughput
+# optimum (scripts/sweep_lift_batch.py).
 _FOLD_CAMERA_UNION = None
 
 

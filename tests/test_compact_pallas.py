@@ -175,9 +175,14 @@ def test_fault_frontier_autochunk(monkeypatch):
     including an uneven remainder block."""
     from cm3d_tpu.kernels import compact_pallas as cp
 
-    # dispatch decision at the bisected frontier
-    assert cp._row_chunks(96, 32768, interpret=False) == cp._SAFE_ROWS
-    assert cp._row_chunks(192, 131072, interpret=False) == cp._SAFE_ROWS
+    # dispatch decision at the bisected frontier; chunks are BALANCED
+    # (fewest launches then equal sizes) within the r05-validated 80-row
+    # envelope (scripts/probe_fold_envelope.py: 64/80 rows bit-exact
+    # on-chip at 32768 sources; 96 kills the worker)
+    assert cp._SAFE_ROWS == 80
+    assert cp._row_chunks(96, 32768, interpret=False) == 48   # 2x48
+    assert cp._row_chunks(192, 131072, interpret=False) == 64  # 3x64
+    assert cp._row_chunks(240, 131072, interpret=False) == 80  # 3x80
     # the envelope is judged on the PADDED source count: s=32000 pads up
     # to the 1024-multiple 32768 — exactly the measured fault frontier —
     # callers must pass the padded extent (as _compact_rows_impl does)
@@ -185,9 +190,9 @@ def test_fault_frontier_autochunk(monkeypatch):
     assert cp._row_chunks(96, 131072, interpret=True) is None  # interpreter
     assert cp._row_chunks(48, 131072, interpret=False) is None  # batch-8 fold
     assert cp._row_chunks(2048, 8192, interpret=False) is None  # mask stage
-    # between the validated 48-row envelope and the 96-row kill frontier
-    # is untested on chip -> chunk conservatively
-    assert cp._row_chunks(64, 32768, interpret=False) == cp._SAFE_ROWS
+    # within the validated envelope: single launch
+    assert cp._row_chunks(64, 32768, interpret=False) is None
+    assert cp._row_chunks(80, 32768, interpret=False) is None
 
     # numeric parity of the chunked code path: force chunking under the
     # interpreter (rows > 4 -> 4-row launches; r=10 leaves a 2-row tail)
