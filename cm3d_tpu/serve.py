@@ -255,29 +255,59 @@ class LiftServer(_MicroBatchServer):
 
     route = "/v1/lift"
 
-    def __init__(self, artifact_path: str | Path, flush_ms: float = 5.0):
+    def __init__(self, artifact_path, flush_ms: float = 5.0):
+        """artifact_path: one artifact, or a LIST of same-geometry
+        artifacts exported at different batch sizes (batch BUCKETS). A
+        group dispatches through the smallest bucket that fits it, so a
+        singleton request does not upload a full max-batch of zero
+        padding — measured to dominate the request latency on a
+        bandwidth-limited link (the ~12 MB keyframe × batch slots;
+        TPU_QUEUE_r05.log serve_check)."""
         from jax import tree_util
 
         from cm3d_tpu.datasets.types import Keyframe
         from cm3d_tpu.deploy import load_artifact
 
-        self._exported = load_artifact(artifact_path)
-        args, kwargs = tree_util.tree_unflatten(
-            self._exported.in_tree, list(self._exported.in_avals)
-        )
-        if kwargs or len(args) != 1 or not isinstance(args[0], Keyframe):
-            raise ValueError(
-                "not a lift artifact: expected one batched Keyframe input, "
-                f"got tree {self._exported.in_tree}"
+        paths = (list(artifact_path)
+                 if isinstance(artifact_path, (list, tuple))
+                 else [artifact_path])
+        self._by_size: dict = {}
+        slot_specs = None
+        for p in paths:
+            exported = load_artifact(p)
+            args, kwargs = tree_util.tree_unflatten(
+                exported.in_tree, list(exported.in_avals)
             )
-        self._frame_avals = args[0]
-        self._fields = _keyframe_fields(self._frame_avals)
-        batch_sizes = {int(a.shape[0]) for a in self._fields.values()}
-        if len(batch_sizes) != 1:
-            raise ValueError(
-                f"inconsistent batch dims in lift artifact: {batch_sizes}"
-            )
-        super().__init__(batch_sizes.pop(), flush_ms)
+            if kwargs or len(args) != 1 or not isinstance(args[0], Keyframe):
+                raise ValueError(
+                    "not a lift artifact: expected one batched Keyframe "
+                    f"input, got tree {exported.in_tree} ({p})"
+                )
+            fields = _keyframe_fields(args[0])
+            batch_sizes = {int(a.shape[0]) for a in fields.values()}
+            if len(batch_sizes) != 1:
+                raise ValueError(
+                    f"inconsistent batch dims in lift artifact {p}: "
+                    f"{batch_sizes}"
+                )
+            b = batch_sizes.pop()
+            if b in self._by_size:
+                raise ValueError(f"duplicate batch-{b} lift artifact: {p}")
+            spec = {n: (a.shape[1:], str(a.dtype))
+                    for n, a in fields.items()}
+            if slot_specs is None:
+                slot_specs = spec
+                self._frame_avals = args[0]
+                self._fields = fields
+            elif spec != slot_specs:
+                raise ValueError(
+                    f"lift artifact {p} has different per-keyframe "
+                    "geometry than the first artifact — buckets must "
+                    "share one wire contract"
+                )
+            self._by_size[b] = (exported, fields)
+        self.bucket_sizes = sorted(self._by_size)
+        super().__init__(self.bucket_sizes[-1], flush_ms)
 
     @property
     def field_specs(self) -> dict:
@@ -347,12 +377,12 @@ class LiftServer(_MicroBatchServer):
                 )
         return out
 
-    def _build_batch(self, group: list):
+    def _build_batch(self, group: list, fields=None):
         from cm3d_tpu.datasets.types import CameraParams, Keyframe
 
         batch = {
             name: np.zeros(a.shape, a.dtype)
-            for name, a in self._fields.items()
+            for name, a in (fields or self._fields).items()
         }
         for j, pending in enumerate(group):
             for name, arr in pending.payload.items():
@@ -369,7 +399,11 @@ class LiftServer(_MicroBatchServer):
     def _execute(self, group: list) -> None:
         from cm3d_tpu.utils.fetch import device_fetch
 
-        lift, boxes = self._exported.call(self._build_batch(group))
+        # smallest bucket that fits the group: a singleton request rides
+        # the batch-1 artifact instead of uploading max-batch padding
+        b = next(s for s in self.bucket_sizes if s >= len(group))
+        exported, fields = self._by_size[b]
+        lift, boxes = exported.call(self._build_batch(group, fields))
         # one batched transfer (8 per-leaf np.asarray calls paid ~28 ms
         # tunnel RTT EACH — scripts/ab_download_batch.py)
         centers, sizes, yaws, scores, labels, keep, has_points, truncated = \
@@ -445,6 +479,28 @@ def _parse_frame(body: bytes, content_type: str) -> dict:
         return {k: npz[k] for k in npz.files}
 
 
+def _decompress_body(body: bytes, encoding: str, max_bytes: int) -> bytes:
+    """Bounded transport decompression: raises RequestError (400) on
+    corrupt streams and enforces the same cap as Content-Length AFTER
+    expansion (413-class bombs surface as RequestError here; the caller
+    already replied 413 to oversized declared lengths)."""
+    import zlib
+
+    # gzip = zlib with the gzip header (wbits 47 auto-detects both)
+    d = zlib.decompressobj(47 if encoding == "gzip" else zlib.MAX_WBITS)
+    try:
+        out = d.decompress(body, max_bytes + 1)
+    except zlib.error as e:
+        raise RequestError(f"bad {encoding} request body: {e}") from e
+    if len(out) > max_bytes or d.unconsumed_tail:
+        raise RequestError(
+            f"decompressed body exceeds the {max_bytes}-byte limit"
+        )
+    if not d.eof:
+        raise RequestError(f"truncated {encoding} request body")
+    return out
+
+
 class _Handler(BaseHTTPRequestHandler):
     server: "ServingHTTPServer"
 
@@ -468,6 +524,7 @@ class _Handler(BaseHTTPRequestHandler):
             info["max_points"] = b.max_points
         else:
             info["fields"] = b.field_specs
+            info["batch_buckets"] = b.bucket_sizes
         self._reply(200, info)
 
     def do_POST(self) -> None:  # noqa: N802
@@ -488,6 +545,22 @@ class _Handler(BaseHTTPRequestHandler):
                          f"{self.server.max_body_bytes}-byte limit"})
         try:
             body = self.rfile.read(length)
+            encoding = self.headers.get("Content-Encoding", "").lower()
+            if encoding in ("gzip", "deflate"):
+                # transport compression (Content-Encoding) is the measured
+                # wire lever: the ~12 MB lift keyframe is mostly sparse
+                # mask bit-planes, and client-side gzip level 1 costs far
+                # less than the upload bytes it saves over a slow link
+                # (savez_compressed's zlib-6 measured NET-NEGATIVE —
+                # TPU_QUEUE_r05.log serve_check). Decompress with the same
+                # body cap: a tiny bomb must not expand unbounded.
+                body = _decompress_body(
+                    body, encoding, self.server.max_body_bytes
+                )
+            elif encoding:
+                return self._reply(400, {
+                    "error": f"unsupported Content-Encoding {encoding!r}; "
+                             "supported: gzip, deflate"})
             ctype = self.headers.get("Content-Type", "")
             if isinstance(backend, DetectServer):
                 out = backend.submit(_parse_points(body, ctype))
@@ -554,12 +627,12 @@ def make_server(artifact: str | Path, params: Any, batch_stats: Any = None,
     return ServingHTTPServer((host, port), detect, verbose=verbose)
 
 
-def make_lift_server(artifact: str | Path, host: str = "127.0.0.1",
+def make_lift_server(artifact, host: str = "127.0.0.1",
                      port: int = 0, flush_ms: float = 5.0,
                      verbose: bool = True) -> ServingHTTPServer:
-    """Build the lift HTTP server (unstarted) over a cm3d-export
-    ``--what lift`` artifact. No checkpoint: the lift step is pure
-    geometry."""
+    """Build the lift HTTP server (unstarted) over one cm3d-export
+    ``--what lift`` artifact or a list of batch-bucket artifacts. No
+    checkpoint: the lift step is pure geometry."""
     lift = LiftServer(artifact, flush_ms=flush_ms)
     return ServingHTTPServer((host, port), lift, verbose=verbose)
 
@@ -585,7 +658,10 @@ def main(argv=None):
         "auto-detected) over HTTP"
     )
     p.add_argument("--artifact", required=True,
-                   help="StableHLO blob from cm3d-export")
+                   help="StableHLO blob from cm3d-export; for lift, a "
+                   "comma-separated list serves batch BUCKETS (e.g. the "
+                   "same step exported at batch 1 and 4) — groups "
+                   "dispatch through the smallest bucket that fits")
     p.add_argument("--ckpt", default=None,
                    help="orbax checkpoint dir (pretrain's {out}/centerpoint;"
                    " required for detect artifacts, unused for lift)")
@@ -596,10 +672,14 @@ def main(argv=None):
                    "request of a group arrives")
     args = p.parse_args(argv)
 
-    kind = artifact_kind(args.artifact)
+    artifacts = [a for a in args.artifact.split(",") if a]
+    kind = artifact_kind(artifacts[0])
     if kind == "lift":
-        server = make_lift_server(args.artifact, host=args.host,
+        server = make_lift_server(artifacts, host=args.host,
                                   port=args.port, flush_ms=args.flush_ms)
+    elif len(artifacts) > 1:
+        p.error("batch buckets (comma-separated artifacts) are a lift "
+                "feature; detect takes one artifact")
     else:
         if not args.ckpt:
             p.error("--ckpt is required for detect artifacts")
@@ -609,7 +689,7 @@ def main(argv=None):
         restored = load_params(args.ckpt)
         params = restored["params"] if "params" in restored else restored
         batch_stats = restored.get("batch_stats", {})
-        server = make_server(args.artifact, params, batch_stats,
+        server = make_server(artifacts[0], params, batch_stats,
                              host=args.host, port=args.port,
                              flush_ms=args.flush_ms)
     host, port = server.server_address[:2]

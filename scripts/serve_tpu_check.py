@@ -164,12 +164,17 @@ def main():
         lift_batch = 2 if SMOKE else 4
 
         t0 = time.monotonic()
+        # batch BUCKETS {1, lift_batch}: singleton requests ride the
+        # batch-1 artifact (no padded-batch upload — the measured
+        # latency dominator), concurrent groups the batch-N one
+        lpath1 = f"{tmp}/lift_b1.stablehlo"
         lpath = f"{tmp}/lift.stablehlo"
+        save_artifact(export_lift_step(lift_cfg, batch_size=1), lpath1)
         save_artifact(export_lift_step(lift_cfg, batch_size=lift_batch),
                       lpath)
         lift_export_s = time.monotonic() - t0
 
-        lserver = make_lift_server(lpath, port=0, flush_ms=2.0,
+        lserver = make_lift_server([lpath1, lpath], port=0, flush_ms=2.0,
                                    verbose=False)
         threading.Thread(target=lserver.serve_forever, daemon=True).start()
         lurl = "http://127.0.0.1:%d" % lserver.server_address[1]
@@ -185,15 +190,21 @@ def main():
 
         wire_bytes = {}
 
-        def post_lift(fields, compress=False):
+        def post_lift(fields, compress=False, gzip_level=None):
+            import gzip as _gzip
+
             buf = io.BytesIO()
             (np.savez_compressed if compress else np.savez)(buf, **fields)
-            wire_bytes["compressed" if compress else "plain"] = len(
-                buf.getvalue()
-            )
+            body = buf.getvalue()
+            headers = {"Content-Type": "application/octet-stream"}
+            key = "compressed" if compress else "plain"
+            if gzip_level is not None:
+                body = _gzip.compress(body, compresslevel=gzip_level)
+                headers["Content-Encoding"] = "gzip"
+                key = f"gzip{gzip_level}"
+            wire_bytes[key] = len(body)
             req = urllib.request.Request(
-                lurl + "/v1/lift", data=buf.getvalue(),
-                headers={"Content-Type": "application/octet-stream"},
+                lurl + "/v1/lift", data=body, headers=headers,
             )
             with urllib.request.urlopen(req, timeout=600) as r:
                 return json.loads(r.read())
@@ -222,26 +233,28 @@ def main():
             np.asarray(lift_out.has_points)[0].sum()
         )
 
-        lat_l = []
-        for _ in range(reps):
-            t = time.monotonic()
-            post_lift(frame_npz(0))
-            lat_l.append((time.monotonic() - t) * 1e3)
-        lp50 = float(np.percentile(lat_l, 50))
-        lp90 = float(np.percentile(lat_l, 90))
-
-        # compressed-npz arm (VERDICT r05 item 4): the 12 MB plain wire is
-        # upload-bound over the loopback-tunneled host; savez_compressed
-        # trades client CPU (zlib) for wire bytes. Parity first, then p50.
+        # Three wire arms — plain npz / savez_compressed (zlib-6) /
+        # transport gzip level 1 (Content-Encoding) — INTERLEAVED per
+        # repetition so tunnel drift (minutes-scale, +-30%+) hits every
+        # arm equally instead of poisoning sequential blocks.
         lresp_c = post_lift(frame_npz(0), compress=True)
         assert lresp_c == post_lift(frame_npz(0)), "compressed wire parity"
-        lat_c = []
+        assert post_lift(frame_npz(0), gzip_level=1) == lresp_c, \
+            "gzip wire parity"
+        arms = {"plain": dict(), "compressed": dict(compress=True),
+                "gzip1": dict(gzip_level=1)}
+        lat = {k: [] for k in arms}
         for _ in range(reps):
-            t = time.monotonic()
-            post_lift(frame_npz(0), compress=True)
-            lat_c.append((time.monotonic() - t) * 1e3)
-        lcp50 = float(np.percentile(lat_c, 50))
-        lcp90 = float(np.percentile(lat_c, 90))
+            for name, kw in arms.items():
+                t = time.monotonic()
+                post_lift(frame_npz(0), **kw)
+                lat[name].append((time.monotonic() - t) * 1e3)
+        lp50 = float(np.percentile(lat["plain"], 50))
+        lp90 = float(np.percentile(lat["plain"], 90))
+        lcp50 = float(np.percentile(lat["compressed"], 50))
+        lcp90 = float(np.percentile(lat["compressed"], 90))
+        lgp50 = float(np.percentile(lat["gzip1"], 50))
+        lgp90 = float(np.percentile(lat["gzip1"], 90))
 
         lb0 = lserver.backend.stats["batches"]
         threads = [
@@ -273,6 +286,8 @@ def main():
             "p50_ms": round(lp50, 2), "p90_ms": round(lp90, 2),
             "compressed_p50_ms": round(lcp50, 2),
             "compressed_p90_ms": round(lcp90, 2),
+            "gzip1_p50_ms": round(lgp50, 2),
+            "gzip1_p90_ms": round(lgp90, 2),
             "wire_bytes": wire_bytes,
             "batch": lift_batch,
             "concurrent_batch_ms": round(lgroup_ms, 2),

@@ -498,3 +498,139 @@ def test_lift_partial_points_with_overreaching_mask_is_400(served_lift):
     buf = io.BytesIO()
     np.savez(buf, **ok)
     assert "boxes" in _post_lift(served_lift["url"], buf.getvalue())
+
+
+def test_lift_gzip_content_encoding(served_lift):
+    """Transport compression: a gzip level-1 body (Content-Encoding:
+    gzip) returns exactly the plain-body response — the measured wire
+    lever for the ~12 MB mostly-sparse keyframe (savez_compressed's
+    zlib-6 was net-negative client-side; TPU_QUEUE_r05.log)."""
+    import gzip
+
+    from tests.test_deploy import _small_batch
+
+    batch = _small_batch(batch=1, seed=5)
+    body = _frame_npz_body(type(batch.frames)(*[
+        np.asarray(x)[0] if not hasattr(x, "_asdict")
+        else type(x)(*[np.asarray(c)[0] for c in x])
+        for x in batch.frames
+    ]))
+    plain = _post_lift(served_lift["url"], body)
+    gz = gzip.compress(body, compresslevel=1)
+    assert len(gz) < len(body)
+    req = urllib.request.Request(
+        served_lift["url"] + "/v1/lift", data=gz,
+        headers={"Content-Type": "application/octet-stream",
+                 "Content-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert json.loads(r.read()) == plain
+
+
+def _post_encoded(served, payload, encoding):
+    req = urllib.request.Request(
+        served["url"] + "/v1/detect", data=payload,
+        headers={"Content-Type": "application/json",
+                 "Content-Encoding": encoding},
+    )
+    return urllib.request.urlopen(req, timeout=30)
+
+
+def test_decompression_bomb_is_rejected(served):
+    """A small gzip body expanding past the body cap must be refused
+    without allocating the expansion."""
+    import gzip
+
+    bomb = gzip.compress(
+        b"\0" * (served["server"].max_body_bytes + 1024), compresslevel=9
+    )
+    assert len(bomb) < served["server"].max_body_bytes
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_encoded(served, bomb, "gzip")
+    assert e.value.code == 400
+    assert "limit" in json.loads(e.value.read())["error"]
+
+
+def test_corrupt_and_unsupported_encodings_are_400(served):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_encoded(served, b"not gzip at all", "gzip")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_encoded(served, b"{}", "br")
+    assert e.value.code == 400
+    assert "Content-Encoding" in json.loads(e.value.read())["error"]
+
+
+def test_lift_batch_buckets(tmp_path):
+    """A lift server over {batch-1, batch-2} bucket artifacts dispatches
+    a singleton request through the batch-1 artifact (no padded-batch
+    upload) and a concurrent pair through batch-2 — results identical to
+    the single-artifact server's."""
+    import threading as _threading
+
+    from cm3d_tpu.deploy import export_lift_step, save_artifact
+    from cm3d_tpu.serve import make_lift_server
+    from tests.test_deploy import SMALL, _small_batch
+
+    p1 = tmp_path / "lift_b1.stablehlo"
+    p2 = tmp_path / "lift_b2.stablehlo"
+    save_artifact(export_lift_step(SMALL, batch_size=1), p1)
+    save_artifact(export_lift_step(SMALL, batch_size=2), p2)
+    server = make_lift_server([str(p1), str(p2)], port=0,
+                              flush_ms=300.0, verbose=False)
+    thread = _threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = "http://127.0.0.1:%d" % server.server_address[1]
+    try:
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["batch_buckets"] == [1, 2] and h["batch_size"] == 2
+
+        batch = _small_batch(batch=2, seed=7)
+        frames = [
+            type(batch.frames)(*[
+                np.asarray(x)[i] if not hasattr(x, "_asdict")
+                else type(x)(*[np.asarray(c)[i] for c in x])
+                for x in batch.frames
+            ])
+            for i in range(2)
+        ]
+        bodies = [_frame_npz_body(f) for f in frames]
+
+        # singleton -> batch-1 bucket (flush_ms elapses with 1 queued)
+        r0 = _post_lift(url, bodies[0])
+        # concurrent pair -> batch-2 bucket, same per-slot results
+        results = [None, None]
+
+        def post(i):
+            results[i] = _post_lift(url, bodies[i])
+
+        b0 = server.backend.stats["batches"]
+        ts = [_threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert server.backend.stats["batches"] == b0 + 1  # one device call
+        assert results[0] == r0  # bucket choice does not change results
+        assert results[1]["n_kept"] >= 0
+    finally:
+        server.shutdown()
+        server.backend.close()
+        server.server_close()
+
+
+def test_lift_bucket_geometry_mismatch_rejected(tmp_path):
+    import dataclasses
+
+    from cm3d_tpu.deploy import export_lift_step, save_artifact
+    from cm3d_tpu.serve import LiftServer
+    from tests.test_deploy import SMALL
+
+    p1 = tmp_path / "a.stablehlo"
+    p2 = tmp_path / "b.stablehlo"
+    save_artifact(export_lift_step(SMALL, batch_size=1), p1)
+    other = dataclasses.replace(SMALL, max_points=SMALL.max_points // 2)
+    save_artifact(export_lift_step(other, batch_size=2), p2)
+    with pytest.raises(ValueError, match="geometry"):
+        LiftServer([str(p1), str(p2)])

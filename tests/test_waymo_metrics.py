@@ -152,3 +152,41 @@ def test_metrics_binary_degrades_with_noise(tmp_path):
     # L1 metric evaluated and distinct from L2 (different GT population)
     assert 0.0 < ap["Vehicle/L1 mAP"] < 1.0
     assert ap["Vehicle/L1 mAP"] != ap["Vehicle/L2 mAP"]
+
+
+def test_fast_stem_is_distinct_artifact_same_contract(tmp_path):
+    """The reference ships TWO ELFs (compute_detection_metrics_{main,fast});
+    both stems build here as distinct binaries from the one implementation
+    (it IS the fast path) and print byte-identical metrics for the same
+    bins — the linear_matching stdout parser works against either."""
+    import subprocess
+
+    main_p = metrics_binary_path()
+    fast_p = metrics_binary_path(fast=True)
+    assert main_p and fast_p and main_p != fast_p
+    assert "compute_detection_metrics_fast" in fast_p  # hash-suffixed stem
+
+    rng = np.random.default_rng(4)
+    gts, preds = [], []
+    for f in range(2):
+        for k in range(4):
+            b = _box7(*rng.uniform(-30, 30, 2), 1.0, 2, 4.5, 1.8,
+                      rng.uniform(-np.pi, np.pi))
+            typ = [LABEL_TYPE_VEHICLE, LABEL_TYPE_PEDESTRIAN][k % 2]
+            gts.append(_obj(b, typ, 0.5, ts=f))
+            bp = np.array(b)
+            bp[:2] += rng.normal(0, 0.3, 2)
+            preds.append(_obj(tuple(bp), typ, rng.uniform(0.3, 1.0), ts=f))
+    (tmp_path / "gt.bin").write_bytes(encode_objects(gts))
+    (tmp_path / "pred.bin").write_bytes(encode_objects(preds))
+    out_main = subprocess.check_output(
+        [main_p, str(tmp_path / "pred.bin"), str(tmp_path / "gt.bin")]
+    )
+    out_fast = subprocess.check_output(
+        [fast_p, str(tmp_path / "pred.bin"), str(tmp_path / "gt.bin")]
+    )
+    assert out_main == out_fast
+    from cm3d_tpu.eval.waymo_metrics import parse_metrics_stdout
+
+    ap = parse_metrics_stdout(out_fast.decode())
+    assert 0.0 <= ap["Vehicle/L1 mAP"] <= 1.0
