@@ -34,6 +34,14 @@ lift diagnostics (mask/truncation counts). Requests micro-batch into
 the artifact's static keyframe batch exactly like detect.
 
 ``GET /healthz`` reports the artifact kind/geometry and serving counters.
+
+Wire/batching levers (r05, measured in scripts/serve_tpu_check.py):
+lift accepts batch-BUCKET artifact lists (a singleton request rides the
+batch-1 artifact instead of uploading a zero-padded max batch — the
+measured latency dominator on a bandwidth-limited link), and both routes
+accept ``Content-Encoding: gzip|deflate`` bodies (bounded decompression;
+client gzip level 1 beats savez_compressed's zlib-6, which measured
+net-negative).
 """
 
 from __future__ import annotations
