@@ -246,10 +246,20 @@ def run_conform(args, cfg_overrides: dict | None = None) -> tuple[dict, int]:
                     n_boxes=sum(len(v)
                                 for v in sub.get("results", {}).values()),
                 )
+            elif os.path.isfile(sub_path):
+                report["e2e"]["artifact_bytes"] = os.path.getsize(sub_path)
+            elif os.path.isdir(sub_path):
+                # KITTI e2e writes a label DIR; size = sum of its files
+                report["e2e"]["artifact_bytes"] = sum(
+                    f.stat().st_size for f in Path(sub_path).rglob("*")
+                    if f.is_file()
+                )
             else:
-                report["e2e"]["artifact_bytes"] = (
-                    os.path.getsize(sub_path)
-                    if os.path.isfile(sub_path) else None
+                # the phase "succeeded" but produced nothing — that is a
+                # failure, not a null (a conformance gate must not pass
+                # with no artifact; review r05)
+                raise FileNotFoundError(
+                    f"e2e wrote no artifact at {sub_path}"
                 )
         except Exception as e:
             rc = 1

@@ -368,6 +368,16 @@ class LiftServer(_MicroBatchServer):
         # lift as phantom points at the origin)
         for name, valid_name in _PARTIAL_FIELDS.items():
             if name not in out:
+                # a validity mask WITHOUT its data stream marks zero-fill
+                # slots valid — the same phantom-point hole from the other
+                # side (review r05): reject any True bits
+                if valid_name in out and out[valid_name].any():
+                    raise RequestError(
+                        f"field {valid_name}: marks "
+                        f"{int(out[valid_name].sum())} rows valid but no "
+                        f"{name} were sent — send the {name} stream or an "
+                        f"all-False mask"
+                    )
                 continue
             n_sent = len(out[name])
             if valid_name not in out:

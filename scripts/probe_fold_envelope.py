@@ -1,11 +1,13 @@
 """Probe the UNTESTED row counts between the validated 48-row fold
 envelope and the 96-row worker-kill frontier (VERDICT r05 item 5).
 
-compact_pallas._row_chunks chunks any >48-row launch at >=32768 padded
-sources down to 48-row launches because only 48 (pass, bit-exact) and 96
-(worker fault) were ever probed — costing batch 16/32 lift ~25% vs
-batch 8 (TPU_QUEUE_r04.log). If 64 and/or 80 rows pass bit-exact,
-_SAFE_ROWS can rise and the chunk count at batch 16/32 halves.
+r04's _row_chunks chunked any >48-row launch at >=32768 padded sources
+down to 48 rows because only 48 (pass, bit-exact) and 96 (worker fault)
+had been probed. r05 probed 64/80 (pass) and raised the envelope; the
+balanced chunker can emit ANY size <= 80, so the default probe grid now
+covers the whole envelope at 8-row resolution (review r05 finding: the
+interior was otherwise assumed monotonic, which this fault family is
+not — cf. the gdino bf16 envelope shift).
 
 Each shape runs in its OWN subprocess (a worker fault kills the client);
 the child bypasses the auto-chunk by raising _SAFE_ROWS to the probed
@@ -64,7 +66,13 @@ def child(rows: int) -> None:
 
 
 def main() -> int:
-    rows_list = [48, 64, 80]
+    # default = the full 8-row grid over the <=80 envelope (balanced
+    # chunking emits arbitrary interior sizes, so the whole range must be
+    # grid-validated, not just the landmark sizes); CM3D_PROBE_GRID
+    # overrides (e.g. "48,64,80" for the quick landmark check, or "96"
+    # to re-confirm the kill frontier on a new jax)
+    grid = os.environ.get("CM3D_PROBE_GRID", "8,16,24,32,40,48,56,64,72,80")
+    rows_list = [int(r) for r in grid.split(",")]
     results = []
     for rows in rows_list:
         env = dict(os.environ, CM3D_PROBE_ROWS=str(rows))

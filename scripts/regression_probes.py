@@ -6,8 +6,10 @@ and the fences assume bisected frontiers that may MOVE on a jax/libtpu
 upgrade:
 
   fold    — compact_pallas row-grid folding faults at >=96 rows x
-            >=32768 padded sources; fence = _row_chunks 48-row launches
-            (kernels/compact_pallas.py:60-80).
+            >=32768 padded sources; fence = _row_chunks balanced
+            launches within the probe-validated <=80-row envelope
+            (kernels/compact_pallas.py; grid-probed by
+            scripts/probe_fold_envelope.py).
   gdino   — fused-Swin GroundingDino dispatch faults at B>=6 f32 /
             B>=3 bf16 at 800x1216; fence = make_gdino_detector
             max_batch=3 chunked dispatch, bf16 forces unfused

@@ -2,7 +2,9 @@
 # Round-5 TPU queue: run back-to-back in ONE window (BENCH DISCIPLINE —
 # window-to-window tunnel variance is +-30%; treat each process's first
 # run as warm-up). Results append to TPU_QUEUE_r05.log.
-# regression_probes (which intentionally faults the worker) runs LAST.
+# regression_probes intentionally faults the worker, so it is NOT part of
+# this queue — run it separately AFTER all benches:
+#   python -c "exec(open('scripts/regression_probes.py').read())"
 cd /root/repo || exit 1
 LOG=TPU_QUEUE_r05.log
 stamp() { date +"%F %T"; }

@@ -170,12 +170,20 @@ class _StubModule(types.ModuleType):
 def _load(path: Path, name: str, extra_modules: dict | None = None):
     saved: dict[str, object] = {}
     injected: list[str] = []
+    touched: set[str] = set()
 
     def put(modname: str, mod: types.ModuleType) -> None:
-        if modname in sys.modules:
-            saved[modname] = sys.modules[modname]
-        else:
-            injected.append(modname)
+        # record only the PRE-CALL state, once per name: when an
+        # extra_modules entry overrides a stub this call just installed,
+        # re-recording would "restore" the stub permanently (review r05 —
+        # it leaked attribute-permissive fakes into sys.modules for the
+        # rest of the process)
+        if modname not in touched:
+            touched.add(modname)
+            if modname in sys.modules:
+                saved[modname] = sys.modules[modname]
+            else:
+                injected.append(modname)
         sys.modules[modname] = mod
 
     _check_pin(path)

@@ -209,3 +209,16 @@ def test_non_nuscenes_dataset_skips_json_summary_and_eval(tmp_path,
     assert "n_samples" not in report["e2e"]
     assert report["eval"]["skipped"] and "waymo" in report["eval"]["reason"]
     assert not called
+
+
+def test_non_nuscenes_missing_artifact_is_error(tmp_path, monkeypatch):
+    """A non-nuScenes e2e phase that writes NOTHING must fail the gate
+    (review r05: it reported artifact_bytes=None with rc=0)."""
+    monkeypatch.setattr(conform, "_e2e_main", lambda argv: None)
+    monkeypatch.setattr(conform, "_eval_main", lambda argv: None)
+    report, rc = conform.run_conform(
+        _args(out=str(tmp_path / "c"), dataset="waymo", dataroot="/x",
+              scenes="s", fake_weights=True),
+    )
+    assert rc == 1
+    assert "no artifact" in report["e2e"]["error"]

@@ -73,11 +73,17 @@ def _attr_acc(gt, pred):
 
 
 def _cummean(x):
-    if np.all(np.isnan(x)):
-        return np.ones(len(x))
-    s = np.nancumsum(x.astype(float))
-    c = np.cumsum(~np.isnan(x))
-    return np.divide(s, c, out=np.zeros_like(s), where=c > 0)
+    # NOT an independent rewrite: this IS the devkit's public cummean
+    # (nuscenes/eval/common/utils.py) verbatim — nancumsum over a
+    # ~isnan count with zero-fill where the count is 0. It necessarily
+    # coincides with algo.py's transcription of the same 5-line spec;
+    # the independence claim in the module docstring applies to the
+    # GEOMETRY primitives (distance/IoU/yaw), where a rewrite is possible
+    return (np.ones(len(x)) if np.all(np.isnan(x)) else np.divide(
+        s := np.nancumsum(x.astype(float)),
+        c := np.cumsum(~np.isnan(x)),
+        out=np.zeros_like(s), where=c > 0,
+    ))
 
 
 class _RefMetricData:
@@ -291,3 +297,18 @@ def test_missing_class_and_no_match_branches_live(ref_eval):
     our_rec2, our_md2 = accumulate(gt, pred, None, 1e-9)
     assert our_rec2 == 0.0
     _assert_md_equal(ref_out, our_md2)
+
+
+def test_live_loads_do_not_leak_stubs(ref_eval):
+    """_load must restore sys.modules exactly: extra_modules overriding a
+    just-installed stub used to re-record the STUB as the 'saved' state
+    and leave attribute-permissive fakes behind (review r05)."""
+    import sys
+
+    for name in ("nuscenes", "pyquaternion", "shapely",
+                 "nuscenes.eval.common.utils", "pycocotools"):
+        mod = sys.modules.get(name)
+        assert not isinstance(mod, ref_live._StubModule), name
+        # none of these are installed in this image: a leak is the only
+        # way they could appear at all
+        assert mod is None, (name, mod)

@@ -634,3 +634,21 @@ def test_lift_bucket_geometry_mismatch_rejected(tmp_path):
     save_artifact(export_lift_step(other, batch_size=2), p2)
     with pytest.raises(ValueError, match="geometry"):
         LiftServer([str(p1), str(p2)])
+
+
+def test_lift_mask_without_stream_is_400(served_lift):
+    """The mirror phantom hole (review r05): a point_valid mask sent
+    WITHOUT points would mark zero-filled slots valid."""
+    cfg = served_lift["cfg"]
+    buf = io.BytesIO()
+    np.savez(buf, point_valid=np.ones(cfg.max_points, bool))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_lift(served_lift["url"], buf.getvalue())
+    assert e.value.code == 400
+    assert "no points were sent" in json.loads(e.value.read())["error"]
+
+    # an all-False mask without the stream stays acceptable (explicitly
+    # empty cloud)
+    buf = io.BytesIO()
+    np.savez(buf, point_valid=np.zeros(cfg.max_points, bool))
+    assert "boxes" in _post_lift(served_lift["url"], buf.getvalue())
