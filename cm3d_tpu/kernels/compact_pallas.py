@@ -64,10 +64,12 @@ VMEM_LIMIT = 100 * 1024 * 1024
 _FAULT_ROWS = 96    # bisected worker-kill frontier (rows)
 _FAULT_SRC = 32768  # bisected worker-kill frontier (padded sources)
 # Largest on-chip-validated row count at >= _FAULT_SRC sources. r05
-# probe (scripts/probe_fold_envelope.py, TPU_QUEUE_r05.log): 64 and 80
-# rows pass BIT-EXACT at 32768 sources where 96 kills the worker, so the
-# envelope rose 48 -> 80 (fewer launches at batch >= 16; re-validated
-# through the real lift step by scripts/ab_fold_chunk.py).
+# probes (scripts/probe_fold_envelope.py, TPU_QUEUE_r05.log): the FULL
+# 8..80 grid at 8-row resolution passes BIT-EXACT at 32768 sources
+# (balanced chunking emits arbitrary interior sizes, so the whole range
+# is grid-validated, not just landmarks) where 96 kills the worker; the
+# envelope rose 48 -> 80 and was re-validated through the real lift step
+# by scripts/ab_fold_chunk.py (batch 16/32 bit-exact).
 _SAFE_ROWS = 80
 
 

@@ -45,7 +45,7 @@ import time
 SMOKE = os.environ.get("CM3D_AB_SMOKE") == "1"
 WHICH = os.environ.get("CM3D_PROBES", "all")
 
-# (name, script, env, expected, side)
+# (name, script, env, expected, side[, timeout_s])
 #   expected: "pass" (fence-sufficient side) | "fault" (fence-needed side)
 PROBES = [
     # fold fence: chunked Pallas fold path at the batch that used to kill
@@ -65,8 +65,11 @@ PROBES = [
     # unfused full step kills the worker
     ("swin_fused_step", "scripts/diag_swin.py",
      {"CM3D_DIAG_ARM": "fused_step"}, "pass", "safe"),
+    # NB: this fault takes LONG to manifest — in the r05 run it appeared
+    # only after ~50 min (full-scale unfused compile first); 1800 s
+    # timed out short of it, so it gets a 2x budget
     ("swin_unfused_step", "scripts/diag_swin.py",
-     {"CM3D_DIAG_ARM": "step"}, "fault", "fault"),
+     {"CM3D_DIAG_ARM": "step"}, "fault", "fault", 3600),
 ]
 
 
@@ -94,12 +97,13 @@ def run_probe(name, script, env, timeout_s):
 def main():
     rows = []
     ok = True
-    for name, script, env, expected, side in PROBES:
+    for name, script, env, expected, side, *rest in PROBES:
         if WHICH == "safe" and side != "safe":
             continue
         if WHICH == "fault" and side != "fault":
             continue
-        r = run_probe(name, script, env, 120 if SMOKE else 1800)
+        budget = rest[0] if rest else 1800
+        r = run_probe(name, script, env, 120 if SMOKE else budget)
         r["expected"] = expected
         if SMOKE and expected == "fault":
             # tiny CPU shapes never fault — only plumbing is validated
