@@ -6,7 +6,7 @@ images->masks->boxes throughput is a separate bench (`--stage e2e`,
 through pipelines.e2e.run_fused at production geometry with random
 full-size weights — see cm3d_tpu/benchmarks.py for the protocol and its
 content-swap caveat) whose measured numbers are recorded in
-MASK_BENCH_r0*.json.
+MASK_BENCH_r0*.json (current: r05).
 
 Modes: --stage lift | masks | e2e | train | fusion_train (single metric
 each). `--stage e2e --profile fast` sweeps the composed opt-in speed modes
@@ -127,10 +127,10 @@ def main() -> None:
     # default: exactly ONE JSON line (the driver contract) — the lift-stage
     # headline. The fused end-to-end number is a separate, much slower
     # bench (`--stage e2e`, full-scale 2D-model compiles); its measured
-    # values are recorded in MASK_BENCH_r0*.json.
+    # values are recorded in MASK_BENCH_r0*.json (current: r05).
     line = benchmarks.bench_lift()
     line["note"] = ("lift stage only; fused images->masks->boxes e2e is "
-                    "benched via --stage e2e (see MASK_BENCH_r03.json)")
+                    "benched via --stage e2e (see MASK_BENCH_r05.json)")
     _emit(line)
 
 
